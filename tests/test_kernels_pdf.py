@@ -1,0 +1,63 @@
+from __future__ import annotations
+
+from docling_gfcr_spark.kernels import encodings
+from docling_gfcr_spark.kernels.pdf_layout import PAGE_SEP, assemble_pdf, dehyphenate, reading_order
+
+
+def test_page_header_format_matches_reference():
+    # format parity with /root/reference/scripts/convert.py:123-127
+    stream = "page one text" + PAGE_SEP + "page two text"
+    out = assemble_pdf(stream)
+    assert out["n_pages"] == 2
+    expected = "\n".join(
+        [
+            "\n\n# Página 1\n\npage one text",
+            "\n\n# Página 2\n\npage two text",
+        ]
+    )
+    assert out["text"] == expected
+
+
+def test_two_column_reading_order():
+    page = (
+        "[[50,100]]left top\n\n"
+        "[[350,100]]right top\n\n"
+        "[[50,200]]left bottom\n\n"
+        "[[350,200]]right bottom"
+    )
+    out = assemble_pdf(page)
+    body = out["text"]
+    order = [body.index(s) for s in ("left top", "left bottom", "right top", "right bottom")]
+    assert order == sorted(order)
+
+
+def test_unmarked_blocks_keep_stream_order():
+    page = "first block\n\nsecond block\n\nthird block"
+    body = assemble_pdf(page)["text"]
+    assert body.index("first") < body.index("second") < body.index("third")
+
+
+def test_dehyphenation():
+    assert dehyphenate("exam-\nple") == "example"
+    assert dehyphenate("well - spaced") == "well - spaced"
+
+
+def test_reading_order_deterministic_on_ties():
+    blocks = [(10.0, 50.0, "a"), (10.0, 50.0, "b")]
+    assert reading_order(blocks) == ["a", "b"]
+
+
+def test_assemble_total():
+    assert assemble_pdf(None)["parse_failed"] is True
+
+
+def test_encoding_cascade():
+    assert encodings.decode_cascade("olá".encode("utf-8")) == "olá"
+    # 0xe9 is é in latin-1, invalid as utf-8 start of sequence here
+    assert encodings.decode_cascade(b"caf\xe9") == "café"
+
+
+def test_generic_fallback_wrap_and_apology():
+    assert encodings.generic_fallback("f.md", ".md", "body") == "# f.md\n\nbody"
+    out = encodings.generic_fallback("f.bin", ".bin", b"\x00\x01")
+    assert out == "# f.bin\n\nArquivo .bin não pôde ser processado. Formato não suportado para fallback."
