@@ -1,0 +1,288 @@
+"""The columnar extraction pipeline.
+
+Reference lifecycle (one eager Python function per document,
+/root/reference/scripts/convert.py:155-248 and markdown_agent.py:261-397)
+re-expressed as ONE Spark stage: route (R1) -> extraction kernel (S2/S3/S4)
+-> optimize (P4) -> validate (A1-A3) all fused into a single Arrow pandas
+UDF, so the JVM<->Python boundary is crossed exactly once per batch
+(SURVEY.md §3 "minimize by fusing kernels into one UDF"). Everything after
+the UDF (ordering, metrics, assembly) is built-in Catalyst operators.
+
+Error invariant O1 (convert.py:243-248): a row NEVER kills a task — per-row
+try/except inside the kernel, failures become ``success=false`` rows carrying
+an ``error`` column, unioned back, never dropped.
+
+Modes mirror the reference's two divergent entry points (SURVEY.md §7.3):
+- ``agent`` (EP3): fallback text is title-wrapped and the markdown optimizer
+  (frontmatter + spacing rules) runs on every successful row.
+- ``cli`` (EP1): raw fallback text, no optimizer.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from docling_gfcr_spark.kernels import markdown_ops
+from docling_gfcr_spark.kernels.html_extract import extract_html
+from docling_gfcr_spark.kernels.pdf_layout import assemble_pdf
+
+SPAN_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("start", T.IntegerType()),
+            T.StructField("end", T.IntegerType()),
+            T.StructField("kind", T.StringType()),
+        ]
+    )
+)
+
+EXTRACT_TYPE = T.StructType(
+    [
+        T.StructField("extracted_text", T.StringType()),
+        T.StructField("method", T.StringType()),
+        T.StructField("success", T.BooleanType()),
+        T.StructField("error", T.StringType()),
+        T.StructField("spans", SPAN_TYPE),
+        T.StructField("n_nodes", T.IntegerType()),
+        T.StructField("n_kept", T.IntegerType()),
+        T.StructField("n_spans", T.IntegerType()),
+        T.StructField("parse_failed", T.BooleanType()),
+        T.StructField("headers_count", T.IntegerType()),
+        T.StructField("paragraphs_count", T.IntegerType()),
+        T.StructField("lists_count", T.IntegerType()),
+        T.StructField("word_count", T.IntegerType()),
+        T.StructField("char_count", T.IntegerType()),
+        T.StructField("issues", T.ArrayType(T.StringType())),
+        T.StructField("quality_score", T.IntegerType()),
+        T.StructField("valid", T.BooleanType()),
+    ]
+)
+
+_EMPTY = {
+    "extracted_text": "",
+    "method": "error",
+    "success": False,
+    "error": None,
+    "spans": [],
+    "n_nodes": 0,
+    "n_kept": 0,
+    "n_spans": 0,
+    "parse_failed": True,
+    "headers_count": 0,
+    "paragraphs_count": 0,
+    "lists_count": 0,
+    "word_count": 0,
+    "char_count": 0,
+    "issues": [],
+    "quality_score": 0,
+    "valid": False,
+}
+
+
+def extract_one(text: str | None, tool: str | None, name: str, mode: str) -> dict:
+    """Pure per-row kernel: route -> extract -> optimize -> validate.
+
+    ``name`` plays the reference's filename role (frontmatter title P4a,
+    fallback wrap P3). Total: returns an error record instead of raising.
+    """
+    try:
+        if text is None:
+            return {**_EMPTY, "error": "null payload"}
+        spans: list[dict] = []
+        n_nodes = n_kept = 0
+        parse_failed = False
+        kind = (tool or "text").lower()
+        if kind in ("html", "xhtml"):
+            r = extract_html(text)
+            extracted, parse_failed = r["text"], r["parse_failed"]
+            n_nodes, n_kept = r["n_nodes"], r["n_kept"]
+            spans = [{"start": s, "end": e, "kind": k} for s, e, k in r["spans"]]
+            method = "html"
+        elif kind == "pdf":
+            r = assemble_pdf(text)
+            extracted, parse_failed = r["text"], r["parse_failed"]
+            n_nodes = n_kept = r["n_blocks"]
+            method = "pdf_layout"
+        elif kind in ("markdown", "md"):
+            extracted, method = text, "markdown"
+        elif kind == "json":
+            try:
+                obj = json.loads(text)
+                extracted = str(
+                    obj.get("content") or obj.get("text") or obj.get("output") or ""
+                )
+                method = "json"
+            except (json.JSONDecodeError, AttributeError):
+                extracted, method, parse_failed = "", "json", True
+        else:  # generic text fallback (S4 route)
+            extracted = markdown_ops.title_wrap(name, text) if mode == "agent" else text
+            method = "generic"
+        # F3 empty-content gate -> raw passthrough fallback, as the reference
+        # falls back rather than emitting empty output (convert.py:189,222-230)
+        if not extracted or not extracted.strip():
+            if parse_failed and text.strip():
+                extracted, method = text, "raw"
+            else:
+                extracted = extracted or ""
+        if mode == "agent" and extracted.strip():
+            extracted = markdown_ops.optimize_markdown(extracted, f"{name}.{kind}")
+        v = markdown_ops.validate_markdown(extracted)
+        return {
+            "extracted_text": extracted,
+            "method": method,
+            "success": True,
+            "error": None,
+            "spans": spans,
+            "n_nodes": n_nodes,
+            "n_kept": n_kept,
+            "n_spans": len(spans),
+            "parse_failed": parse_failed,
+            "headers_count": v["metrics"]["headers_count"],
+            "paragraphs_count": v["metrics"]["paragraphs_count"],
+            "lists_count": v["metrics"]["lists_count"],
+            "word_count": v["metrics"]["word_count"],
+            "char_count": v["metrics"]["char_count"],
+            "issues": list(v["issues"]),
+            "quality_score": v["quality_score"],
+            "valid": v["valid"],
+        }
+    except Exception as e:  # O1: total per-row
+        return {**_EMPTY, "error": f"{type(e).__name__}: {e}"}
+
+
+def make_extract_udf(mode: str = "agent"):
+    """Build the fused scalar pandas UDF (one Arrow boundary per batch)."""
+
+    @F.pandas_udf(EXTRACT_TYPE)
+    def extract_udf(text: pd.Series, tool: pd.Series, name: pd.Series) -> pd.DataFrame:
+        rows = [
+            extract_one(t, k, n, mode)
+            for t, k, n in zip(text.tolist(), tool.tolist(), name.tolist())
+        ]
+        return pd.DataFrame(rows)
+
+    return extract_udf
+
+
+def extract_turns(df: DataFrame, mode: str = "agent") -> DataFrame:
+    """Input-hint schema in -> extracted schema out (flat columns).
+
+    The reference's per-document name (filename stem) maps to
+    ``{conv_id}-{turn_idx}`` here; the P1 space->underscore normalization is a
+    plain Catalyst expression (no UDF needed).
+    """
+    udf = make_extract_udf(mode)
+    name = F.regexp_replace(
+        F.format_string("%s-%06d", F.col("conv_id"), F.col("turn_idx")), " ", "_"
+    )
+    out = df.withColumn("x", udf(F.col("text"), F.col("tool"), name))
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        "ts",
+        "x.extracted_text",
+        "x.method",
+        "x.success",
+        "x.error",
+        "x.spans",
+        "x.n_nodes",
+        "x.n_kept",
+        "x.n_spans",
+        "x.parse_failed",
+        "x.headers_count",
+        "x.paragraphs_count",
+        "x.lists_count",
+        "x.word_count",
+        "x.char_count",
+        "x.issues",
+        "x.quality_score",
+        "x.valid",
+    )
+
+
+def with_stable_order(df: DataFrame) -> DataFrame:
+    """North-rule stable turn ordering: row_number over (conv_id, turn_idx)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return df.withColumn("rn", F.row_number().over(w))
+
+
+def salt_column(num_salts: int, bucket_turns: int = 64) -> Column:
+    """Salt for skewed mega-conversations: same conv stays grouped per
+    ``bucket_turns``-turn slab, so slabs spread across tasks while per-slab
+    assembly remains local. Per-turn extraction is order-free (the equality
+    invariant is per-turn), so salting is semantically free (SURVEY.md §4.3).
+    """
+    return F.pmod(F.floor(F.col("turn_idx") / bucket_turns), F.lit(num_salts)).cast("int")
+
+
+def salted_repartition(df: DataFrame, num_partitions: int, num_salts: int = 16) -> DataFrame:
+    return df.withColumn("_salt", salt_column(num_salts)).repartition(
+        num_partitions, "conv_id", "_salt"
+    )
+
+
+def assemble_conversations(df: DataFrame, bucket_turns: int = 1024) -> DataFrame:
+    """Per-conversation document assembly, skew-safe two-phase concat.
+
+    Phase 1 groups by (conv_id, slab) — mega-conversations spread over many
+    tasks; each slab sorts its turns locally (array_sort on struct orders by
+    turn_idx first) and concatenates. Phase 2 merges the few slabs per conv.
+    Output: one row per conv with turns joined by newline in turn order.
+    """
+    slab = F.floor(F.col("turn_idx") / bucket_turns).alias("slab")
+    phase1 = (
+        df.select("conv_id", slab, "turn_idx", "extracted_text")
+        .groupBy("conv_id", "slab")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("turn_idx", "extracted_text"))),
+                    lambda s: s.extracted_text,
+                ),
+                "\n",
+            ).alias("slab_text"),
+            F.count("*").alias("slab_turns"),
+        )
+    )
+    return phase1.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("slab", "slab_text"))),
+                lambda s: s.slab_text,
+            ),
+            "\n",
+        ).alias("conv_text"),
+        F.sum("slab_turns").cast("int").alias("n_turns"),
+    )
+
+
+def partition_metrics(df: DataFrame) -> DataFrame:
+    """Per-physical-partition extraction metrics (north_star: nodes classified,
+    spans emitted, parse failures) — feeds the lineage table."""
+    return (
+        df.withColumn("part_id", F.spark_partition_id())
+        .groupBy("part_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.col("n_nodes")).alias("nodes_classified"),
+            F.sum(F.col("n_spans")).alias("spans_emitted"),
+            F.sum(F.col("parse_failed").cast("int")).alias("parse_failures"),
+            F.sum((~F.col("success")).cast("int")).alias("errors"),
+        )
+    )
+
+
+def run_summary(df: DataFrame) -> DataFrame:
+    """Batch summary A5 (markdown_agent.py:471-475): total/success/failed."""
+    return df.agg(
+        F.count("*").alias("total"),
+        F.sum(F.col("success").cast("int")).alias("success"),
+        F.sum((~F.col("success")).cast("int")).alias("failed"),
+    )

@@ -1,0 +1,192 @@
+"""Deterministic, distributed synthetic transcripts generator.
+
+Produces the exact ``input_hint`` schema from BASELINE.json:
+``(conv_id string, turn_idx int, role string, text string, tool string,
+ts timestamp)`` — a table of multi-turn conversation/agent transcripts whose
+``text`` payloads are HTML (with *known planted* main content surrounded by
+known boilerplate), PDF page streams, markdown, plain text, and JSON tool
+envelopes. Because every payload is derived from ``(seed, conv_idx, turn_idx)``
+alone, generation is reproducible at any parallelism and any scale:
+``spark.range(n_conv)`` fans out and each task generates its conversations
+independently (no shuffle, no driver-side data).
+
+Skew is generated on purpose: every ``mega_every``-th conversation gets
+``skew_factor``x the turns, so the salted-repartition path in the pipeline has
+something real to fix.
+"""
+
+from __future__ import annotations
+
+import json
+import zlib
+from datetime import datetime, timedelta, timezone
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from docling_gfcr_spark.kernels.pdf_layout import PAGE_SEP
+
+SCHEMA = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+
+_VOCAB = (
+    "data spark table query window merge batch stream filter aggregate join row "
+    "column value key scan sort hash group partition line customer order fast "
+    "slow big small vector engine plan shuffle broadcast salt skew lineage"
+).split()
+_EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
+
+# marker words that must NEVER appear in extracted output (they only occur in
+# planted boilerplate) — tests key on these.
+NAV_MARKER = "navboilerplate"
+AD_MARKER = "sponsoredboilerplate"
+FOOTER_MARKER = "footerboilerplate"
+
+KINDS = ("html", "pdf", "markdown", "text", "json")
+_KIND_P = (0.40, 0.15, 0.20, 0.15, 0.10)
+
+
+def _rng(seed: int, conv_idx: int, turn_idx: int = -1) -> np.random.RandomState:
+    key = f"{seed}:{conv_idx}:{turn_idx}".encode()
+    return np.random.RandomState(zlib.crc32(key) & 0x7FFFFFFF)
+
+
+def _sentence(rng: np.random.RandomState, n: int) -> str:
+    return " ".join(rng.choice(_VOCAB, size=n)) + "."
+
+
+def _paragraphs(rng: np.random.RandomState, n_para: int) -> list[str]:
+    return [_sentence(rng, int(rng.randint(9, 24))) for _ in range(n_para)]
+
+
+def build_html_payload(rng: np.random.RandomState) -> tuple[str, list[str]]:
+    """HTML page with planted main content; returns (payload, planted_lines)."""
+    title = _sentence(rng, 4).rstrip(".")
+    paras = _paragraphs(rng, int(rng.randint(2, 6)))
+    items = [_sentence(rng, int(rng.randint(2, 5))).rstrip(".") for _ in range(int(rng.randint(0, 4)))]
+    nav = " ".join(f'<a href="/{i}">{NAV_MARKER}{i}</a>' for i in range(4))
+    ad = f'<div class="ads banner"><p>{AD_MARKER} ' + _sentence(rng, 10) + "</p></div>"
+    body = [f"<nav class='menu'>{nav}</nav>", "<article>", f"<h1>{title}</h1>"]
+    planted = [f"# {title}"]
+    for p in paras:
+        body.append(f"<p>{p}</p>")
+        planted.append(p)
+    if items:
+        body.append("<ul>" + "".join(f"<li>{i}</li>" for i in items) + "</ul>")
+        planted.extend(f"- {i}" for i in items)
+    body += ["</article>", ad, f"<footer>{FOOTER_MARKER} legal</footer>"]
+    return "<html><body>" + "\n".join(body) + "</body></html>", planted
+
+
+def build_pdf_payload(rng: np.random.RandomState) -> str:
+    """Page stream with coordinate-marked two-column blocks on some pages."""
+    pages = []
+    for _ in range(int(rng.randint(1, 4))):
+        blocks = []
+        two_col = rng.rand() < 0.5
+        for bi in range(int(rng.randint(1, 4))):
+            txt = _sentence(rng, int(rng.randint(6, 14)))
+            if two_col:
+                x = 50 if rng.rand() < 0.5 else 350
+                blocks.append(f"[[{x},{bi * 100}]]{txt}")
+            else:
+                blocks.append(txt)
+        pages.append("\n\n".join(blocks))
+    return PAGE_SEP.join(pages)
+
+
+def build_markdown_payload(rng: np.random.RandomState) -> str:
+    parts = [f"# {_sentence(rng, 3).rstrip('.')}"]
+    parts += _paragraphs(rng, int(rng.randint(1, 4)))
+    if rng.rand() < 0.5:
+        parts.append("- " + _sentence(rng, 3))
+    return "\n\n".join(parts)
+
+
+def build_json_payload(rng: np.random.RandomState) -> str:
+    return json.dumps(
+        {
+            "tool_name": str(rng.choice(["search", "browse", "calc"])),
+            "content": _sentence(rng, int(rng.randint(8, 20))),
+            "status": "ok" if rng.rand() < 0.9 else "error",
+        },
+        ensure_ascii=False,
+        sort_keys=True,
+    )
+
+
+def gen_turn(seed: int, conv_idx: int, turn_idx: int) -> tuple[str, str, str]:
+    """(role, text, tool) for one turn — THE deterministic unit both the Spark
+    generator and local test oracles call."""
+    rng = _rng(seed, conv_idx, turn_idx)
+    kind = str(rng.choice(KINDS, p=_KIND_P))
+    if kind == "html":
+        text, _ = build_html_payload(rng)
+    elif kind == "pdf":
+        text = build_pdf_payload(rng)
+    elif kind == "markdown":
+        text = build_markdown_payload(rng)
+    elif kind == "json":
+        text = build_json_payload(rng)
+    else:
+        text = "\n".join(_paragraphs(rng, int(rng.randint(1, 3))))
+    role = "tool" if kind == "json" else ("user" if turn_idx % 2 == 0 else "assistant")
+    # ~1% adversarial payloads: truncated/garbled, to exercise error routing
+    if rng.rand() < 0.01:
+        text = text[: max(1, len(text) // 3)] + "\x00<unclosed"
+    return role, text, kind
+
+
+def n_turns_for(seed: int, conv_idx: int, mean_turns: int, mega_every: int, skew_factor: int) -> int:
+    n = 1 + int(_rng(seed, conv_idx).poisson(mean_turns))
+    if mega_every and conv_idx % mega_every == 0:
+        n *= skew_factor
+    return n
+
+
+def gen_conv_rows(
+    seed: int, conv_idx: int, mean_turns: int = 8, mega_every: int = 0, skew_factor: int = 50
+) -> list[dict]:
+    conv_id = f"conv-{conv_idx:010d}"
+    rows = []
+    for t in range(n_turns_for(seed, conv_idx, mean_turns, mega_every, skew_factor)):
+        role, text, tool = gen_turn(seed, conv_idx, t)
+        rows.append(
+            {
+                "conv_id": conv_id,
+                "turn_idx": t,
+                "role": role,
+                "text": text,
+                "tool": tool,
+                "ts": _EPOCH + timedelta(hours=conv_idx % 720, seconds=t * 30),
+            }
+        )
+    return rows
+
+
+def make_transcripts(
+    spark,
+    n_conv: int,
+    mean_turns: int = 8,
+    seed: int = 42,
+    mega_every: int = 0,
+    skew_factor: int = 50,
+    parallelism: int | None = None,
+):
+    """Distributed generation: spark.range -> mapInPandas, zero shuffle.
+
+    At 100 TB the same code holds: each task generates its id-range locally;
+    partition count scales with ``parallelism``.
+    """
+    mean_turns_, seed_, mega_, skewf_ = mean_turns, seed, mega_every, skew_factor
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for conv_idx in pdf["id"].tolist():
+                out.extend(gen_conv_rows(seed_, int(conv_idx), mean_turns_, mega_, skewf_))
+            if out:
+                yield pd.DataFrame(out)
+
+    rng_df = spark.range(0, n_conv, numPartitions=parallelism or spark.sparkContext.defaultParallelism)
+    return rng_df.mapInPandas(gen, schema=SCHEMA)

@@ -1,0 +1,138 @@
+"""End-to-end pipeline tests: per-turn text equality vs the local oracle.
+
+The north-rule invariant: for every (conv_id, turn_idx), the Spark pipeline's
+extracted text equals applying the same kernels locally (single-threaded
+oracle), under stable turn ordering — regardless of partitioning/salting.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from docling_gfcr_spark import pipeline, transcripts
+
+N_CONV = 30
+SEED = 7
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    return transcripts.make_transcripts(
+        spark, N_CONV, mean_turns=5, seed=SEED, mega_every=10, skew_factor=8, parallelism=8
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def extracted(spark, tdf):
+    return pipeline.extract_turns(tdf, mode="agent").cache()
+
+
+def local_oracle(mode: str = "agent") -> pd.DataFrame:
+    rows = []
+    for c in range(N_CONV):
+        for r in transcripts.gen_conv_rows(SEED, c, mean_turns=5, mega_every=10, skew_factor=8):
+            name = f"{r['conv_id']}-{r['turn_idx']:06d}".replace(" ", "_")
+            x = pipeline.extract_one(r["text"], r["tool"], name, mode)
+            rows.append(
+                {"conv_id": r["conv_id"], "turn_idx": r["turn_idx"], "expected": x["extracted_text"]}
+            )
+    return pd.DataFrame(rows)
+
+
+def test_generator_deterministic_across_parallelism(spark):
+    a = transcripts.make_transcripts(spark, 12, seed=3, parallelism=1).toPandas()
+    b = transcripts.make_transcripts(spark, 12, seed=3, parallelism=8).toPandas()
+    key = ["conv_id", "turn_idx"]
+    a, b = a.sort_values(key).reset_index(drop=True), b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_schema_matches_input_hint(tdf):
+    assert [f.name for f in tdf.schema.fields] == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    kinds = {f.name: f.dataType.simpleString() for f in tdf.schema.fields}
+    assert kinds["turn_idx"] == "int" and kinds["ts"] == "timestamp"
+
+
+def test_per_turn_equality_vs_local_oracle(extracted):
+    got = (
+        extracted.select("conv_id", "turn_idx", "extracted_text")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    exp = local_oracle().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    mismatches = (got["extracted_text"].values != exp["expected"].values).sum()
+    assert mismatches == 0, f"{mismatches}/{len(got)} turns differ from oracle"
+
+
+def test_per_turn_equality_survives_salted_repartition(spark, tdf):
+    salted = pipeline.salted_repartition(tdf, 16, num_salts=4)
+    got = (
+        pipeline.extract_turns(salted.drop("_salt"), mode="agent")
+        .select("conv_id", "turn_idx", "extracted_text")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    exp = local_oracle().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert (got["extracted_text"].values == exp["expected"].values).all()
+
+
+def test_boilerplate_never_extracted(extracted):
+    from pyspark.sql import functions as F
+
+    n_bad = extracted.where(
+        F.col("extracted_text").contains(transcripts.NAV_MARKER)
+        | F.col("extracted_text").contains(transcripts.AD_MARKER)
+        | F.col("extracted_text").contains(transcripts.FOOTER_MARKER)
+    ).count()
+    assert n_bad == 0
+
+
+def test_stable_order_and_rn(extracted):
+    from pyspark.sql import functions as F
+
+    o = pipeline.with_stable_order(extracted)
+    bad = o.where(F.col("rn") != F.col("turn_idx") + 1).count()
+    assert bad == 0  # turn_idx is dense from 0 in the generator
+
+
+def test_assemble_conversations_order(spark, extracted):
+    conv = pipeline.assemble_conversations(extracted, bucket_turns=4).toPandas()
+    assert len(conv) == N_CONV
+    # reconstruct one conversation locally and compare exactly
+    exp = local_oracle()
+    one = exp[exp.conv_id == exp.conv_id.min()].sort_values("turn_idx")
+    want = "\n".join(one["expected"].tolist())
+    got = conv[conv.conv_id == exp.conv_id.min()]["conv_text"].iloc[0]
+    assert got == want
+
+
+def test_error_rows_never_dropped(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("c1", 0, "user", None, "html", None), ("c1", 1, "user", "{bad json", "json", None)],
+        schema=transcripts.SCHEMA,
+    )
+    out = pipeline.extract_turns(df).toPandas().sort_values("turn_idx")
+    assert len(out) == 2
+    assert out.iloc[0]["success"] == False  # noqa: E712 — null payload -> error record
+    assert out.iloc[1]["parse_failed"] == True  # noqa: E712 — bad json routed, kept
+
+
+def test_metrics_and_summary(extracted):
+    m = pipeline.partition_metrics(extracted).toPandas()
+    assert m["n_turns"].sum() == extracted.count()
+    s = pipeline.run_summary(extracted).toPandas().iloc[0]
+    assert s["total"] == s["success"] + s["failed"]
+
+
+def test_spans_nonempty_for_html(extracted):
+    from pyspark.sql import functions as F
+
+    html_rows = extracted.where((F.col("method") == "html") & F.col("success"))
+    with_spans = html_rows.where(F.col("n_spans") > 0).count()
+    assert with_spans == html_rows.count() and with_spans > 0
