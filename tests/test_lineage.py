@@ -1,0 +1,60 @@
+"""Resume semantics: a killed job continues from the last committed partition
+without reprocessing committed parts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from docling_gfcr_spark import lineage, pipeline, transcripts
+
+
+def test_crash_resume_no_reprocessing(spark, tmp_path):
+    out = str(tmp_path / "job")
+    tdf = transcripts.make_transcripts(spark, 24, mean_turns=4, seed=11, parallelism=4).cache()
+    expected_total = tdf.count()
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        lineage.run_extraction_job(
+            spark, tdf, out, n_parts=8, n_waves=4, run_id="run1", fail_after_wave=2
+        )
+    committed_after_crash = lineage.committed_parts(spark, f"{out}/lineage")
+    assert 0 < len(committed_after_crash) < 8
+
+    report = lineage.run_extraction_job(spark, tdf, out, n_parts=8, n_waves=4, run_id="run2")
+    assert set(report["resumed_parts_skipped"]) == committed_after_crash
+    assert set(report["parts_processed"]).isdisjoint(committed_after_crash)
+
+    # every part committed exactly once, by the run that first completed it
+    lin = lineage.read_lineage(spark, out).toPandas()
+    assert sorted(lin["part_id"].tolist()) == list(range(8))
+    assert set(lin[lin.part_id.isin(list(committed_after_crash))]["run_id"]) == {"run1"}
+
+    # output is complete and row-exact: no loss, no duplicates
+    data = lineage.read_extracted(spark, out)
+    assert data.count() == expected_total
+    assert data.select("conv_id", "turn_idx").distinct().count() == expected_total
+
+    # lineage metrics agree with the data
+    agg = data.groupBy("part_id").agg(F.count("*").alias("n")).toPandas().set_index("part_id")
+    for _, row in lin.iterrows():
+        n = agg["n"].get(row.part_id, 0)  # empty parts commit with n_turns=0
+        assert n == row.n_turns
+
+
+def test_part_id_stability(spark):
+    tdf = transcripts.make_transcripts(spark, 10, mean_turns=3, seed=5, parallelism=2)
+    a = lineage.with_part_id(tdf, 16).select("conv_id", "part_id").distinct().toPandas()
+    b = lineage.with_part_id(tdf.repartition(7), 16).select("conv_id", "part_id").distinct().toPandas()
+    assert a.sort_values("conv_id").reset_index(drop=True).equals(
+        b.sort_values("conv_id").reset_index(drop=True)
+    )
+
+
+def test_completed_job_is_noop_on_rerun(spark, tmp_path):
+    out = str(tmp_path / "job2")
+    tdf = transcripts.make_transcripts(spark, 6, mean_turns=3, seed=2, parallelism=2)
+    lineage.run_extraction_job(spark, tdf, out, n_parts=4, n_waves=2, run_id="a")
+    report = lineage.run_extraction_job(spark, tdf, out, n_parts=4, n_waves=2, run_id="b")
+    assert report["parts_processed"] == []
+    assert set(lineage.read_lineage(spark, out).toPandas()["run_id"]) == {"a"}
