@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline on sf0.001-scale
+synthetic transcripts; ``queries()``/``oracle_sql()`` expose the full operator
+inventory (see docling_gfcr_spark/queries.py for per-query notes on
+cross-engine parity).
 """
 
 from __future__ import annotations
@@ -13,26 +12,38 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from docling_gfcr_spark import queries as Q
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthetic transcripts (input_hint schema) -> fused-UDF
+    extraction -> stable turn ordering; driver checks rows>0 + stable schema."""
+    from pyspark.sql import functions as F
+
+    from docling_gfcr_spark import pipeline, transcripts
+
+    tdf = transcripts.make_transcripts(
+        spark, n_conv=100, mean_turns=6, seed=42, mega_every=25, skew_factor=10
+    )
+    ex = pipeline.extract_turns(tdf, mode="agent")
+    return pipeline.with_stable_order(ex).select(
+        "conv_id",
+        "turn_idx",
+        "rn",
+        "role",
+        "tool",
+        "method",
+        "success",
+        "extracted_text",
+        "n_spans",
+        "quality_score",
+        F.col("word_count").cast("long").alias("word_count"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(Q.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(Q.ORACLES)

@@ -1,0 +1,239 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale notes (the whole point):
+- exact: one hash-shuffle on a 32-char digest — the canonical map-side
+  combinable groupBy; at 100 TB this is the cheapest possible full-corpus op.
+- n-gram Jaccard: exact pairwise similarity, but ONLY within candidate pairs
+  that share a shingle (the explode/self-join trick). Guard against hot
+  shingles (stop-shingle cap) or the self-join explodes quadratically.
+- MinHash+LSH: the 100 TB path. Signature = K independent min-hashes computed
+  entirely JVM-side (array transform + array_min over md5-salted shingles —
+  no Python boundary); banding turns near-dup search into an equi-join on
+  (band, band_hash). Cost: one shuffle on band keys; no quadratic blowup.
+- SimHash: 64-bit fingerprint via a vectorized pandas UDF (bit packing isn't
+  relational); near-dup = equal 16-bit chunk (4 chunk tables) + hamming<=k
+  verify. Chunk-join is again a plain equi-join.
+
+All hash choices (md5) are engine-portable so DuckDB oracles can verify the
+exact same arithmetic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct content hash: keeper id (min), group size."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def exact_dedup_keep(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The deduplicated table itself: first id per content hash wins."""
+    keepers = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    return df.join(keepers, id_col, "left_semi")
+
+
+def word_shingles(text_col: str, k: int = 5) -> Column:
+    """Array of word k-gram shingles (JVM-side; truncated tail shingle for
+    texts shorter than k words, matching the DuckDB oracle expression)."""
+    w = F.split(F.col(text_col), " ")
+    n = F.greatest(F.lit(1), F.size(w) - F.lit(k - 1))
+    return F.transform(F.sequence(F.lit(1), n), lambda i: F.concat_ws(" ", F.slice(w, i, k)))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.8,
+    hot_shingle_cap: int = 100,
+) -> DataFrame:
+    """Exact Jaccard over word-k-gram shingle sets, computed only for pairs
+    sharing >=1 shingle. ``hot_shingle_cap`` drops degenerate shingles shared
+    by more than N docs (stop-shingles) — the skew guard that keeps the
+    self-join linear-ish at corpus scale.
+    """
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(word_shingles(text_col, k))).alias("shingle"))
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
+    sh_cold = sh.join(freq.where(F.col("df_") <= hot_shingle_cap), "shingle")
+    a, b = sh_cold.alias("a"), sh_cold.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    k: int = 5,
+) -> DataFrame:
+    """K min-hashes per doc, fully JVM-side.
+
+    hash_j(s) = md5(j || ':' || s); the signature element is the lexicographic
+    min digest — a uniform order statistic, engine-portable (DuckDB oracle
+    computes the identical strings).
+    """
+    shingles = F.array_distinct(word_shingles(text_col, k))
+    # Single pass over the shingle array: each shingle expands to its
+    # n_hashes salted digests, then an elementwise-min fold builds the
+    # signature. (One transform + one aggregate — NOT n_hashes separate
+    # array_min(transform(...)) trees, which blow up Catalyst analysis time
+    # ~100x at n_hashes=32.)
+    # NOTE single-parameter lambdas throughout: F.transform passes
+    # (element, index) to two-parameter callables, which would silently turn
+    # the salt into the array index.
+    per_shingle = F.transform(
+        shingles, lambda s: F.array(*[F.md5(F.concat(F.lit(f"{j}:"), s)) for j in range(n_hashes)])
+    )
+    top = F.array_repeat(F.lit("￿"), n_hashes)  # > any hex digest
+    sig = F.aggregate(per_shingle, top, lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)))
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    bands: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: docs agreeing on ALL rows of
+    any band collide. rows_per_band = n_hashes // bands tunes the similarity
+    threshold (~ (1/bands)^(1/rows))."""
+    rows = n_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, k)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(F.concat_ws("|", *[F.col("sig")[b * rows + r] for r in range(rows)])).alias(
+                            "band_hash"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select("id", "bh.band", "bh.band_hash")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+# ---- SimHash (pandas UDF: bit packing is not relational) -----------------
+
+
+def _simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens, md5-derived token hashes.
+
+    Deterministic and library-free so the pure-Python test oracle is the
+    same function run outside Spark.
+    """
+    acc = [0] * 64
+    for tok in text.split():
+        h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+        for bit in range(64):
+            acc[bit] += 1 if (h >> bit) & 1 else -1
+    out = 0
+    for bit in range(64):
+        if acc[bit] > 0:
+            out |= 1 << bit
+    return out - (1 << 64 if out >= 1 << 63 else 0)  # signed for LongType
+
+
+@F.pandas_udf(T.LongType())
+def simhash_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: _simhash64(t or ""))
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Pigeonhole blocking: split 64 bits into 4 chunks of 16; any pair within
+    hamming<=3 agrees on >=1 chunk, so candidates come from 4 equi-joins
+    (union), then exact popcount verify — no quadratic scan.
+    """
+    sh = df.select(F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sh"))
+    chunks = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("sh", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ck"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "sh", "b.chunk", "b.ck")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", hamming).where(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )

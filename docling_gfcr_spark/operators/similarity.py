@@ -1,0 +1,174 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k for a probe set — the correctness
+  baseline. All arithmetic is JVM-side (zip_with/aggregate in DOUBLE, so the
+  DuckDB oracle's list_cosine_similarity(::DOUBLE[]) is bit-identical).
+  Scale shape: probes broadcast, corpus scanned once, per-probe top-k via
+  window — linear in corpus size, no shuffle of the corpus.
+- ``lsh_topk``: the 100 TB path — random-hyperplane LSH bucketing (signs of
+  h dot-products with seed-derived Gaussian hyperplanes), candidates from
+  same-bucket equi-join (+ optional multi-probe), exact re-rank inside
+  buckets. Recall measured against cosine_topk in tests.
+- ``embedding_neardup_pairs``: all pairs above a cosine threshold inside LSH
+  buckets — embedding-space near-duplicate detection.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dot(a, b) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_sim(a, b) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbours of each probe (probe broadcast x corpus scan).
+
+    Deterministic tie-break on neighbour id; cosine rounded to 6dp in the
+    OUTPUT only (ranking uses the unrounded value).
+    """
+    from pyspark.sql import Window
+
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).cast("array<double>").alias("pv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(p))
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine_sim(F.col("pv"), F.col("cv")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos"))
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    return np.random.RandomState(seed).standard_normal((n_planes, dim))
+
+
+def make_bucket_udf(dim: int, n_planes: int, seed: int = 42, n_tables: int = 1):
+    """Sign-LSH bucket ids, one per hash table (OR-construction).
+
+    bit b of table t = sign of dot with hyperplane (t, b); the returned array
+    has n_tables ints. Multiple tables are the standard recall lever: a pair
+    at angle θ collides in one table w.p. (1-θ/π)^n_planes, in ANY of L
+    tables w.p. 1-(1-p)^L.
+    """
+    planes = hyperplanes(dim, n_planes * n_tables, seed).reshape(n_tables, n_planes, dim)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def bucket(vecs: pd.Series) -> pd.Series:
+        m = np.asarray(vecs.tolist(), dtype=np.float64)  # (batch, dim)
+        weights = 1 << np.arange(n_planes)
+        out = np.empty((len(m), n_tables), dtype=np.int32)
+        for t in range(n_tables):
+            out[:, t] = ((m @ planes[t].T) > 0) @ weights
+        return pd.Series(list(out))
+
+    return bucket
+
+
+def _with_table_buckets(df: DataFrame, id_alias: str, vec_alias: str, bucket, id_col, vec_col):
+    """(id, vec, table, bucket) — one row per hash table."""
+    return (
+        df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).cast("array<double>").alias(vec_alias),
+            F.posexplode(bucket(F.col(vec_col))).alias("table", "bucket"),
+        )
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates from same (table, bucket), exact re-rank.
+
+    At 10^12 vectors the table/bucket columns are precomputed and the corpus
+    is partitioned by them at write time; a probe then scans
+    ~L * corpus / 2^n_planes rows instead of everything.
+    """
+    from pyspark.sql import Window
+
+    bucket = make_bucket_udf(dim, n_planes, seed, n_tables)
+    c = _with_table_buckets(corpus, "neighbor_id", "cv", bucket, id_col, vec_col)
+    p = _with_table_buckets(probes, "probe_id", "pv", bucket, id_col, vec_col)
+    cand = (
+        c.join(F.broadcast(p), ["table", "bucket"])
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "pv", "neighbor_id", "cv")
+        .distinct()  # a pair colliding in several tables scores once
+    )
+    scored = cand.withColumn("cos", cosine_sim(F.col("pv"), F.col("cv")))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos"))
+    )
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairs with cosine >= threshold, candidates limited to same
+    (table, bucket) — multi-table OR-construction for recall."""
+    bucket = make_bucket_udf(dim, n_planes, seed, n_tables)
+    v = _with_table_buckets(corpus, "id", "v", bucket, id_col, vec_col)
+    a, b = v.alias("a"), v.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("a.v").alias("va"),
+                F.col("b.id").alias("id_b"), F.col("b.v").alias("vb"))
+        .distinct()
+    )
+    return (
+        cand.withColumn("cos", cosine_sim(F.col("va"), F.col("vb")))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )

@@ -1,0 +1,95 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting.
+
+Everything here is pure Catalyst column expressions (whole-stage codegen, no
+Python boundary) — these run in the hot path of a 100 TB curation sweep, so
+staying JVM-side is the difference between hours and days. Each has an exact
+DuckDB-SQL twin in the driver contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# stopword sets per language, deliberately tiny + engine-portable: the lang-ID
+# heuristic counts whole-word regex hits of each set and argmaxes.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in"],
+    "es": ["el", "la", "de", "que", "los", "es"],
+    "de": ["der", "die", "und", "das", "ist", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "une"],
+    "pt": ["o", "que", "do", "da", "em", "um"],
+}
+
+_WORD_RE = "[A-Za-z0-9]+"
+_BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def lang_hits(text_col: str, words: list[str]) -> Column:
+    pat = "\\b(" + "|".join(words) + ")\\b"
+    return F.regexp_count(F.lower(F.col(text_col)), F.lit(pat))
+
+
+def lang_id(text_col: str = "text") -> Column:
+    """argmax over per-language stopword hit counts; ties broken by language
+    code order (deterministic, mirrored in the SQL oracle's CASE chain)."""
+    scores = [(lang, lang_hits(text_col, ws)) for lang, ws in sorted(LANG_STOPWORDS.items())]
+    best = scores[0][1]
+    for _, s in scores[1:]:
+        best = F.greatest(best, s)
+    expr = F.lit("und")
+    for lang, s in reversed(scores):  # earlier langs win ties -> apply last
+        expr = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def token_count_ws(text_col: str = "text") -> Column:
+    """Whitespace token count (= reference word_count semantics A1).
+
+    Cast to long: the DuckDB oracle's len() is BIGINT.
+    """
+    return F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+
+
+def token_count_bpe_ish(text_col: str = "text") -> Column:
+    """Sub-word-ish token count: alpha runs, digit runs, single punctuation."""
+    return F.size(F.regexp_extract_all(F.col(text_col), F.lit(_BPE_ISH_RE), F.lit(0))).cast("long")
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length/punct/stopword-ratio quality features + a 0-100 score.
+
+    Score mirrors the reference's penalty style (A3: 100 - 20*issues):
+    -20 for <10 words, -20 for punct ratio > 0.2, -20 for stopword ratio
+    < 0.01 (word salad), -20 for mean word length > 12 (garbled).
+    """
+    n_words = token_count_ws(text_col)
+    n_chars = F.length(F.col(text_col)).cast("long")
+    n_punct = F.regexp_count(F.col(text_col), F.lit(r"[^A-Za-z0-9\s]"))
+    n_stop = lang_hits(text_col, LANG_STOPWORDS["en"])
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+    stop_ratio = F.round(n_stop / F.greatest(n_words, F.lit(1)), 6)
+    mean_wlen = F.round(n_chars / F.greatest(n_words, F.lit(1)), 6)
+    score = (
+        F.lit(100)
+        - F.when(n_words < 10, 20).otherwise(0)
+        - F.when(punct_ratio > 0.2, 20).otherwise(0)
+        - F.when(stop_ratio < 0.01, 20).otherwise(0)
+        - F.when(mean_wlen > 12, 20).otherwise(0)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars_m"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        mean_wlen.alias("mean_word_len"),
+        F.greatest(score, F.lit(0)).cast("long").alias("quality"),
+    )
+
+
+def fingerprint(text_col: str = "text") -> Column:
+    """Content fingerprint: md5 of casefolded, alnum-only text — robust to
+    whitespace/punct/case edits; the cheap first stage before MinHash."""
+    return F.md5(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", ""))

@@ -1,0 +1,723 @@
+"""Driver-contract query inventory.
+
+One entry per implemented operator family (SURVEY.md §2A/§2B + the
+training-data ops). Each entry: a Spark callable ``(spark, sf_dir) ->
+DataFrame`` and, where the semantics are ANSI-SQL-expressible, a DuckDB
+oracle SQL string computing the identical result (same column names, same
+rounding). Non-SQL ops (extraction kernels, SimHash, hyperplane LSH,
+multimodal decode) ship without oracles — the driver then records a weaker
+rows-only check and pytest covers them against pure-Python oracles instead.
+
+Cross-engine parity rules baked in (verified experimentally):
+- monetary sums / avgs rounded (2dp / 4dp (avg)) — double accumulation order
+  differs between engines at the ulp level;
+- cosine arithmetic forced to DOUBLE on both sides -> bit-exact;
+- md5 is the only hash used in oracle-checked ops (hex-identical everywhere);
+- timestamps surfaced as formatted strings, never raw timestamp columns.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from docling_gfcr_spark.operators import dedup, similarity, text_analysis
+from docling_gfcr_spark.operators import multimodal as mm
+from docling_gfcr_spark import pipeline, transcripts
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# relational core (TPC-H-ish)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-03-15"))
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1998-03-15"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_nation_revenue(spark, sf_dir):
+    """6-way star join; dims are broadcast (verified in the plan), the fact
+    shuffles once on the join key."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+             F.count("*").alias("n_items"))
+        .orderBy(F.desc("revenue"))
+    )
+
+
+Q5_SQL = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey  = o_orderkey
+JOIN customer ON o_custkey   = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY r_name, n_name
+ORDER BY revenue DESC
+"""
+
+
+def top_customer_per_nation(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("n_name", "rank", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+TOP_CUST_SQL = """
+SELECT n_name, rank, c_custkey, round(c_acctbal, 2) AS acctbal
+FROM (
+  SELECT n_name, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey ASC) AS rank
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+) WHERE rank <= 3
+"""
+
+
+def latest_order_per_customer(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_orderdate"),
+        )
+    )
+
+
+LATEST_ORDER_SQL = """
+SELECT o_custkey, o_orderkey AS latest_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS latest_orderdate
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+def customers_without_orders(spark, sf_dir):
+    """Left-anti join (the same shape as lineage resume's committed-part
+    exclusion); filtered to recent orders so the result is non-empty."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") >= F.lit("2001-01-01"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+NO_ORDERS_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+"""
+
+
+def customers_with_urgent_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_mktsegment")
+
+
+URGENT_SQL = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def rollup_order_stats(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total",
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+def status_priority_pivot(spark, sf_dir):
+    """Pivot expressed as conditional aggregation (engine-portable)."""
+    o = _t(spark, sf_dir, "orders")
+    aggs = [
+        F.sum(F.when(F.col("o_orderpriority") == p, 1).otherwise(0)).alias(f"n_p{i + 1}")
+        for i, p in enumerate(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"])
+    ]
+    return o.groupBy("o_orderstatus").agg(*aggs)
+
+
+PIVOT_SQL = """
+SELECT o_orderstatus,
+       sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT AS n_p1,
+       sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)::BIGINT AS n_p2,
+       sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)::BIGINT AS n_p3,
+       sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)::BIGINT AS n_p4,
+       sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)::BIGINT AS n_p5
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def union_active_parties(spark, sf_dir):
+    """UNION (distinct) of two filtered projections from different tables."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000).select(
+        F.col("c_name").alias("party_name"), F.lit("customer").alias("kind")
+    )
+    s = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 0).select(
+        F.col("s_name").alias("party_name"), F.lit("supplier").alias("kind")
+    )
+    return c.unionByName(s).distinct()
+
+
+UNION_SQL = """
+SELECT c_name AS party_name, 'customer' AS kind FROM customer WHERE c_acctbal > 9000
+UNION
+SELECT s_name AS party_name, 'supplier' AS kind FROM supplier WHERE s_acctbal > 0
+"""
+
+
+def part_name_normalize(spark, sf_dir):
+    """P1 projection semantics (space->underscore) as pure column exprs."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_replace("p_name", " ", "_").alias("norm_name"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.upper(F.col("p_brand")).alias("brand_uc"),
+    )
+
+
+PART_NORM_SQL = """
+SELECT p_partkey, replace(p_name, ' ', '_') AS norm_name,
+       length(p_name) AS name_len, upper(p_brand) AS brand_uc
+FROM part
+"""
+
+
+# ---------------------------------------------------------------------------
+# events: time-series / JSON / sessionization
+# ---------------------------------------------------------------------------
+
+
+def events_hourly(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, event_type,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def events_json_extract(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type, count(*) AS n,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30 min) via lag + running sum of boundaries."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("timestamp").cast("double") - F.lag("ts").over(w).cast("timestamp").cast("double")
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = (
+        e.withColumn("new_sess", new_sess)
+        .withColumn("session_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("sess_events"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("sess_events").alias("max_session_events"),
+            F.sum("sess_events").alias("n_events"),
+        )
+    )
+
+
+SESSIONIZE_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+), per_sess AS (
+  SELECT user_id, session_id, count(*) AS sess_events
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT user_id, count(*) AS n_sessions, max(sess_events) AS max_session_events,
+       CAST(sum(sess_events) AS BIGINT) AS n_events
+FROM per_sess GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# documents: dedup / text analysis
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(d)
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+
+def dedup_ngram_topk(spark, sf_dir):
+    """Top-20 most-similar doc pairs by exact bigram-shingle Jaccard."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, k=2, threshold=0.0, hot_shingle_cap=10**9)
+    return pairs.orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b")).limit(20)
+
+
+DEDUP_NGRAM_SQL = """
+WITH sh AS (
+  SELECT doc_id AS id, unnest(list_distinct(list_transform(
+           range(1, greatest(2, len(string_split(text,' ')) - 0)),
+           i -> array_to_string((string_split(text,' '))[i:i+1], ' ')))) AS shingle
+  FROM documents
+), sizes AS (
+  SELECT id, count(*) AS sz FROM sh GROUP BY id
+), common AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, n_common,
+       round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+ORDER BY jaccard DESC, id_a ASC, id_b ASC
+LIMIT 20
+"""
+
+
+def minhash_signature_digest(spark, sf_dir):
+    """Strong value check of the whole MinHash computation: one md5 digest of
+    the 32-element signature per doc."""
+    d = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(d, n_hashes=32, k=5)
+    return sigs.select(
+        F.col("id").alias("doc_id"), F.md5(F.concat_ws("|", "sig")).alias("sig_digest")
+    )
+
+
+_MINHASH_SIG_ELEMS = ",\n    ".join(
+    f"list_min(list_transform(sh, s -> md5('{j}:' || s)))" for j in range(32)
+)
+MINHASH_SQL = f"""
+WITH t AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(2, len(string_split(text,' ')) - 3)),
+           i -> array_to_string((string_split(text,' '))[i:i+4], ' '))) AS sh
+  FROM documents
+)
+SELECT doc_id, md5(array_to_string([
+    {_MINHASH_SIG_ELEMS}
+], '|')) AS sig_digest
+FROM t
+"""
+
+
+def dedup_minhash_pairs(spark, sf_dir):
+    """LSH banding candidates (rows-only check; planted-dup recall in pytest)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, n_hashes=32, bands=8, k=5)
+
+
+def dedup_simhash(spark, sf_dir):
+    """SimHash fingerprints (pandas UDF; pure-Python oracle in pytest)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", dedup.simhash_udf(F.col("text")).alias("simhash"))
+
+
+def lang_id_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", text_analysis.lang_id("text").alias("lang_pred"))
+
+
+def _lang_sql() -> str:
+    hits = {
+        lang: f"len(regexp_extract_all(lower(text), '\\b({'|'.join(ws)})\\b'))"
+        for lang, ws in sorted(text_analysis.LANG_STOPWORDS.items())
+    }
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    case = "CASE "
+    for lang in sorted(hits):  # first matching lang wins ties (same as Spark impl)
+        case += f"WHEN {hits[lang]} = {best} AND {best} > 0 THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"SELECT doc_id, lang, {case} AS lang_pred FROM documents"
+
+
+def text_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text_analysis.quality_features(d)
+
+
+QUALITY_SQL = """
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS n_words,
+       length(text) AS n_chars_m,
+       round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+             / greatest(length(text), 1), 6) AS punct_ratio,
+       round(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|in)\\b'))
+             / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) AS stopword_ratio,
+       round(length(text) / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6)
+             AS mean_word_len,
+       greatest(100
+         - CASE WHEN len(string_split_regex(trim(text), '\\s+')) < 10 THEN 20 ELSE 0 END
+         - CASE WHEN round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                      / greatest(length(text), 1), 6) > 0.2 THEN 20 ELSE 0 END
+         - CASE WHEN round(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|in)\\b'))
+                      / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) < 0.01 THEN 20 ELSE 0 END
+         - CASE WHEN round(length(text) / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) > 12 THEN 20 ELSE 0 END
+       , 0)::BIGINT AS quality
+FROM documents
+"""
+
+
+def token_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text_analysis.token_count_ws("text").alias("n_ws_tokens"),
+        text_analysis.token_count_bpe_ish("text").alias("n_bpe_tokens"),
+    )
+
+
+TOKEN_SQL = """
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def doc_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", text_analysis.fingerprint("text").alias("fp"))
+
+
+FP_SQL = """
+SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp FROM documents
+"""
+
+
+def assemble_by_source(spark, sf_dir):
+    """Ordered string aggregation per group (the conversation-assembly shape
+    on oracle-checkable data)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))), lambda s: s.text
+                ),
+                "\n",
+            )
+        ).alias("content_digest"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+ASSEMBLE_SQL = """
+SELECT source, md5(string_agg(text, chr(10) ORDER BY doc_id)) AS content_digest,
+       count(*) AS n_docs
+FROM documents GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+
+def ann_cosine_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") % 100 == 0)
+    return similarity.cosine_topk(e, probes, k=5)
+
+
+ANN_SQL = """
+WITH scored AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+  FROM embeddings p JOIN embeddings c ON p.vec_id != c.vec_id
+  WHERE p.vec_id % 100 = 0
+)
+SELECT probe_id, rank, neighbor_id, round(cos, 6) AS cos
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def emb_neardup_exact(spark, sf_dir):
+    """Exact cosine>=0.4 near-dup pairs (brute force — the oracle baseline
+    for the LSH variant; 0.4 because the synthetic embeddings top out at
+    pairwise cosine ~0.51)."""
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").cast("array<double>").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").cast("array<double>").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", similarity.cosine_sim(F.col("va"), F.col("vb")))
+        .where(F.col("cos") >= 0.4)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )
+
+
+NEARDUP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+"""
+
+
+def emb_neardup_lsh(spark, sf_dir):
+    """LSH-bucketed near-dup (the 100 TB path; recall vs exact in pytest)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(e, threshold=0.4, n_planes=4, n_tables=8)
+
+
+# ---------------------------------------------------------------------------
+# extraction pipeline (non-SQL kernels -> rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+def extract_transcripts(spark, sf_dir):
+    """Flagship: synthetic transcripts -> full extraction pipeline."""
+    tdf = transcripts.make_transcripts(spark, 200, mean_turns=6, seed=42, mega_every=50, skew_factor=10)
+    ex = pipeline.extract_turns(tdf, mode="agent")
+    return ex.select(
+        "conv_id", "turn_idx", "method", "success", "quality_score", "n_spans", "word_count"
+    )
+
+
+def extract_assembled_convs(spark, sf_dir):
+    tdf = transcripts.make_transcripts(spark, 100, mean_turns=6, seed=42)
+    ex = pipeline.extract_turns(tdf, mode="agent")
+    conv = pipeline.assemble_conversations(ex)
+    return conv.select("conv_id", "n_turns", F.length("conv_text").alias("conv_chars"))
+
+
+def multimodal_features(spark, sf_dir):
+    media = mm.make_fake_media(spark, n=128, seed=42)
+    feats = mm.extract_media_features(media, fake_decode=True)
+    return feats.select("media_id", "modality", "n_bytes", "sha_prefix", "width", "height", "n_frames")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_nation_revenue": q5_nation_revenue,
+    "top_customer_per_nation": top_customer_per_nation,
+    "latest_order_per_customer": latest_order_per_customer,
+    "customers_without_orders": customers_without_orders,
+    "customers_with_urgent_orders": customers_with_urgent_orders,
+    "rollup_order_stats": rollup_order_stats,
+    "status_priority_pivot": status_priority_pivot,
+    "union_active_parties": union_active_parties,
+    "part_name_normalize": part_name_normalize,
+    "events_hourly": events_hourly,
+    "events_json_extract": events_json_extract,
+    "events_sessionize": events_sessionize,
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_topk": dedup_ngram_topk,
+    "minhash_signature_digest": minhash_signature_digest,
+    "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_simhash": dedup_simhash,
+    "lang_id_docs": lang_id_docs,
+    "text_quality": text_quality,
+    "token_counts": token_counts,
+    "doc_fingerprint": doc_fingerprint,
+    "assemble_by_source": assemble_by_source,
+    "ann_cosine_topk": ann_cosine_topk,
+    "emb_neardup_exact": emb_neardup_exact,
+    "emb_neardup_lsh": emb_neardup_lsh,
+    "extract_transcripts": extract_transcripts,
+    "extract_assembled_convs": extract_assembled_convs,
+    "multimodal_features": multimodal_features,
+}
+
+ORACLES: dict[str, str] = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q5_nation_revenue": Q5_SQL,
+    "top_customer_per_nation": TOP_CUST_SQL,
+    "latest_order_per_customer": LATEST_ORDER_SQL,
+    "customers_without_orders": NO_ORDERS_SQL,
+    "customers_with_urgent_orders": URGENT_SQL,
+    "rollup_order_stats": ROLLUP_SQL,
+    "status_priority_pivot": PIVOT_SQL,
+    "union_active_parties": UNION_SQL,
+    "part_name_normalize": PART_NORM_SQL,
+    "events_hourly": EVENTS_HOURLY_SQL,
+    "events_json_extract": EVENTS_JSON_SQL,
+    "events_sessionize": SESSIONIZE_SQL,
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_topk": DEDUP_NGRAM_SQL,
+    "minhash_signature_digest": MINHASH_SQL,
+    "lang_id_docs": _lang_sql(),
+    "text_quality": QUALITY_SQL,
+    "token_counts": TOKEN_SQL,
+    "doc_fingerprint": FP_SQL,
+    "assemble_by_source": ASSEMBLE_SQL,
+    "ann_cosine_topk": ANN_SQL,
+    "emb_neardup_exact": NEARDUP_SQL,
+    # no oracle (rows-only): dedup_minhash_pairs, dedup_simhash,
+    # emb_neardup_lsh, extract_transcripts, extract_assembled_convs,
+    # multimodal_features — non-SQL kernels, covered by pytest oracles.
+}

@@ -1,0 +1,130 @@
+"""Operator tests for the non-SQL-expressible paths (pytest oracles)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from docling_gfcr_spark.operators import dedup, multimodal, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    """60 base docs + 15 near-duplicates (1-2 word edits) + 5 exact dups."""
+    rng = np.random.RandomState(0)
+    vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = []
+    for i in range(60):
+        words = list(rng.choice(vocab, size=40))
+        rows.append((i, " ".join(words)))
+    for j in range(15):  # near dup of doc j: mutate one word
+        words = rows[j][1].split()
+        words[5] = "MUTANT"
+        rows.append((100 + j, " ".join(words)))
+    for j in range(5):  # exact dup of doc j
+        rows.append((200 + j, rows[j][1]))
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(spark, planted_docs):
+    groups = dedup.exact_dedup_groups(planted_docs).toPandas()
+    assert len(groups) == 75  # 80 rows, 5 exact dups collapse
+    assert (groups.n_dups > 1).sum() == 5
+    kept = dedup.exact_dedup_keep(planted_docs)
+    assert kept.count() == 75
+    # keeper is the min doc_id of each group
+    assert kept.where(F.col("doc_id") >= 200).count() == 0
+
+
+def test_minhash_recall_on_planted_neardups(spark, planted_docs):
+    pairs = dedup.minhash_lsh_pairs(planted_docs, n_hashes=32, bands=8, k=3).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].values.tolist()))
+    # all 15 planted near-dup pairs (jaccard ~0.9 on 3-shingles) must be found
+    want = {(j, 100 + j) for j in range(15)}
+    missing = want - got
+    assert not missing, f"LSH missed planted near-dups: {missing}"
+    # exact dups collide on every band
+    assert all((j, 200 + j) in got for j in range(5))
+
+
+def test_ngram_jaccard_exact_values(spark, planted_docs):
+    pairs = dedup.ngram_jaccard_pairs(planted_docs, k=3, threshold=0.5).toPandas()
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.itertuples()}
+    assert all(got.get((j, 200 + j)) == 1.0 for j in range(5))
+    # near-dups: one word mutated -> 3 of (40-2) 3-shingles change
+    for j in range(15):
+        assert (j, 100 + j) in got and 0.7 < got[(j, 100 + j)] < 1.0
+
+
+def _py_simhash(text: str) -> int:
+    acc = [0] * 64
+    for tok in text.split():
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+        for b in range(64):
+            acc[b] += 1 if (h >> b) & 1 else -1
+    v = sum(1 << b for b in range(64) if acc[b] > 0)
+    return v - (1 << 64 if v >= 1 << 63 else 0)
+
+
+def test_simhash_matches_pure_python(spark, planted_docs):
+    got = planted_docs.select("doc_id", dedup.simhash_udf("text").alias("sh")).toPandas()
+    texts = {r.doc_id: r.text for r in planted_docs.collect()}
+    for r in got.itertuples():
+        assert r.sh == _py_simhash(texts[r.doc_id])
+
+
+def test_simhash_pairs_find_neardups(spark, planted_docs):
+    pairs = dedup.simhash_pairs(planted_docs, max_hamming=8).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].values.tolist()))
+    assert all((j, 200 + j) in got for j in range(5))  # exact dups: hamming 0
+    found_near = sum((j, 100 + j) in got for j in range(15))
+    assert found_near >= 12  # 1-word edit rarely flips >8 bits
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    probes = e.where(F.col("vec_id") % 50 == 0)
+    exact = similarity.cosine_topk(e, probes, k=5).toPandas()
+    approx = similarity.lsh_topk(e, probes, k=5, n_planes=4).toPandas()
+    ex = set(map(tuple, exact[["probe_id", "neighbor_id"]].values.tolist()))
+    ap = set(map(tuple, approx[["probe_id", "neighbor_id"]].values.tolist()))
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.3, f"LSH recall collapsed: {recall}"
+    # exact ranking must be internally consistent: rank 1 has max cos
+    top1 = exact[exact["rank"] == 1].set_index("probe_id")["cos"]
+    for pid, grp in exact.groupby("probe_id"):
+        assert grp["cos"].max() == top1[pid]
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.make_fake_media(spark, n=32)
+    feats = multimodal.extract_media_features(media, fake_decode=True).toPandas()
+    assert len(feats) == 32
+    assert set(feats.modality) == {"image", "audio", "video"}
+    assert (feats.n_frames[feats.modality == "image"] == 1).all()
+    assert feats.feature.map(len).eq(8).all()
+    # deterministic: same seed -> same sha prefixes
+    again = multimodal.extract_media_features(
+        multimodal.make_fake_media(spark, n=32), fake_decode=True
+    ).toPandas()
+    assert list(feats.sort_values("media_id").sha_prefix) == list(
+        again.sort_values("media_id").sha_prefix
+    )
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    media = multimodal.make_fake_media(spark, n=4)
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        multimodal.extract_media_features(media, fake_decode=False).collect()
+
+
+def test_mime_sniff():
+    assert multimodal.sniff_mime(b"\x89PNGxxxx") == "image/png"
+    assert multimodal.sniff_mime(b"\xff\xd8\xffrest") == "image/jpeg"
+    assert multimodal.sniff_mime(b"junk") == "application/octet-stream"
+    assert multimodal.sniff_mime(None) == "application/octet-stream"
