@@ -1,0 +1,125 @@
+#!/usr/bin/env python3
+"""Headline benchmark. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+- relational / dedup / ANN headline queries at $SPARK_GRAFT_SF_DIR
+  (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS];
+- the north-star extraction throughput (extracted turns/sec) over a
+  deterministic synthetic transcripts corpus, reported under "throughput".
+
+Scaling evidence across two parallelism levels lives in tools/scaling_bench.py
+(writes BENCH.md) — run separately; this file stays fast for per-round runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "latest_order_per_customer",
+    "events_sessionize",
+    "events_hourly",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "text_quality",
+    "lang_id_docs",
+    "ann_cosine_topk",
+    "emb_neardup_lsh",
+]
+
+N_CONV_BENCH = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "4000"))
+
+
+def _materialize_transcripts(spark) -> str:
+    """Generate-once, read-many: the extraction bench reads parquet like a
+    real job reads its Iceberg table, so generation cost isn't measured."""
+    path = os.path.join(CACHE, f"transcripts_{N_CONV_BENCH}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from docling_gfcr_spark import transcripts
+
+        tdf = transcripts.make_transcripts(
+            spark, N_CONV_BENCH, mean_turns=8, seed=42, mega_every=200, skew_factor=40,
+            parallelism=CPUS * 2,
+        )
+        tdf.write.mode("overwrite").parquet(path)
+    return path
+
+
+def main() -> None:
+    from docling_gfcr_spark import pipeline
+    from docling_gfcr_spark import queries as Q
+    from docling_gfcr_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cores=CPUS, shuffle_partitions=CPUS)
+    results: dict[str, float] = {}
+
+    # warmup: JVM/codegen/Arrow path
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    for name in HEADLINE:
+        fn = Q.QUERIES[name]
+        t0 = time.time()
+        n = fn(spark, SF_DIR).count()
+        results[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {results[name]}s ({n} rows)", file=sys.stderr)
+
+    # scale-shaped n-gram jaccard (hot-shingle cap on): the uncapped oracle
+    # variant is quadratic by design on this shared-vocab synthetic corpus
+    from docling_gfcr_spark.operators import dedup as _dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    t0 = time.time()
+    n = _dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5, hot_shingle_cap=100).count()
+    results["dedup_ngram_capped"] = round(time.time() - t0, 3)
+    print(f"# dedup_ngram_capped: {results['dedup_ngram_capped']}s ({n} rows)", file=sys.stderr)
+
+    # north-star throughput: extracted turns/sec over parquet-backed transcripts
+    tpath = _materialize_transcripts(spark)
+    tdf = spark.read.parquet(tpath)
+    n_turns = tdf.count()
+    t0 = time.time()
+    extracted = pipeline.extract_turns(tdf, mode="agent")
+    # count() alone would let Catalyst prune the UDF; force full materialization
+    sink = extracted.select(
+        "conv_id", "turn_idx", "extracted_text", "n_spans", "quality_score"
+    ).write.mode("overwrite").format("noop")
+    sink.save()
+    extract_sec = time.time() - t0
+    results["extract_pipeline"] = round(extract_sec, 3)
+    turns_per_sec = round(n_turns / extract_sec, 1)
+    print(f"# extraction: {n_turns} turns in {extract_sec:.1f}s = {turns_per_sec}/s", file=sys.stderr)
+
+    total = round(sum(results.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+                "throughput": {
+                    "extracted_turns_per_sec": turns_per_sec,
+                    "n_turns": n_turns,
+                    "cpus": CPUS,
+                },
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -27,6 +27,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from docling_gfcr_spark.operators.util import ensure_parallelism
+
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One row per distinct content hash: keeper id (min), group size."""
@@ -66,8 +68,13 @@ def ngram_jaccard_pairs(
     by more than N docs (stop-shingles) — the skew guard that keeps the
     self-join linear-ish at corpus scale.
     """
+    df = ensure_parallelism(df)
     sh = (
         df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(word_shingles(text_col, k))).alias("shingle"))
+        # hash-partition by shingle ONCE: the frequency agg, the cold filter
+        # join and both sides of the pair self-join all cluster on shingle,
+        # so Catalyst's ReuseExchange serves them from this single shuffle
+        .repartition("shingle")
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
@@ -100,26 +107,41 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n_hashes: int = 32,
     k: int = 5,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """K min-hashes per doc, fully JVM-side.
 
-    hash_j(s) = md5(j || ':' || s); the signature element is the lexicographic
-    min digest — a uniform order statistic, engine-portable (DuckDB oracle
-    computes the identical strings).
+    hash_j(s) = hash(j || ':' || s); the signature element is the min over
+    shingles — a uniform order statistic. ``hash_fn``:
+
+    - 'md5' (default): engine-portable, the DuckDB oracle computes identical
+      strings — the correctness-checked variant;
+    - 'xxhash64': ~4x faster (no hex string materialization), the 100 TB
+      path; not oracle-checkable, covered by planted-dup recall tests.
     """
+    df = ensure_parallelism(df)
     shingles = F.array_distinct(word_shingles(text_col, k))
     # Single pass over the shingle array: each shingle expands to its
-    # n_hashes salted digests, then an elementwise-min fold builds the
+    # n_hashes salted hashes, then an elementwise-min fold builds the
     # signature. (One transform + one aggregate — NOT n_hashes separate
     # array_min(transform(...)) trees, which blow up Catalyst analysis time
     # ~100x at n_hashes=32.)
     # NOTE single-parameter lambdas throughout: F.transform passes
     # (element, index) to two-parameter callables, which would silently turn
     # the salt into the array index.
-    per_shingle = F.transform(
-        shingles, lambda s: F.array(*[F.md5(F.concat(F.lit(f"{j}:"), s)) for j in range(n_hashes)])
-    )
-    top = F.array_repeat(F.lit("￿"), n_hashes)  # > any hex digest
+    if hash_fn == "md5":
+        per_shingle = F.transform(
+            shingles,
+            lambda s: F.array(*[F.md5(F.concat(F.lit(f"{j}:"), s)) for j in range(n_hashes)]),
+        )
+        top = F.array_repeat(F.lit("￿"), n_hashes)  # > any hex digest
+    elif hash_fn == "xxhash64":
+        per_shingle = F.transform(
+            shingles, lambda s: F.array(*[F.xxhash64(F.lit(j), s) for j in range(n_hashes)])
+        )
+        top = F.array_repeat(F.lit(2**63 - 1).cast("long"), n_hashes)
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     sig = F.aggregate(per_shingle, top, lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)))
     return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
@@ -131,12 +153,14 @@ def minhash_lsh_pairs(
     n_hashes: int = 32,
     bands: int = 8,
     k: int = 5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: docs agreeing on ALL rows of
     any band collide. rows_per_band = n_hashes // bands tunes the similarity
-    threshold (~ (1/bands)^(1/rows))."""
+    threshold (~ (1/bands)^(1/rows)). Defaults to xxhash64 (the fast path —
+    this op's output is candidate pairs, verified downstream anyway)."""
     rows = n_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, k)
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, k, hash_fn=hash_fn)
     banded = sigs.select(
         "id",
         F.explode(
@@ -144,7 +168,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.md5(F.concat_ws("|", *[F.col("sig")[b * rows + r] for r in range(rows)])).alias(
+                        F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)]).alias(
                             "band_hash"
                         ),
                     )
@@ -201,7 +225,7 @@ def simhash_pairs(
     hamming<=3 agrees on >=1 chunk, so candidates come from 4 equi-joins
     (union), then exact popcount verify — no quadratic scan.
     """
-    sh = df.select(F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sh"))
+    sh = ensure_parallelism(df).select(F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sh"))
     chunks = sh.select(
         "id",
         "sh",

@@ -21,6 +21,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from docling_gfcr_spark.operators.util import ensure_parallelism
+
 
 def _dot(a, b) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
@@ -51,7 +53,7 @@ def cosine_topk(
     p = probes.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).cast("array<double>").alias("pv")
     )
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
     )
     scored = (
@@ -95,6 +97,7 @@ def make_bucket_udf(dim: int, n_planes: int, seed: int = 42, n_tables: int = 1):
 
 def _with_table_buckets(df: DataFrame, id_alias: str, vec_alias: str, bucket, id_col, vec_col):
     """(id, vec, table, bucket) — one row per hash table."""
+    df = ensure_parallelism(df)
     return (
         df.select(
             F.col(id_col).alias(id_alias),
@@ -126,13 +129,26 @@ def lsh_topk(
     bucket = make_bucket_udf(dim, n_planes, seed, n_tables)
     c = _with_table_buckets(corpus, "neighbor_id", "cv", bucket, id_col, vec_col)
     p = _with_table_buckets(probes, "probe_id", "pv", bucket, id_col, vec_col)
-    cand = (
-        c.join(F.broadcast(p), ["table", "bucket"])
+    # dedupe collisions on the (small) id pair BEFORE touching vectors —
+    # distinct over the wide vector columns would shuffle dim*8 bytes per
+    # candidate; ids are 16 bytes
+    cand_ids = (
+        c.join(F.broadcast(p.select("probe_id", "table", "bucket")), ["table", "bucket"])
         .where(F.col("probe_id") != F.col("neighbor_id"))
-        .select("probe_id", "pv", "neighbor_id", "cv")
-        .distinct()  # a pair colliding in several tables scores once
+        .select("probe_id", "neighbor_id")
+        .distinct()
     )
-    scored = cand.withColumn("cos", cosine_sim(F.col("pv"), F.col("cv")))
+    pv = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).cast("array<double>").alias("pv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    scored = (
+        cand_ids.join(F.broadcast(pv), "probe_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cos", cosine_sim(F.col("pv"), F.col("cv")))
+    )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -154,8 +170,10 @@ def embedding_neardup_pairs(
     """Pairs with cosine >= threshold, candidates limited to same
     (table, bucket) — multi-table OR-construction for recall."""
     bucket = make_bucket_udf(dim, n_planes, seed, n_tables)
-    v = _with_table_buckets(corpus, "id", "v", bucket, id_col, vec_col)
-    a, b = v.alias("a"), v.alias("b")
+    ids = _with_table_buckets(corpus, "id", "v", bucket, id_col, vec_col).select(
+        "id", "table", "bucket"
+    )
+    a, b = ids.alias("a"), ids.alias("b")
     cand = (
         a.join(
             b,
@@ -163,12 +181,15 @@ def embedding_neardup_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("a.v").alias("va"),
-                F.col("b.id").alias("id_b"), F.col("b.v").alias("vb"))
-        .distinct()
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()  # ids only: cheap shuffle, vectors joined back below
     )
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
     return (
-        cand.withColumn("cos", cosine_sim(F.col("va"), F.col("vb")))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", cosine_sim(F.col("va"), F.col("vb")))
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )

@@ -625,7 +625,7 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 def emb_neardup_lsh(spark, sf_dir):
     """LSH-bucketed near-dup (the 100 TB path; recall vs exact in pytest)."""
     e = _t(spark, sf_dir, "embeddings")
-    return similarity.embedding_neardup_pairs(e, threshold=0.4, n_planes=4, n_tables=8)
+    return similarity.embedding_neardup_pairs(e, threshold=0.4, n_planes=6, n_tables=8)
 
 
 # ---------------------------------------------------------------------------
