@@ -62,7 +62,19 @@ def main() -> None:
     from docling_gfcr_spark import queries as Q
     from docling_gfcr_spark.session import get_spark
 
-    spark = get_spark(app_name="bench", cores=CPUS, shuffle_partitions=CPUS)
+    spark = get_spark(
+        app_name="bench",
+        cores=CPUS,
+        shuffle_partitions=CPUS,
+        extra_conf={
+            # the sf0.1 tables and the bench corpus are single-digit-MB
+            # parquet; default 128 MB splits would starve the cores
+            "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(64 * 1024),
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
     results: dict[str, float] = {}
 
     # warmup: JVM/codegen/Arrow path
@@ -89,14 +101,16 @@ def main() -> None:
     tpath = _materialize_transcripts(spark)
     tdf = spark.read.parquet(tpath)
     n_turns = tdf.count()
-    t0 = time.time()
-    extracted = pipeline.extract_turns(tdf, mode="agent")
-    # count() alone would let Catalyst prune the UDF; force full materialization
-    sink = extracted.select(
-        "conv_id", "turn_idx", "extracted_text", "n_spans", "quality_score"
-    ).write.mode("overwrite").format("noop")
-    sink.save()
-    extract_sec = time.time() - t0
+
+    def extract_pass() -> float:
+        t0 = time.time()
+        # count() alone would let Catalyst prune the UDF; noop sink forces
+        # full materialization of every extracted turn
+        pipeline.extract_turns(tdf, mode="agent").write.mode("overwrite").format("noop").save()
+        return time.time() - t0
+
+    extract_pass()  # warmup: python-worker spawn + imports (per-executor one-off)
+    extract_sec = min(extract_pass() for _ in range(2))
     results["extract_pipeline"] = round(extract_sec, 3)
     turns_per_sec = round(n_turns / extract_sec, 1)
     print(f"# extraction: {n_turns} turns in {extract_sec:.1f}s = {turns_per_sec}/s", file=sys.stderr)

@@ -655,6 +655,83 @@ def multimodal_features(spark, sf_dir):
     return feats.select("media_id", "modality", "n_bytes", "sha_prefix", "width", "height", "n_frames")
 
 
+
+
+def asof_error_after_click(spark, sf_dir):
+    """As-of join (custom operator, operators/asof.py): for each error event,
+    the latest strictly-earlier click by the same user."""
+    from docling_gfcr_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    errors = e.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event")
+    )
+    j = asof_join(errors, clicks, on="ts", by="user_id")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("err_ts"),
+        F.date_format("ts_right", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        "click_event_right",
+    ).withColumnRenamed("click_event_right", "click_event")
+
+
+ASOF_SQL = """
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS err_ts,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       c.click_event
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+ASOF JOIN (SELECT user_id, ts, event_id AS click_event FROM events
+           WHERE event_type = 'click') c
+  ON e.user_id = c.user_id AND e.ts > c.ts
+"""
+
+
+def cube_order_counts(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+def except_building_nonurgent(spark, sf_dir):
+    """Set difference: BUILDING-segment customers minus those with any
+    urgent order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    urgent = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("c_custkey")
+    )
+    return building.exceptAll(urgent.distinct()).distinct()
+
+
+EXCEPT_SQL = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT c_custkey FROM customer JOIN orders ON c_custkey = o_custkey
+WHERE o_orderpriority = '1-URGENT'
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -687,6 +764,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": ann_cosine_topk,
     "emb_neardup_exact": emb_neardup_exact,
     "emb_neardup_lsh": emb_neardup_lsh,
+    "asof_error_after_click": asof_error_after_click,
+    "cube_order_counts": cube_order_counts,
+    "except_building_nonurgent": except_building_nonurgent,
     "extract_transcripts": extract_transcripts,
     "extract_assembled_convs": extract_assembled_convs,
     "multimodal_features": multimodal_features,
@@ -710,6 +790,9 @@ ORACLES: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_topk": DEDUP_NGRAM_SQL,
     "minhash_signature_digest": MINHASH_SQL,
+    "asof_error_after_click": ASOF_SQL,
+    "cube_order_counts": CUBE_SQL,
+    "except_building_nonurgent": EXCEPT_SQL,
     "lang_id_docs": _lang_sql(),
     "text_quality": QUALITY_SQL,
     "token_counts": TOKEN_SQL,

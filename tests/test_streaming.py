@@ -1,0 +1,62 @@
+"""Structured Streaming surface tests (file source -> memory sink, drained
+synchronously with processAllAvailable)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from docling_gfcr_spark import pipeline, streaming, transcripts
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_extract_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    tdf = transcripts.make_transcripts(spark, 8, mean_turns=4, seed=3, parallelism=2)
+    tdf.write.mode("overwrite").parquet(src)
+
+    out = streaming.run_stream_to_memory(
+        spark, streaming.stream_extract(spark, src), "stream_extract_t"
+    )
+    got = (
+        out.select("conv_id", "turn_idx", "extracted_text")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    batch = (
+        pipeline.extract_turns(spark.read.parquet(src), mode="agent")
+        .select("conv_id", "turn_idx", "extracted_text")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, batch)
+
+
+def test_windowed_event_counts_match_batch_bucketing(spark, tmp_path):
+    src = str(tmp_path / "events_src")
+    spark.read.parquet(f"{SF}/events.parquet").write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(streaming.EVENTS_SCHEMA).format("parquet").load(src)
+    )
+    agg = streaming.windowed_event_counts(stream, window="5 minutes")
+    got = streaming.run_stream_to_memory(spark, agg, "stream_win_t").toPandas()
+
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(
+            F.date_format(
+                F.timestamp_seconds(F.floor(F.unix_timestamp("ts") / 300) * 300),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .toPandas()
+    )
+    key = ["window_start", "event_type"]
+    got = got.sort_values(key).reset_index(drop=True)
+    batch = batch.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, batch)
