@@ -74,6 +74,14 @@ def dehyphenate(text: str) -> str:
     return _DEHYPHEN_RE.sub(r"\1\2", text)
 
 
+def assemble_pages(pages: list[str]) -> str:
+    """Reference S3 page assembly over an explicit page list (the FIXTURES.md
+    `pdf_text` shape: extracted page streams as a JSON array)."""
+    return "\n".join(
+        PAGE_HEADER_FMT.format(num=i + 1, text=page) for i, page in enumerate(pages)
+    )
+
+
 def assemble_pdf(stream: str) -> dict:
     """Parse a page stream -> reading-ordered text in the reference's S3 format.
 

@@ -29,7 +29,17 @@ from pyspark.sql import types as T
 
 from docling_gfcr_spark.kernels import markdown_ops
 from docling_gfcr_spark.kernels.html_extract import extract_html
-from docling_gfcr_spark.kernels.pdf_layout import assemble_pdf
+from docling_gfcr_spark.kernels.pdf_layout import assemble_pages, assemble_pdf
+
+# Kind whitelist (reference S1 extension whitelist, convert.py:32-41, keyed on
+# the `tool` payload-kind column per SURVEY §2A F2). Unknown kinds are routed
+# to the error side with the reference's message shape — never dropped.
+SUPPORTED_KINDS = frozenset(
+    "html xhtml pdf pdf_text markdown md plain text txt json csv xml adoc asciidoc".split()
+)
+_UNSUPPORTED_FMT = (
+    "Extensão '{kind}' não suportada. Extensões suportadas: {supported}"
+)
 
 SPAN_TYPE = T.ArrayType(
     T.StructType(
@@ -97,6 +107,20 @@ def extract_one(text: str | None, tool: str | None, name: str, mode: str) -> dic
         n_nodes = n_kept = 0
         parse_failed = False
         kind = (tool or "text").lower()
+        if kind == "binary_stub" or (kind == "pdf" and text.startswith("%PDF")):
+            # FIXTURES.md A2: binary payloads route to the pdf fallback; raw
+            # binary is unparseable without native libs -> error envelope
+            # (reference O1 shape, convert.py:243-248), row preserved
+            return {**_EMPTY, "error": "payload binário não pôde ser processado (sem fallback nativo)"}
+        if kind not in SUPPORTED_KINDS:
+            # F1/F2 rejection: error-side record with the reference's message
+            # shape (convert.py:52-58), row preserved
+            return {
+                **_EMPTY,
+                "error": _UNSUPPORTED_FMT.format(
+                    kind=kind, supported=", ".join(sorted(SUPPORTED_KINDS))
+                ),
+            }
         if kind in ("html", "xhtml"):
             r = extract_html(text)
             extracted, parse_failed = r["text"], r["parse_failed"]
@@ -108,6 +132,17 @@ def extract_one(text: str | None, tool: str | None, name: str, mode: str) -> dic
             extracted, parse_failed = r["text"], r["parse_failed"]
             n_nodes = n_kept = r["n_blocks"]
             method = "pdf_layout"
+        elif kind == "pdf_text":
+            # FIXTURES.md A2: page streams as a JSON array -> S3 assembly
+            try:
+                pages = json.loads(text)
+                if not isinstance(pages, list):
+                    raise ValueError("pdf_text payload is not a list")
+                extracted = assemble_pages([str(p) for p in pages])
+                n_nodes = n_kept = len(pages)
+                method = "pdf_text"
+            except (json.JSONDecodeError, ValueError):
+                extracted, method, parse_failed = "", "pdf_text", True
         elif kind in ("markdown", "md"):
             extracted, method = text, "markdown"
         elif kind == "json":

@@ -42,8 +42,11 @@ NAV_MARKER = "navboilerplate"
 AD_MARKER = "sponsoredboilerplate"
 FOOTER_MARKER = "footerboilerplate"
 
-KINDS = ("html", "pdf", "markdown", "text", "json")
-_KIND_P = (0.40, 0.15, 0.20, 0.15, 0.10)
+# Payload kinds per FIXTURES.md §A2 (html / pdf_text / markdown / plain /
+# binary_stub / unsupported_ext) plus the richer layout-marked page stream
+# ("pdf") and tool-JSON envelopes ("json").
+KINDS = ("html", "pdf_text", "pdf", "markdown", "plain", "json", "binary_stub", "unsupported_ext")
+_KIND_P = (0.34, 0.10, 0.10, 0.18, 0.12, 0.10, 0.03, 0.03)
 
 
 def _rng(seed: int, conv_idx: int, turn_idx: int = -1) -> np.random.RandomState:
@@ -115,6 +118,12 @@ def build_json_payload(rng: np.random.RandomState) -> str:
     )
 
 
+def build_pdf_text_payload(rng: np.random.RandomState) -> str:
+    """FIXTURES.md A2 pdf_text: JSON array of page text strings."""
+    pages = [_sentence(rng, int(rng.randint(8, 20))) for _ in range(int(rng.randint(1, 6)))]
+    return json.dumps(pages, ensure_ascii=False)
+
+
 def gen_turn(seed: int, conv_idx: int, turn_idx: int) -> tuple[str, str, str]:
     """(role, text, tool) for one turn — THE deterministic unit both the Spark
     generator and local test oracles call."""
@@ -124,13 +133,20 @@ def gen_turn(seed: int, conv_idx: int, turn_idx: int) -> tuple[str, str, str]:
         text, _ = build_html_payload(rng)
     elif kind == "pdf":
         text = build_pdf_payload(rng)
+    elif kind == "pdf_text":
+        text = build_pdf_text_payload(rng)
     elif kind == "markdown":
         text = build_markdown_payload(rng)
     elif kind == "json":
         text = build_json_payload(rng)
-    else:
+    elif kind == "binary_stub":
+        # %PDF magic + junk bytes (latin-1-safe string column)
+        text = "%PDF-1.4\n" + "".join(chr(c) for c in rng.randint(1, 255, size=64))
+    elif kind == "unsupported_ext":
+        text = _sentence(rng, 12)
+    else:  # plain
         text = "\n".join(_paragraphs(rng, int(rng.randint(1, 3))))
-    role = "tool" if kind == "json" else ("user" if turn_idx % 2 == 0 else "assistant")
+    role = ("user", "assistant", "tool")[turn_idx % 3]  # FIXTURES.md A1 cycle
     # ~1% adversarial payloads: truncated/garbled, to exercise error routing
     if rng.rand() < 0.01:
         text = text[: max(1, len(text) // 3)] + "\x00<unclosed"
@@ -147,7 +163,10 @@ def n_turns_for(seed: int, conv_idx: int, mean_turns: int, mega_every: int, skew
 def gen_conv_rows(
     seed: int, conv_idx: int, mean_turns: int = 8, mega_every: int = 0, skew_factor: int = 50
 ) -> list[dict]:
-    conv_id = f"conv-{conv_idx:010d}"
+    """Rows for one conversation, WRITE-ORDER SHUFFLED (FIXTURES.md A1: the
+    stable-ordering window over (conv_id, turn_idx) must actually have work
+    to do; ts = epoch + conv_seq*3600 + turn_idx*7 seconds)."""
+    conv_id = f"conv-{conv_idx:08d}"
     rows = []
     for t in range(n_turns_for(seed, conv_idx, mean_turns, mega_every, skew_factor)):
         role, text, tool = gen_turn(seed, conv_idx, t)
@@ -158,10 +177,11 @@ def gen_conv_rows(
                 "role": role,
                 "text": text,
                 "tool": tool,
-                "ts": _EPOCH + timedelta(hours=conv_idx % 720, seconds=t * 30),
+                "ts": _EPOCH + timedelta(seconds=conv_idx * 3600 + t * 7),
             }
         )
-    return rows
+    order = _rng(seed, conv_idx).permutation(len(rows))
+    return [rows[i] for i in order]
 
 
 def make_transcripts(

@@ -136,3 +136,40 @@ def test_spans_nonempty_for_html(extracted):
     html_rows = extracted.where((F.col("method") == "html") & F.col("success"))
     with_spans = html_rows.where(F.col("n_spans") > 0).count()
     assert with_spans == html_rows.count() and with_spans > 0
+
+
+def test_unsupported_kind_rejected_not_dropped(spark):
+    df = spark.createDataFrame(
+        [("c9", 0, "user", "some text", "unsupported_ext", None),
+         ("c9", 1, "user", "%PDF-1.4\n\x01\x02junk", "binary_stub", None)],
+        schema=transcripts.SCHEMA,
+    )
+    out = pipeline.extract_turns(df).toPandas().sort_values("turn_idx")
+    assert len(out) == 2  # rejected rows routed, never dropped (F1/O1)
+    assert not out.iloc[0]["success"] and "não suportada" in out.iloc[0]["error"]
+    assert not out.iloc[1]["success"] and "binário" in out.iloc[1]["error"]
+
+
+def test_pdf_text_json_pages_assembly(spark):
+    import json as _json
+
+    pages = ["first page", "second page"]
+    df = spark.createDataFrame(
+        [("c8", 0, "user", _json.dumps(pages), "pdf_text", None)],
+        schema=transcripts.SCHEMA,
+    )
+    out = pipeline.extract_turns(df, mode="cli").toPandas()
+    assert out.iloc[0]["extracted_text"] == (
+        "\n\n# Página 1\n\nfirst page\n"
+        "\n\n# Página 2\n\nsecond page"
+    )
+
+
+def test_write_order_shuffled_but_rn_stable(spark):
+    tdf = transcripts.make_transcripts(spark, 5, mean_turns=10, seed=9, parallelism=1)
+    pdf = tdf.toPandas()
+    one = pdf[pdf.conv_id == pdf.conv_id.iloc[0]]
+    assert list(one.turn_idx) != sorted(one.turn_idx), "write order should be shuffled"
+    ordered = pipeline.with_stable_order(pipeline.extract_turns(tdf)).toPandas()
+    g = ordered[ordered.conv_id == one.conv_id.iloc[0]].sort_values("rn")
+    assert list(g.turn_idx) == sorted(g.turn_idx)
