@@ -1,0 +1,93 @@
+"""Physical-plan invariants: the plans we designed for are the plans we get.
+
+These tests pin the scale-critical plan properties (predicate pushdown,
+column pruning, broadcast choice, single Python boundary, shuffle count) so a
+future refactor that silently regresses one fails CI, not a 100 TB run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from docling_gfcr_spark import pipeline, queries, transcripts
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    p = plan_of(queries.q1_pricing_summary(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+
+
+def test_q1_column_pruning(spark):
+    p = plan_of(queries.q1_pricing_summary(spark, SF))
+    scan_line = next(l for l in p.splitlines() if "ReadSchema" in l)
+    # only the 7 needed columns reach the scan — not l_orderkey/partkey/suppkey
+    for col in ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"):
+        assert col not in scan_line, f"{col} not pruned from scan"
+    assert "l_shipdate" in scan_line and "l_quantity" in scan_line
+
+
+def test_q5_dims_broadcast(spark):
+    p = plan_of(queries.q5_nation_revenue(spark, SF))
+    assert p.count("BroadcastHashJoin") >= 2  # nation + region at minimum
+    assert "CartesianProduct" not in p
+
+
+def test_anti_join_is_broadcast(spark):
+    p = plan_of(queries.customers_without_orders(spark, SF))
+    assert "LeftAnti" in p
+
+
+def test_extraction_single_python_boundary_no_shuffle(spark):
+    tdf = transcripts.make_transcripts(spark, 10, seed=1, parallelism=2)
+    p = plan_of(pipeline.extract_turns(tdf))
+    assert p.count("ArrowEvalPython") == 1, "extraction kernels must stay fused"
+    assert "Exchange" not in p, "extraction path must not shuffle"
+
+
+def test_extraction_reads_only_needed_columns(spark, tmp_path):
+    # from a parquet source, the scan should prune to the 5 used columns
+    src = str(tmp_path / "t")
+    transcripts.make_transcripts(spark, 5, seed=2, parallelism=2).write.parquet(src)
+    from pyspark.sql import functions as F
+
+    df = pipeline.extract_turns(spark.read.parquet(src)).select("conv_id", "extracted_text")
+    p = plan_of(df)
+    scan_line = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "role" not in scan_line and "ts" not in scan_line
+
+
+def test_assembly_two_phase_shuffles(spark):
+    tdf = transcripts.make_transcripts(spark, 10, seed=1, parallelism=2)
+    ex = pipeline.extract_turns(tdf)
+    p = plan_of(pipeline.assemble_conversations(ex))
+    # exactly two aggregation exchanges: (conv_id, slab) then (conv_id)
+    assert p.count("Exchange hashpartitioning") == 2
+
+
+def test_minhash_no_python_boundary(spark):
+    from docling_gfcr_spark.operators import dedup
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(dedup.minhash_signatures(d, n_hashes=8))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_topk_probe_side_broadcast(spark):
+    from pyspark.sql import functions as F
+
+    from docling_gfcr_spark.operators import similarity
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    probes = e.where(F.col("vec_id") % 100 == 0)
+    p = plan_of(similarity.cosine_topk(e, probes, k=3))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
