@@ -33,7 +33,22 @@ def _norm(a) -> Column:
 
 
 def cosine_sim(a, b) -> Column:
+    """Sequential-fold cosine in DOUBLE — bit-exact vs DuckDB's
+    list_cosine_similarity (oracle-checked paths use this)."""
     return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+@F.pandas_udf(T.DoubleType())
+def cosine_batch_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """numpy-vectorized cosine for the approximate (LSH) paths: ~10x faster
+    than per-element higher-order functions on wide candidate sets. Not
+    bit-identical to the sequential fold (pairwise summation), so only
+    non-oracle paths use it."""
+    ma = np.asarray(a.tolist(), dtype=np.float64)
+    mb = np.asarray(b.tolist(), dtype=np.float64)
+    num = np.einsum("ij,ij->i", ma, mb)
+    den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+    return pd.Series(num / den)
 
 
 def cosine_topk(
@@ -147,7 +162,7 @@ def lsh_topk(
     scored = (
         cand_ids.join(F.broadcast(pv), "probe_id")
         .join(cv, "neighbor_id")
-        .withColumn("cos", cosine_sim(F.col("pv"), F.col("cv")))
+        .withColumn("cos", cosine_batch_udf(F.col("pv"), F.col("cv")))
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -189,7 +204,7 @@ def embedding_neardup_pairs(
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cos", cosine_sim(F.col("va"), F.col("vb")))
+        .withColumn("cos", cosine_batch_udf(F.col("va"), F.col("vb")))
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )

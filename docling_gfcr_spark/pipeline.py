@@ -215,7 +215,23 @@ def extract_turns(df: DataFrame, mode: str = "agent") -> DataFrame:
     name = F.regexp_replace(
         F.format_string("%s-%06d", F.col("conv_id"), F.col("turn_idx")), " ", "_"
     )
+    # A4 pre-analysis (markdown_agent.py:133-160) is pure arithmetic on the
+    # payload — plain codegen'd expressions, no reason to enter the UDF
+    size_bytes = F.octet_length(F.coalesce(F.col("text"), F.lit("")))
     out = df.withColumn("x", udf(F.col("text"), F.col("tool"), name))
+    out = (
+        out.withColumn("size_bytes", size_bytes.cast("long"))
+        .withColumn("size_mb", F.round(size_bytes / F.lit(1048576.0), 2))
+        .withColumn(
+            "estimated_pages",
+            F.when(
+                F.col("tool").isin("pdf", "pdf_text"),
+                F.greatest(F.lit(1), F.floor(size_bytes / F.lit(2048))),
+            )
+            .otherwise(F.lit(1))
+            .cast("long"),
+        )
+    )
     return out.select(
         "conv_id",
         "turn_idx",
@@ -239,6 +255,9 @@ def extract_turns(df: DataFrame, mode: str = "agent") -> DataFrame:
         "x.issues",
         "x.quality_score",
         "x.valid",
+        "size_bytes",
+        "size_mb",
+        "estimated_pages",
     )
 
 

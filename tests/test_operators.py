@@ -128,3 +128,58 @@ def test_mime_sniff():
     assert multimodal.sniff_mime(b"\xff\xd8\xffrest") == "image/jpeg"
     assert multimodal.sniff_mime(b"junk") == "application/octet-stream"
     assert multimodal.sniff_mime(None) == "application/octet-stream"
+
+
+def test_enhancer_stage(spark):
+    from docling_gfcr_spark import pipeline as pl
+    from docling_gfcr_spark import transcripts as tr
+    from docling_gfcr_spark.operators import enhancer
+
+    tdf = tr.make_transcripts(spark, 4, mean_turns=3, seed=6, parallelism=2)
+    ex = pl.extract_turns(tdf).select("conv_id", "turn_idx", "extracted_text")
+    # default off: passthrough, marked not applied (reference convert.py:15-20)
+    off = enhancer.enhance_documents(ex).toPandas()
+    assert (~off.enhance_applied).all()
+    assert (off.enhanced_text == off.extracted_text).all()
+    # with injected fake client: applied, deterministic
+    on = enhancer.enhance_documents(
+        ex, client_factory=enhancer.fake_client_factory
+    ).toPandas()
+    assert on.enhance_applied.all()
+    a = enhancer.enhance_documents(
+        ex, operation="analyze", client_factory=enhancer.fake_client_factory
+    ).toPandas()
+    import json
+
+    parsed = a.enhanced_text.map(json.loads)
+    assert all("n_words" in p for p in parsed)
+
+
+def test_enhancer_error_falls_back_to_original(spark):
+    from docling_gfcr_spark.operators import enhancer
+
+    df = spark.createDataFrame([(1, "keep me")], "id long, extracted_text string")
+
+    def flaky_factory():
+        def call(op, text):
+            raise RuntimeError("api down")
+
+        return call
+
+    out = enhancer.enhance_documents(df, client_factory=flaky_factory).toPandas()
+    assert out.iloc[0].enhanced_text == "keep me"
+    assert not out.iloc[0].enhance_applied
+    assert "api down" in out.iloc[0].enhance_error
+
+
+def test_analyze_payload_columns(spark):
+    from docling_gfcr_spark import pipeline as pl
+    from docling_gfcr_spark import transcripts as tr
+
+    tdf = tr.make_transcripts(spark, 6, mean_turns=4, seed=8, parallelism=2)
+    ex = pl.extract_turns(tdf).toPandas()
+    pdfs = ex[ex.tool.isin(["pdf", "pdf_text"])]
+    others = ex[~ex.tool.isin(["pdf", "pdf_text"])]
+    assert (others.estimated_pages == 1).all()
+    assert (pdfs.estimated_pages >= 1).all()
+    assert (ex.size_mb == (ex.size_bytes / 1048576).round(2)).all()
