@@ -193,13 +193,17 @@ def extract_one(text: str | None, tool: str | None, name: str, mode: str) -> dic
 def make_extract_udf(mode: str = "agent"):
     """Build the fused scalar pandas UDF (one Arrow boundary per batch)."""
 
+    fields = [f.name for f in EXTRACT_TYPE.fields]
+
     @F.pandas_udf(EXTRACT_TYPE)
     def extract_udf(text: pd.Series, tool: pd.Series, name: pd.Series) -> pd.DataFrame:
         rows = [
             extract_one(t, k, n, mode)
             for t, k, n in zip(text.tolist(), tool.tolist(), name.tolist())
         ]
-        return pd.DataFrame(rows)
+        # columnar assembly: dict-of-lists beats pandas' list-of-dicts
+        # inference by ~3x on 17 columns
+        return pd.DataFrame({f: [r[f] for r in rows] for f in fields})
 
     return extract_udf
 

@@ -67,3 +67,35 @@ def test_table_and_code_kept():
 
 def test_strip_tags():
     assert strip_tags("<p>a  b</p><br>c") == "a b c"
+
+
+def test_fast_engine_matches_parser_engine():
+    """Differential: the regex tokenizer and html.parser build identical
+    extractions on every well-formed synthetic payload (garbled payloads —
+    the 1% adversarial truncations — may legally diverge; both stay total)."""
+    from docling_gfcr_spark import transcripts
+
+    checked = 0
+    for c in range(120):
+        for r in transcripts.gen_conv_rows(42, c, mean_turns=8):
+            if r["tool"] != "html" or "\x00" in r["text"]:
+                continue
+            a = extract_html(r["text"], engine="fast")
+            b = extract_html(r["text"], engine="parser")
+            assert (a["text"], a["n_nodes"], a["n_kept"]) == (
+                b["text"],
+                b["n_nodes"],
+                b["n_kept"],
+            ), f"engines diverge on conv={c} turn={r['turn_idx']}"
+            checked += 1
+    assert checked > 200
+
+
+def test_fast_engine_handles_entities_and_rawtext():
+    html = ("<body><p>caf&eacute; &amp; more words to pass the density gate here ok</p>"
+            "<script>var x = '<p>not content</p>';</script>"
+            "<p>after script paragraph long enough to be kept as main content.</p></body>")
+    r = extract_html(html, engine="fast")
+    assert "café & more" in r["text"]
+    assert "not content" not in r["text"]
+    assert "after script" in r["text"]
