@@ -732,6 +732,49 @@ WHERE o_orderpriority = '1-URGENT'
 """
 
 
+
+
+def order_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per status (Spark percentile == DuckDB
+    quantile_cont: both linear interpolation over the sorted set)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 2).alias("p99"),
+    )
+
+
+PCTL_SQL = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 2) AS p99
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def intersect_segments(spark, sf_dir):
+    """INTERSECT: customers who are both high-balance and urgent-order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    rich = c.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    urgent = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("c_custkey")
+    )
+    return rich.intersect(urgent)
+
+
+INTERSECT_SQL = """
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+INTERSECT
+SELECT c_custkey FROM customer JOIN orders ON c_custkey = o_custkey
+WHERE o_orderpriority = '1-URGENT'
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -765,6 +808,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_neardup_exact": emb_neardup_exact,
     "emb_neardup_lsh": emb_neardup_lsh,
     "asof_error_after_click": asof_error_after_click,
+    "order_value_percentiles": order_value_percentiles,
+    "intersect_segments": intersect_segments,
     "cube_order_counts": cube_order_counts,
     "except_building_nonurgent": except_building_nonurgent,
     "extract_transcripts": extract_transcripts,
@@ -791,6 +836,8 @@ ORACLES: dict[str, str] = {
     "dedup_ngram_topk": DEDUP_NGRAM_SQL,
     "minhash_signature_digest": MINHASH_SQL,
     "asof_error_after_click": ASOF_SQL,
+    "order_value_percentiles": PCTL_SQL,
+    "intersect_segments": INTERSECT_SQL,
     "cube_order_counts": CUBE_SQL,
     "except_building_nonurgent": EXCEPT_SQL,
     "lang_id_docs": _lang_sql(),
