@@ -17,6 +17,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+
+# running from a checkout without spark-submit --py-files: make the package
+# importable (under spark-submit the zip on --py-files provides it)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -42,7 +48,7 @@ def main() -> None:
         spark = SparkSession.builder.appName("docling_gfcr_extract").getOrCreate()
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
 
-    from docling_gfcr_spark import lineage, transcripts
+    from docling_gfcr_spark import io, lineage, transcripts
 
     if args.synth_convs:
         input_df = transcripts.make_transcripts(spark, args.synth_convs, seed=42)
@@ -52,6 +58,7 @@ def main() -> None:
         input_df = spark.read.parquet(args.input)
     else:
         raise SystemExit("one of --input/--table/--synth-convs required")
+    io.validate_input_schema(input_df)  # V1: fail fast with a field diff
 
     report = lineage.run_extraction_job(
         spark,

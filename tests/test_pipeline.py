@@ -173,3 +173,18 @@ def test_write_order_shuffled_but_rn_stable(spark):
     ordered = pipeline.with_stable_order(pipeline.extract_turns(tdf)).toPandas()
     g = ordered[ordered.conv_id == one.conv_id.iloc[0]].sort_values("rn")
     assert list(g.turn_idx) == sorted(g.turn_idx)
+
+
+def test_agent_vs_cli_mode_divergence(spark):
+    """The reference's two entry points emit different fallback output
+    (SURVEY.md §7.3): EP1/cli writes raw text, EP3/agent title-wraps and runs
+    the optimizer. Both modes are exposed and pinned here."""
+    df = spark.createDataFrame(
+        [("c7", 0, "user", "plain body text", "plain", None)], schema=transcripts.SCHEMA
+    )
+    cli = pipeline.extract_turns(df, mode="cli").toPandas().iloc[0]
+    agent = pipeline.extract_turns(df, mode="agent").toPandas().iloc[0]
+    assert cli["extracted_text"] == "plain body text"
+    assert agent["extracted_text"].startswith("---\ntitle: c7-000000\n")
+    assert "# c7-000000\n\nplain body text" in agent["extracted_text"]
+    assert agent["extracted_text"].endswith("\n")
