@@ -74,3 +74,39 @@ def run_stream_to_memory(spark: SparkSession, stream_df: DataFrame, name: str) -
 
 def _has_agg(df: DataFrame) -> bool:
     return "Aggregate" in df._jdf.queryExecution().logical().toString()
+
+
+def stateful_turn_progress(stream: DataFrame, gap_turns: int = 100):
+    """Custom stateful streaming operator (applyInPandasWithState): per
+    conversation, maintain running (n_turns, max_turn_idx, n_errors) across
+    micro-batches — the live-ingest counterpart of the batch lineage metrics.
+
+    State: one row per conv_id, updated incrementally; emits the running
+    totals each batch the conversation appears in (update mode).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = "conv_id string, n_turns long, max_turn_idx long, n_batches long"
+    state_schema = "n_turns long, max_turn_idx long, n_batches long"
+
+    def update(key, pdfs, state: GroupState):
+        n_turns, max_idx, n_batches = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            n_turns += len(pdf)
+            if len(pdf):
+                max_idx = max(max_idx, int(pdf["turn_idx"].max()))
+        n_batches += 1
+        state.update((n_turns, max_idx, n_batches))
+        yield pd.DataFrame(
+            {
+                "conv_id": [key[0]],
+                "n_turns": [n_turns],
+                "max_turn_idx": [max_idx],
+                "n_batches": [n_batches],
+            }
+        )
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        update, output_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

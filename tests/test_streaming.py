@@ -60,3 +60,39 @@ def test_windowed_event_counts_match_batch_bucketing(spark, tmp_path):
     got = got.sort_values(key).reset_index(drop=True)
     batch = batch.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, batch)
+
+
+def test_stateful_turn_progress_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-conversation state across micro-batches:
+    feed two file batches, assert totals accumulate."""
+    src = str(tmp_path / "stateful_src")
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    tdf = transcripts.make_transcripts(spark, 6, mean_turns=5, seed=4, parallelism=2)
+    half1 = tdf.where(F.col("turn_idx") % 2 == 0)
+    half2 = tdf.where(F.col("turn_idx") % 2 == 1)
+    half1.coalesce(1).write.mode("overwrite").parquet(src + "/b1")
+
+    stream = (
+        spark.readStream.schema(transcripts.SCHEMA).format("parquet").load(src + "/b*")
+    )
+    out = streaming.stateful_turn_progress(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_t")
+        .start()
+    )
+    q.processAllAvailable()
+    half2.coalesce(1).write.mode("overwrite").parquet(src + "/b2")
+    q.processAllAvailable()
+    q.stop()
+
+    res = spark.table("stateful_t").toPandas()
+    # last emission per conv must equal the full per-conv totals
+    final = res.sort_values("n_batches").groupby("conv_id").last()
+    want = tdf.groupBy("conv_id").count().toPandas().set_index("conv_id")["count"]
+    for conv_id, row in final.iterrows():
+        assert row.n_turns == want[conv_id], conv_id
+        assert row.n_batches >= 2  # state genuinely crossed micro-batches
