@@ -111,6 +111,13 @@ def main() -> None:
 
     extract_pass()  # warmup: python-worker spawn + imports (per-executor one-off)
     extract_sec = min(extract_pass() for _ in range(2))
+
+    # ordering + skew-safe two-phase conversation assembly (the shuffle path)
+    t0 = time.time()
+    ex = pipeline.extract_turns(tdf, mode="agent")
+    pipeline.assemble_conversations(ex).write.mode("overwrite").format("noop").save()
+    results["assemble_conversations"] = round(time.time() - t0, 3)
+    print(f"# assemble_conversations: {results['assemble_conversations']}s", file=sys.stderr)
     results["extract_pipeline"] = round(extract_sec, 3)
     turns_per_sec = round(n_turns / extract_sec, 1)
     print(f"# extraction: {n_turns} turns in {extract_sec:.1f}s = {turns_per_sec}/s", file=sys.stderr)

@@ -62,9 +62,12 @@ class _Block:
     spans: list[tuple[int, int]] = field(default_factory=list)  # raw offsets
     n_link_chars: int = 0
     n_anchor: int = 0
+    _text: str | None = None
 
     def text(self) -> str:
-        return _WS_RE.sub(" ", "".join(self.parts)).strip()
+        if self._text is None:
+            self._text = _WS_RE.sub(" ", "".join(self.parts)).strip()
+        return self._text
 
 
 class _BlockParser(HTMLParser):
