@@ -1,0 +1,43 @@
+"""Parity on the reference's only real (non-mocked) correctness artifact:
+output/manual-de-redacao.md — a 430 KB docling conversion kept in the
+reference repo (SURVEY.md §5 'golden fixture'). Our kernels must agree with
+the reference's own functions on it byte-for-byte."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from docling_gfcr_spark.kernels import markdown_ops as mk
+
+GOLDEN = "/root/reference/output/manual-de-redacao.md"
+
+
+@pytest.fixture(scope="module")
+def golden_text():
+    if not os.path.exists(GOLDEN):
+        pytest.skip("reference golden fixture not present")
+    return open(GOLDEN, encoding="utf-8").read()
+
+
+def test_golden_validate_matches_reference(reference_agent, golden_text):
+    ours = mk.validate_markdown(golden_text)
+    ref = reference_agent.validate_markdown(golden_text)
+    assert dict(ours["metrics"]) == dict(ref["metrics"])
+    assert ours["issues"] == ref["issues"]
+    assert ours["quality_score"] == ref["quality_score"]
+
+
+def test_golden_known_structure(golden_text):
+    """Absolute facts about the fixture: 430,343 bytes, 336 '##' headers,
+    16 image placeholders (BASELINE.md says 18 — measured reality is 16)."""
+    assert len(golden_text.encode("utf-8")) == 430343
+    assert sum(1 for l in golden_text.splitlines() if l.startswith("## ")) == 336
+    assert golden_text.count("<!-- image -->") == 16
+
+
+def test_golden_optimize_matches_reference(reference_agent, golden_text):
+    ours = mk.optimize_markdown(golden_text, "manual-de-redacao.pdf")
+    ref = reference_agent.optimize_markdown(golden_text, "manual-de-redacao.pdf")
+    assert ours == ref  # 430 KB byte-for-byte through the 5-rule chain
