@@ -775,6 +775,20 @@ WHERE o_orderpriority = '1-URGENT'
 """
 
 
+
+
+def approx_distinct_stats(spark, sf_dir):
+    """Sketch aggregates (HLL++ / GK-quantile): algorithms are engine-specific
+    so this ships rows-only; exact twins are checked in q1/percentiles."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("approx_p50_price"),
+        F.count("*").alias("n_rows"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -812,6 +826,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "intersect_segments": intersect_segments,
     "cube_order_counts": cube_order_counts,
     "except_building_nonurgent": except_building_nonurgent,
+    "approx_distinct_stats": approx_distinct_stats,
     "extract_transcripts": extract_transcripts,
     "extract_assembled_convs": extract_assembled_convs,
     "multimodal_features": multimodal_features,
