@@ -61,3 +61,30 @@ def test_generic_fallback_wrap_and_apology():
     assert encodings.generic_fallback("f.md", ".md", "body") == "# f.md\n\nbody"
     out = encodings.generic_fallback("f.bin", ".bin", b"\x00\x01")
     assert out == "# f.bin\n\nArquivo .bin não pôde ser processado. Formato não suportado para fallback."
+
+
+# ---- randomized totality/format properties --------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.sampled_from(list("ab \n\x0c[],.0-")), max_size=300))
+def test_assemble_pdf_total_and_header_exact(stream):
+    out = assemble_pdf(stream)
+    assert isinstance(out["text"], str)
+    assert out["n_pages"] == stream.count("\x0c") + 1 or out["parse_failed"]
+    # every page header appears exactly once per page in order
+    if not out["parse_failed"]:
+        for i in range(out["n_pages"]):
+            assert f"# Página {i + 1}\n" in out["text"]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=200))
+def test_decode_cascade_total(payload):
+    out = encodings.decode_cascade(payload)
+    assert out is None or isinstance(out, str)
+    # latin-1 accepts any byte: cascade can only fail on empty-never case
+    assert out is not None

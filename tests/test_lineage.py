@@ -58,3 +58,19 @@ def test_completed_job_is_noop_on_rerun(spark, tmp_path):
     report = lineage.run_extraction_job(spark, tdf, out, n_parts=4, n_waves=2, run_id="b")
     assert report["parts_processed"] == []
     assert set(lineage.read_lineage(spark, out).toPandas()["run_id"]) == {"a"}
+
+
+def test_spans_roundtrip_through_parquet(spark, tmp_path):
+    """Nested array<struct> spans must survive the durable sink byte-exactly."""
+    out = str(tmp_path / "spansjob")
+    tdf = transcripts.make_transcripts(spark, 8, mean_turns=4, seed=13, parallelism=2)
+    lineage.run_extraction_job(spark, tdf, out, n_parts=4, n_waves=2)
+    direct = pipeline.extract_turns(tdf).select("conv_id", "turn_idx", "spans").toPandas()
+    stored = (
+        lineage.read_extracted(spark, out).select("conv_id", "turn_idx", "spans").toPandas()
+    )
+    key = ["conv_id", "turn_idx"]
+    direct = direct.sort_values(key).reset_index(drop=True)
+    stored = stored.sort_values(key).reset_index(drop=True)
+    for a, b in zip(direct.spans, stored.spans):
+        assert [tuple(x) for x in a] == [tuple(x) for x in b]
