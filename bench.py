@@ -39,7 +39,7 @@ HEADLINE = [
     "emb_neardup_lsh",
 ]
 
-N_CONV_BENCH = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "4000"))
+N_CONV_BENCH = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
 
 
 def _materialize_transcripts(spark) -> str:

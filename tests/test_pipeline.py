@@ -188,3 +188,25 @@ def test_agent_vs_cli_mode_divergence(spark):
     assert agent["extracted_text"].startswith("---\ntitle: c7-000000\n")
     assert "# c7-000000\n\nplain body text" in agent["extracted_text"]
     assert agent["extracted_text"].endswith("\n")
+
+
+def test_mega_conversation_assembly(spark):
+    """A single 10k-turn conversation must assemble in exact order through
+    the slab-based two-phase path (the skew case salting exists for)."""
+    from pyspark.sql import functions as F
+
+    n = 10_000
+    tdf = spark.range(n).select(
+        F.lit("mega-conv").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.format_string("turn %d body", F.col("id")).alias("text"),
+        F.lit("plain").alias("tool"),
+        F.current_timestamp().alias("ts"),
+    ).repartition(16)  # deliberately scattered
+    ex = pipeline.extract_turns(tdf, mode="cli")
+    conv = pipeline.assemble_conversations(ex, bucket_turns=256).toPandas()
+    assert len(conv) == 1 and conv.iloc[0]["n_turns"] == n
+    body = conv.iloc[0]["conv_text"].splitlines()
+    assert body[0] == "turn 0 body" and body[-1] == f"turn {n - 1} body"
+    assert body == [f"turn {i} body" for i in range(n)]
