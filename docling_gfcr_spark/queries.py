@@ -789,6 +789,92 @@ def approx_distinct_stats(spark, sf_dir):
     )
 
 
+
+
+def grouping_sets_sql(spark, sf_dir):
+    """GROUPING SETS through the SQL API surface (same Catalyst plan as the
+    DataFrame API — demonstrates both front doors of the engine)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql("""
+        SELECT coalesce(o_orderstatus, 'ANY') AS status,
+               coalesce(o_orderpriority, 'ANY') AS priority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+GROUPING_SETS_SQL = """
+SELECT coalesce(o_orderstatus, 'ANY') AS status,
+       coalesce(o_orderpriority, 'ANY') AS priority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def running_revenue(spark, sf_dir):
+    """Explicit window frame: per-customer cumulative order value in date
+    order (ROWS UNBOUNDED PRECEDING..CURRENT ROW)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+"""
+
+
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: revenue lost to returned items per customer, top 20."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -825,6 +911,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_value_percentiles": order_value_percentiles,
     "intersect_segments": intersect_segments,
     "cube_order_counts": cube_order_counts,
+    "grouping_sets_sql": grouping_sets_sql,
+    "running_revenue": running_revenue,
+    "q10_returned_items": q10_returned_items,
     "except_building_nonurgent": except_building_nonurgent,
     "approx_distinct_stats": approx_distinct_stats,
     "extract_transcripts": extract_transcripts,
@@ -854,6 +943,9 @@ ORACLES: dict[str, str] = {
     "order_value_percentiles": PCTL_SQL,
     "intersect_segments": INTERSECT_SQL,
     "cube_order_counts": CUBE_SQL,
+    "grouping_sets_sql": GROUPING_SETS_SQL,
+    "running_revenue": RUNNING_SQL,
+    "q10_returned_items": Q10_SQL,
     "except_building_nonurgent": EXCEPT_SQL,
     "lang_id_docs": _lang_sql(),
     "text_quality": QUALITY_SQL,
