@@ -20,9 +20,12 @@ import json
 import os
 import sys
 
-# running from a checkout without spark-submit --py-files: make the package
-# importable (under spark-submit the zip on --py-files provides it)
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# under spark-submit the --py-files zip provides the package; only when
+# running from a bare checkout (no zip on the path) fall back to the repo dir
+try:
+    import docling_gfcr_spark  # noqa: F401
+except ImportError:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
