@@ -181,9 +181,15 @@ class _BlockParser(HTMLParser):
         if self._drop_depth or not data.strip():
             return
         start = self._abs()
+        # `data` is entity-decoded (convert_charrefs=True), so start+len(data)
+        # would under-run raw extents on '&amp;'-style runs; the raw text node
+        # extends to the next markup start ('<') — scan the raw input instead
+        end = self.raw.find("<", start)
+        if end == -1:
+            end = len(self.raw)
         blk = self._ensure()
         blk.parts.append(data)
-        blk.spans.append((start, start + len(data)))
+        blk.spans.append((start, end))
         if self._link_depth:
             blk.n_link_chars += len(data.strip())
             blk.n_anchor += 1
@@ -260,7 +266,10 @@ class _FastBlocks:
         if self._drop_depth:
             return
         is_boiler = tag in _BOILERPLATE_TAGS
-        if not is_boiler and ("class" in tok or "id=" in tok or "id =" in tok or "role" in tok):
+        # pre-gate on a lowercased copy: attribute names are case-insensitive
+        # ('<DIV CLASS="sidebar">' must classify like '<div class="sidebar">')
+        tok_l = tok if tok.islower() else tok.lower()
+        if not is_boiler and ("class" in tok_l or "id=" in tok_l or "id =" in tok_l or "role" in tok_l):
             hints = " ".join(g or "" for m in _ATTR_HINT_RE.finditer(tok) for g in m.groups())
             is_boiler = any(
                 t in _BOILERPLATE_TOKENS for t in _TOKEN_SPLIT_RE.split(hints.lower()) if t

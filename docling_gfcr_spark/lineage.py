@@ -10,17 +10,23 @@ sizes. Parts are processed in waves; each wave
 
 1. writes extracted rows under ``data/part_id=<p>/`` (dynamic partition
    overwrite — a re-run of an uncommitted part replaces, never duplicates);
-2. then appends one lineage row per part ``(run_id, part_id, status, n_turns,
-   nodes_classified, spans_emitted, parse_failures, committed_at)``.
+2. then appends one lineage row per part ``(run_id, part_id, n_parts, status,
+   n_turns, nodes_classified, spans_emitted, parse_failures, committed_at)``.
 
 A crash between (1) and (2) leaves data without lineage; resume reprocesses
 that part and the overwrite makes it idempotent. On restart, committed parts
-are excluded via a broadcast left-anti join — no reprocessing.
+are excluded via a broadcast left-anti join — no reprocessing. ``n_parts`` is
+persisted in every lineage row and validated on resume: part ids are only
+meaningful under the hash scheme that produced them, so resuming the same
+output with a different ``n_parts`` raises instead of silently skipping
+wrong rows.
 
-On a production cluster both tables are Iceberg (``writeTo(...).append()``
-with atomic snapshot commits per wave); this module's storage layer is plain
-parquet because the sandbox has no Iceberg runtime jar — the commit protocol,
-resume logic, and table schemas are identical (storage is injected via paths).
+Storage is injected through the small ``Storage`` interface below. The
+sandbox implementation is plain parquet (no Iceberg runtime jar here); a
+production deployment drops in an Iceberg-backed implementation with
+identical commit protocol — ``writeTo(table).overwritePartitions()`` for
+data waves and ``writeTo(lineage).append()`` for the atomic lineage commit —
+without touching the job logic.
 """
 
 from __future__ import annotations
@@ -34,27 +40,78 @@ from pyspark.sql import functions as F
 from docling_gfcr_spark import pipeline
 
 LINEAGE_SCHEMA = (
-    "run_id string, part_id int, status string, n_turns long, nodes_classified long, "
-    "spans_emitted long, parse_failures long, errors long, committed_at double"
+    "run_id string, part_id int, n_parts int, status string, n_turns long, "
+    "nodes_classified long, spans_emitted long, parse_failures long, errors long, "
+    "committed_at double"
 )
+_LINEAGE_COLS = [f.split(" ")[0] for f in LINEAGE_SCHEMA.split(", ")]
+
+
+class ParquetStorage:
+    """Plain-parquet storage layer (the sandbox implementation).
+
+    The interface is three methods; an Iceberg implementation maps them to
+    ``writeTo(...).overwritePartitions()`` / ``writeTo(...).append()`` /
+    ``spark.read.table(...)`` with the same wave-commit semantics.
+    """
+
+    def __init__(self, spark: SparkSession, out_dir: str) -> None:
+        self.spark = spark
+        self.data_dir = f"{out_dir}/data"
+        self.lineage_dir = f"{out_dir}/lineage"
+
+    def overwrite_data_partitions(self, df: DataFrame) -> None:
+        """Replace exactly the part_id partitions present in ``df``."""
+        (
+            df.write.mode("overwrite")
+            # writer-scoped (NOT session-wide — that would silently change
+            # overwrite semantics for unrelated writes on a shared session)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("part_id")
+            .parquet(self.data_dir)
+        )
+
+    def append_lineage(self, df: DataFrame) -> None:
+        df.coalesce(1).write.mode("append").parquet(self.lineage_dir)
+
+    def read_data(self) -> DataFrame:
+        return self.spark.read.parquet(self.data_dir)
+
+    def read_lineage(self) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(self.lineage_dir)
+        except Exception:  # first run: lineage table does not exist yet
+            return None
 
 
 def with_part_id(df: DataFrame, n_parts: int) -> DataFrame:
     return df.withColumn("part_id", F.pmod(F.xxhash64("conv_id"), F.lit(n_parts)).cast("int"))
 
 
-def committed_parts(spark: SparkSession, lineage_dir: str) -> set[int]:
-    try:
-        rows = (
-            spark.read.parquet(lineage_dir)
-            .where(F.col("status") == "committed")
-            .select("part_id")
-            .distinct()
-            .collect()
-        )
-        return {r.part_id for r in rows}
-    except Exception:  # first run: lineage table does not exist yet
+def committed_parts(storage: ParquetStorage, n_parts: int) -> set[int]:
+    """Committed part ids, validating the persisted hash scheme.
+
+    Raises ``ValueError`` if the lineage table was written under a different
+    ``n_parts`` — its part ids would map to different conv_id sets now.
+    """
+    lineage = storage.read_lineage()
+    if lineage is None:
         return set()
+    rows = (
+        lineage.where(F.col("status") == "committed")
+        .select("part_id", "n_parts")
+        .distinct()
+        .collect()
+    )
+    seen_n_parts = {r.n_parts for r in rows}
+    if seen_n_parts - {n_parts}:
+        raise ValueError(
+            f"lineage table was committed with n_parts={sorted(seen_n_parts)} "
+            f"but this run requested n_parts={n_parts}; part ids are not "
+            "comparable across hash schemes — rerun with the original value "
+            "or start a fresh output directory"
+        )
+    return {r.part_id for r in rows}
 
 
 def run_extraction_job(
@@ -66,16 +123,16 @@ def run_extraction_job(
     mode: str = "agent",
     run_id: str | None = None,
     fail_after_wave: int | None = None,
+    storage: ParquetStorage | None = None,
 ) -> dict:
     """Wave-committed extraction with resume. Returns a run report dict.
 
     ``fail_after_wave`` is a crash-injection hook for resumability tests.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
-    data_dir, lineage_dir = f"{out_dir}/data", f"{out_dir}/lineage"
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    storage = storage or ParquetStorage(spark, out_dir)
 
-    done = committed_parts(spark, lineage_dir)
+    done = committed_parts(storage, n_parts)
     todo = [p for p in range(n_parts) if p not in done]
     src = with_part_id(input_df, n_parts)
 
@@ -86,16 +143,9 @@ def run_extraction_job(
         wave_df = src.where(F.col("part_id").isin(wave))
         extracted = pipeline.extract_turns(wave_df.drop("part_id"), mode=mode)
         extracted = with_part_id(extracted, n_parts)
-        # drop columns parquet can't round-trip cheaply is not needed — spans
-        # nest fine; write partitioned so resume overwrites only its parts
-        (
-            extracted.repartition(max(len(wave), 1), "part_id")
-            .write.mode("overwrite")
-            .partitionBy("part_id")
-            .parquet(data_dir)
-        )
+        storage.overwrite_data_partitions(extracted.repartition(max(len(wave), 1), "part_id"))
         agg = (
-            spark.read.parquet(data_dir)
+            storage.read_data()
             .where(F.col("part_id").isin(wave))
             .groupBy("part_id")
             .agg(
@@ -112,14 +162,12 @@ def run_extraction_job(
             wave_parts.join(agg, "part_id", "left")
             .na.fill(0)
             .withColumn("run_id", F.lit(run_id))
+            .withColumn("n_parts", F.lit(n_parts))
             .withColumn("status", F.lit("committed"))
             .withColumn("committed_at", F.lit(time.time()))
-            .select(
-                "run_id", "part_id", "status", "n_turns", "nodes_classified",
-                "spans_emitted", "parse_failures", "errors", "committed_at",
-            )
+            .select(*_LINEAGE_COLS)
         )
-        metrics.coalesce(1).write.mode("append").parquet(lineage_dir)
+        storage.append_lineage(metrics)
         processed.extend(wave)
         if fail_after_wave is not None and wi + 1 >= fail_after_wave:
             raise RuntimeError(f"injected crash after wave {wi + 1}")

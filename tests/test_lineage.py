@@ -18,8 +18,12 @@ def test_crash_resume_no_reprocessing(spark, tmp_path):
         lineage.run_extraction_job(
             spark, tdf, out, n_parts=8, n_waves=4, run_id="run1", fail_after_wave=2
         )
-    committed_after_crash = lineage.committed_parts(spark, f"{out}/lineage")
+    committed_after_crash = lineage.committed_parts(lineage.ParquetStorage(spark, out), 8)
     assert 0 < len(committed_after_crash) < 8
+
+    # resume under a different hash scheme must refuse, not silently skip
+    with pytest.raises(ValueError, match="n_parts"):
+        lineage.run_extraction_job(spark, tdf, out, n_parts=16, n_waves=4)
 
     report = lineage.run_extraction_job(spark, tdf, out, n_parts=8, n_waves=4, run_id="run2")
     assert set(report["resumed_parts_skipped"]) == committed_after_crash

@@ -101,6 +101,78 @@ def test_lsh_topk_recall_vs_bruteforce(spark):
         assert grp["cos"].max() == top1[pid]
 
 
+def _local_asof_oracle(left_rows, right_rows, allow_exact=False):
+    """Pure-Python nearest-predecessor oracle: for ties on ts the winner is
+    the max under (ts, remaining columns) — the operator's pinned rule."""
+    out = []
+    for uid, lts, lid in left_rows:
+        cands = [
+            (rts, rid)
+            for (ruid, rts, rid) in right_rows
+            if ruid == uid and (rts <= lts if allow_exact else rts < lts)
+        ]
+        if cands:
+            rts, rid = max(cands)
+            out.append((lid, uid, lts, rts, rid))
+    return sorted(out)
+
+
+def test_asof_slab_path_matches_oracle_and_plain_path(spark):
+    """Hot key (one user owns ~20k right rows) through the slab pre-split:
+    per-group memory is bounded by one slab, output identical to the
+    unsplit path and to the local oracle — including cross-slab lookback
+    over empty slabs."""
+    from docling_gfcr_spark.operators.asof import asof_join
+
+    rng = np.random.RandomState(3)
+    right_rows = [(1, float(t), 10_000 + t) for t in range(20_000)]  # hot user
+    right_rows += [(2, float(t * 500), 90_000 + t) for t in range(10)]  # sparse user
+    # left: hot user probes everywhere; sparse user probes land in slabs with
+    # NO in-slab right rows, so only the carried predecessor can match
+    left_rows = [(1, t * 97 + 0.5, 100 + t) for t in range(220)]
+    left_rows += [(2, 50_000.0 + i, 900 + i) for i in range(3)]
+    left = spark.createDataFrame(
+        [(u, t, i) for u, t, i in left_rows], "user_id int, ts double, event_id long"
+    ).repartition(8)
+    right = spark.createDataFrame(
+        [(u, t, i) for u, t, i in right_rows], "user_id int, ts double, click long"
+    ).repartition(8)
+
+    slab = asof_join(left, right, on="ts", by="user_id", slab_seconds=1000.0).toPandas()
+    plain = asof_join(left, right, on="ts", by="user_id", slab_seconds=None).toPandas()
+    want = _local_asof_oracle(left_rows, right_rows)
+    for got in (slab, plain):
+        rows = sorted(
+            (r.event_id, r.user_id, r.ts, r.ts_right, r.click_right) for r in got.itertuples()
+        )
+        assert rows == want
+
+    # per-group input is bounded: no (user, slab) group sees more rows than
+    # one slab's rights + carried row + its left rows
+    from pyspark.sql import functions as F2
+
+    slab_sizes = (
+        right.withColumn("slab", F2.floor(F2.col("ts") / 1000))
+        .groupBy("user_id", "slab").count().agg(F2.max("count")).collect()[0][0]
+    )
+    assert slab_sizes <= 1000  # the hot key was actually split
+
+
+def test_asof_tie_break_is_deterministic(spark):
+    from docling_gfcr_spark.operators.asof import asof_join
+
+    # three right rows at the SAME timestamp: winner must be max click id,
+    # regardless of arrival/partition order
+    right_data = [(1, 10.0, 7), (1, 10.0, 99), (1, 10.0, 42)]
+    left = spark.createDataFrame([(1, 11.0, 1)], "user_id int, ts double, event_id long")
+    for perm in ([0, 1, 2], [2, 0, 1], [1, 2, 0]):
+        right = spark.createDataFrame(
+            [right_data[i] for i in perm], "user_id int, ts double, click long"
+        ).repartition(4)
+        got = asof_join(left, right, on="ts", by="user_id").toPandas()
+        assert len(got) == 1 and got.iloc[0]["click_right"] == 99
+
+
 def test_multimodal_plumbing(spark):
     media = multimodal.make_fake_media(spark, n=32)
     feats = multimodal.extract_media_features(media, fake_decode=True).toPandas()
