@@ -1,16 +1,22 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads + typed metadata, REAL decode.
 
-Images/audio/video travel as ``binary`` columns with a struct of metadata.
-The Spark-side machinery (schema, Arrow batch shape, mapInPandas signature,
-partitioning by modality) is real and tested; the actual codec work is
-STUBBED — this container has no image/audio libraries — behind
-``NotImplementedError`` plus a deterministic fake used by tests
-(``fake_decode=True``), exactly as a production deploy would swap in
-Pillow/torchaudio inside the same iterator.
+Images/audio/video travel as ``binary`` columns. Metadata extraction is done
+with the stdlib container parsers in ``kernels/media.py`` (PNG IHDR, JPEG
+SOF, GIF/BMP/TIFF/WebP headers, WAV RIFF chunks, MP4 mvhd) — actual bytes
+parsed, no fakes. Deep codec work (pixel decode, resampling, frame
+extraction) would need Pillow/av on executors; the ``feature`` column is
+therefore a real but codec-free content feature: a 16-bin byte histogram
+(fraction of payload bytes per bin) — deterministic, Arrow-batched, and a
+drop-in slot for a model embedding in production.
+
+Scale shape: one ``mapInPandas`` iterator per partition (binary column moves
+zero-copy over Arrow); header parsing is O(header), the histogram O(bytes) in
+numpy — no per-row Python string work.
 """
 
 from __future__ import annotations
 
+import hashlib
 from typing import Iterator
 
 import numpy as np
@@ -18,19 +24,24 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from docling_gfcr_spark.kernels import media
+
 MEDIA_SCHEMA = (
     "media_id long, modality string, payload binary, mime string, n_bytes long"
 )
 FEATURE_SCHEMA = (
     "media_id long, modality string, n_bytes long, sha_prefix string, "
-    "width int, height int, n_frames int, feature array<float>"
+    "format string, width int, height int, n_frames int, duration_s double, "
+    "feature array<float>"
 )
 
 _MAGIC = {
     b"\x89PNG": "image/png",
     b"\xff\xd8\xff": "image/jpeg",
-    b"RIFF": "audio/wav",
-    b"\x00\x00\x00\x18ftyp": "video/mp4",
+    b"II*\x00": "image/tiff",
+    b"MM\x00*": "image/tiff",
+    b"GIF8": "image/gif",
+    b"BM": "image/bmp",
 }
 
 
@@ -40,53 +51,81 @@ def sniff_mime(payload: bytes | None) -> str:
     for magic, mime in _MAGIC.items():
         if payload.startswith(magic):
             return mime
+    if payload[:4] == b"RIFF" and len(payload) >= 12:
+        sub = payload[8:12]
+        if sub == b"WAVE":
+            return "audio/wav"
+        if sub == b"WEBP":
+            return "image/webp"
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return "video/mp4"
     return "application/octet-stream"
 
 
-def _decode_stub(payload: bytes, modality: str, fake: bool) -> tuple[int, int, int, list[float]]:
-    """(width, height, n_frames, feature). Real codecs NOT available here."""
-    if not fake:
-        raise NotImplementedError(
-            "media decode requires image/audio codecs not present in this "
-            "container; deploy swaps this stub for Pillow/av inside the same "
-            "mapInPandas iterator"
-        )
-    # deterministic fake: derive pseudo-dimensions + an 8-dim feature from bytes
-    h = int.from_bytes(payload[:8].ljust(8, b"\0"), "big")
-    rng = np.random.RandomState(h % (2**31))
-    w_, h_ = 16 + h % 1024, 16 + (h >> 10) % 1024
-    frames = 1 if modality == "image" else 1 + h % 32
-    feat = rng.standard_normal(8).astype(np.float32)
-    return int(w_), int(h_), int(frames), [float(x) for x in feat]
+def decode_media(payload: bytes) -> dict:
+    """Parse one payload's container header into the feature-row fields.
 
-
-def extract_media_features(df: DataFrame, fake_decode: bool = False) -> DataFrame:
-    """mapInPandas over binary payloads -> typed metadata + feature vector.
-
-    Batch shape matters at scale: Arrow moves the binary column zero-copy to
-    the Python worker; one iterator per partition amortizes codec init (the
-    same pattern the reference uses for lazy docling import,
-    /root/reference/scripts/convert.py:79-82).
+    Total: unrecognized containers come back as format='unknown' with zeroed
+    dimensions (the row is preserved — reference invariant O1).
     """
+    try:
+        meta = media.parse_media(payload)
+    except media.MediaParseError:
+        return {"format": "unknown", "width": 0, "height": 0, "n_frames": 0, "duration_s": 0.0}
+    fmt = meta["format"]
+    if fmt in ("png", "jpeg", "gif", "bmp", "tiff", "webp"):
+        return {
+            "format": fmt,
+            "width": meta["width"],
+            "height": meta["height"],
+            "n_frames": 1,
+            "duration_s": 0.0,
+        }
+    if fmt == "wav":
+        return {
+            "format": fmt,
+            "width": 0,
+            "height": 0,
+            "n_frames": meta["n_frames"],
+            "duration_s": float(meta["duration_s"]),
+        }
+    return {  # mp4
+        "format": fmt,
+        "width": 0,
+        "height": 0,
+        "n_frames": 0,
+        "duration_s": float(meta["duration_s"]),
+    }
+
+
+def byte_histogram(payload: bytes, bins: int = 16) -> list[float]:
+    """Fraction of bytes per 16-wide value bin — a codec-free content feature."""
+    if not payload:
+        return [0.0] * bins
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    counts = np.bincount(arr >> 4, minlength=bins).astype(np.float64)
+    return [float(x) for x in counts / len(arr)]
+
+
+def extract_media_features(df: DataFrame) -> DataFrame:
+    """mapInPandas over binary payloads -> typed metadata + content feature."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for r in pdf.itertuples(index=False):
-                payload = bytes(r.payload) if r.payload is not None else b""
-                import hashlib
-
-                w, h, nf, feat = _decode_stub(payload, r.modality, fake_decode)
+            for media_id, modality, payload in zip(
+                pdf["media_id"], pdf["modality"], pdf["payload"]
+            ):
+                blob = bytes(payload) if payload is not None else b""
+                d = decode_media(blob)
                 rows.append(
                     {
-                        "media_id": r.media_id,
-                        "modality": r.modality,
-                        "n_bytes": len(payload),
-                        "sha_prefix": hashlib.sha256(payload).hexdigest()[:16],
-                        "width": w,
-                        "height": h,
-                        "n_frames": nf,
-                        "feature": feat,
+                        "media_id": media_id,
+                        "modality": modality,
+                        "n_bytes": len(blob),
+                        "sha_prefix": hashlib.sha256(blob).hexdigest()[:16],
+                        **d,
+                        "feature": byte_histogram(blob),
                     }
                 )
             yield pd.DataFrame(rows)
@@ -94,23 +133,38 @@ def extract_media_features(df: DataFrame, fake_decode: bool = False) -> DataFram
     return df.mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
+def gen_media_payload(i: int, seed: int = 42) -> tuple[str, bytes]:
+    """(modality, payload) for media_id ``i`` — REAL minimal containers,
+    deterministic in (i, seed); the shared unit both Spark generation and
+    local test oracles call."""
+    rng = np.random.RandomState(seed + int(i))
+    m = int(i) % 4
+    if m == 0:
+        return "image", media.build_png(4 + int(i) % 28, 4 + (int(i) // 2) % 28, seed=int(i) & 0xFF)
+    if m == 1:
+        return "image", media.build_jpeg(8 + int(i) % 120, 8 + (int(i) // 3) % 90, seed=int(i) & 0xFF)
+    if m == 2:
+        return "audio", media.build_wav(
+            100 + int(i) % 4000, sample_rate=8000 * (1 + int(i) % 2), seed=int(i) & 0xFF
+        )
+    if rng.rand() < 0.1:  # plant undecodable payloads: O1 must keep the row
+        return "video", rng.bytes(64)
+    return "video", media.build_mp4(0.5 + (int(i) % 50) / 10.0, timescale=1000, seed=int(i) & 0xFF)
+
+
 def make_fake_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for plumbing tests: text-derived bytes
-    with real magic prefixes so mime sniffing has something to do."""
+    """Deterministic media table of real minimal containers (see
+    ``gen_media_payload``); 'fake' refers to the content, not the format."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        magics = [b"\x89PNG", b"\xff\xd8\xff", b"RIFF", b"\x00\x00\x00\x18ftyp"]
-        mods = ["image", "image", "audio", "video"]
         for pdf in batches:
             rows = []
             for i in pdf["id"].tolist():
-                rng = np.random.RandomState(seed + int(i))
-                m = int(i) % 4
-                payload = magics[m] + rng.bytes(64 + int(i) % 256)
+                modality, payload = gen_media_payload(int(i), seed)
                 rows.append(
                     {
                         "media_id": int(i),
-                        "modality": mods[m],
+                        "modality": modality,
                         "payload": payload,
                         "mime": sniff_mime(payload),
                         "n_bytes": len(payload),

@@ -20,6 +20,8 @@ Modes mirror the reference's two divergent entry points (SURVEY.md §7.3):
 
 from __future__ import annotations
 
+import base64
+import binascii
 import json
 
 import pandas as pd
@@ -27,16 +29,22 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from docling_gfcr_spark.kernels import markdown_ops
+from docling_gfcr_spark.kernels import encodings, markdown_ops, media, office
 from docling_gfcr_spark.kernels.html_extract import extract_html
 from docling_gfcr_spark.kernels.pdf_layout import assemble_pages, assemble_pdf
 
 # Kind whitelist (reference S1 extension whitelist, convert.py:32-41, keyed on
 # the `tool` payload-kind column per SURVEY §2A F2). Unknown kinds are routed
 # to the error side with the reference's message shape — never dropped.
+# Office documents travel as text-stream sidecars (kernels/office.py), images
+# as base64 bytes parsed by the stdlib header kernel (kernels/media.py), and
+# `text_b64` as base64 raw bytes through the S4 encoding cascade
+# (kernels/encodings.py <- reference convert.py:131-152).
 SUPPORTED_KINDS = frozenset(
-    "html xhtml pdf pdf_text markdown md plain text txt json csv xml adoc asciidoc".split()
+    "html xhtml pdf pdf_text markdown md plain text txt json csv xml adoc asciidoc "
+    "docx xlsx pptx png jpeg jpg tiff tif bmp webp text_b64".split()
 )
+IMAGE_KINDS = frozenset("png jpeg jpg tiff tif bmp webp".split())
 _UNSUPPORTED_FMT = (
     "Extensão '{kind}' não suportada. Extensões suportadas: {supported}"
 )
@@ -145,6 +153,47 @@ def extract_one(text: str | None, tool: str | None, name: str, mode: str) -> dic
                 extracted, method, parse_failed = "", "pdf_text", True
         elif kind in ("markdown", "md"):
             extracted, method = text, "markdown"
+        elif kind in ("docx", "xlsx", "pptx"):
+            # office sidecar shapes (kernels/office.py; reference whitelists
+            # these extensions at convert.py:32-41 and delegates to docling)
+            assemble = {
+                "docx": office.assemble_docx,
+                "xlsx": office.assemble_xlsx,
+                "pptx": office.assemble_pptx,
+            }[kind]
+            try:
+                extracted, method = assemble(text), kind
+            except (ValueError, TypeError, AttributeError):
+                extracted, method, parse_failed = "", kind, True
+        elif kind in IMAGE_KINDS:
+            # metadata-only image route: parse the real container header
+            # (PNG IHDR / JPEG SOF / TIFF IFD / ...); emit the reference's
+            # `<!-- image -->` placeholder flavor (golden fixture, SURVEY §5).
+            # Unparseable payloads get the reference's generic-fallback
+            # apology (convert.py:152) — still a success record, like EP1.
+            try:
+                blob = base64.b64decode(text, validate=True)
+                meta = media.parse_image(blob)
+                extracted = (
+                    f"# {name}\n\n<!-- image -->\n\n- format: {meta['format']}\n"
+                    f"- width: {meta['width']}\n- height: {meta['height']}"
+                )
+                method = "image_meta"
+            except (ValueError, media.MediaParseError, binascii.Error):
+                extracted = encodings.APOLOGY_FMT.format(name=name, ext=f".{kind}")
+                method, parse_failed = "generic", True
+        elif kind == "text_b64":
+            # S4 wiring: raw bytes (base64) through the 4-encoding cascade
+            # (reference convert.py:144 — utf-8, latin-1, cp1252, iso-8859-1;
+            # order is load-bearing) then the `# {name}\n\n{content}` wrap
+            blob = base64.b64decode(text, validate=True)
+            content = encodings.decode_cascade(blob)
+            if content is None:  # unreachable for bytes (latin-1 is total)
+                extracted = encodings.APOLOGY_FMT.format(name=name, ext=".txt")
+                method, parse_failed = "generic", True
+            else:
+                extracted = encodings.WRAP_FMT.format(name=name, content=content)
+                method = "generic_b64"
         elif kind == "json":
             try:
                 obj = json.loads(text)

@@ -650,9 +650,15 @@ def extract_assembled_convs(spark, sf_dir):
 
 
 def multimodal_features(spark, sf_dir):
+    """Real container-header decode over binary media columns (PNG/JPEG/WAV/
+    MP4 parsed with kernels/media.py); value-checked against a fixture
+    computed by the pure-Python local oracle (tools/make_fixtures.py)."""
     media = mm.make_fake_media(spark, n=128, seed=42)
-    feats = mm.extract_media_features(media, fake_decode=True)
-    return feats.select("media_id", "modality", "n_bytes", "sha_prefix", "width", "height", "n_frames")
+    feats = mm.extract_media_features(media)
+    return feats.select(
+        "media_id", "modality", "n_bytes", "sha_prefix", "format",
+        "width", "height", "n_frames", F.round("duration_s", 6).alias("duration_s"),
+    )
 
 
 

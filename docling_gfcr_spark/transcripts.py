@@ -17,6 +17,7 @@ something real to fix.
 
 from __future__ import annotations
 
+import base64
 import json
 import zlib
 from datetime import datetime, timedelta, timezone
@@ -44,9 +45,15 @@ FOOTER_MARKER = "footerboilerplate"
 
 # Payload kinds per FIXTURES.md §A2 (html / pdf_text / markdown / plain /
 # binary_stub / unsupported_ext) plus the richer layout-marked page stream
-# ("pdf") and tool-JSON envelopes ("json").
-KINDS = ("html", "pdf_text", "pdf", "markdown", "plain", "json", "binary_stub", "unsupported_ext")
-_KIND_P = (0.34, 0.10, 0.10, 0.18, 0.12, 0.10, 0.03, 0.03)
+# ("pdf"), tool-JSON envelopes ("json"), the office sidecars ("docx"/"xlsx"/
+# "pptx"), real image containers base64'd ("image" fans out to the concrete
+# format kind), and raw-bytes-through-the-encoding-cascade ("text_b64").
+KINDS = (
+    "html", "pdf_text", "pdf", "markdown", "plain", "json", "binary_stub",
+    "unsupported_ext", "docx", "xlsx", "pptx", "image", "text_b64",
+)
+_KIND_P = (0.26, 0.08, 0.08, 0.14, 0.10, 0.08, 0.02, 0.02, 0.06, 0.05, 0.05, 0.04, 0.02)
+_IMAGE_SUBKINDS = ("png", "jpeg", "bmp", "webp", "tiff")
 
 
 def _rng(seed: int, conv_idx: int, turn_idx: int = -1) -> np.random.RandomState:
@@ -124,6 +131,80 @@ def build_pdf_text_payload(rng: np.random.RandomState) -> str:
     return json.dumps(pages, ensure_ascii=False)
 
 
+def build_docx_payload(rng: np.random.RandomState) -> str:
+    paras: list[dict] = [{"style": "Title", "text": _sentence(rng, 3).rstrip(".")}]
+    for si in range(int(rng.randint(1, 4))):
+        paras.append({"style": f"Heading{1 + si % 3}", "text": _sentence(rng, 4).rstrip(".")})
+        for _ in range(int(rng.randint(1, 3))):
+            paras.append({"style": "Normal", "text": _sentence(rng, int(rng.randint(8, 18)))})
+        if rng.rand() < 0.4:
+            for _ in range(int(rng.randint(1, 4))):
+                paras.append({"style": "List", "text": _sentence(rng, 3).rstrip(".")})
+    doc: dict = {"paragraphs": paras}
+    if rng.rand() < 0.4:
+        doc["tables"] = [
+            [[str(rng.choice(_VOCAB)) for _ in range(3)] for _ in range(int(rng.randint(2, 5)))]
+        ]
+    return json.dumps(doc, ensure_ascii=False, sort_keys=True)
+
+
+def build_xlsx_payload(rng: np.random.RandomState) -> str:
+    sheets = {}
+    for si in range(int(rng.randint(1, 3))):
+        n_cols = int(rng.randint(2, 5))
+        rows = [[str(rng.choice(_VOCAB)) for _ in range(n_cols)]]
+        for _ in range(int(rng.randint(1, 6))):
+            rows.append([int(rng.randint(0, 1000)) for _ in range(n_cols)])
+        sheets[f"Sheet{si + 1}"] = rows
+    return json.dumps({"sheets": sheets}, ensure_ascii=False, sort_keys=True)
+
+
+def build_pptx_payload(rng: np.random.RandomState) -> str:
+    slides = [
+        {
+            "title": _sentence(rng, 3).rstrip("."),
+            "bullets": [_sentence(rng, int(rng.randint(2, 6))) for _ in range(int(rng.randint(1, 5)))],
+        }
+        for _ in range(int(rng.randint(1, 4)))
+    ]
+    return json.dumps({"slides": slides}, ensure_ascii=False, sort_keys=True)
+
+
+def build_image_payload(rng: np.random.RandomState) -> tuple[str, str]:
+    """(base64 payload, concrete kind). ~10% junk bytes exercise the
+    reference's generic-fallback apology path."""
+    from docling_gfcr_spark.kernels import media
+
+    kind = _IMAGE_SUBKINDS[int(rng.randint(0, len(_IMAGE_SUBKINDS)))]
+    w, h = int(rng.randint(4, 40)), int(rng.randint(4, 40))
+    if rng.rand() < 0.10:
+        blob = rng.bytes(48)  # junk: no valid container header
+    else:
+        builder = {
+            "png": media.build_png,
+            "jpeg": media.build_jpeg,
+            "bmp": media.build_bmp,
+            "webp": lambda w_, h_, seed=0: media.build_webp(w_, h_),
+            "tiff": lambda w_, h_, seed=0: media.build_tiff(w_, h_),
+        }[kind]
+        blob = builder(w, h, int(rng.randint(0, 255)))
+    return base64.b64encode(blob).decode("ascii"), kind
+
+
+# Portuguese-ish fragments with non-ASCII bytes: cp1252/latin-1 encodings of
+# these are NOT valid utf-8, so the cascade's fallback step actually fires.
+_ACCENTED = ("extração de conteúdo", "análise rápida", "seção de validação", "página índice")
+
+
+def build_text_b64_payload(rng: np.random.RandomState) -> str:
+    enc = str(rng.choice(["utf-8", "cp1252", "latin-1"]))
+    # em-dash exists in cp1252 (0x97, an invalid utf-8 byte — forces the
+    # cascade's fallback) but not in latin-1
+    dash = "—" if enc != "latin-1" else "-"
+    body = f"{rng.choice(_ACCENTED)} {dash} {_sentence(rng, int(rng.randint(6, 14)))}"
+    return base64.b64encode(body.encode(enc)).decode("ascii")
+
+
 def gen_turn(seed: int, conv_idx: int, turn_idx: int) -> tuple[str, str, str]:
     """(role, text, tool) for one turn — THE deterministic unit both the Spark
     generator and local test oracles call."""
@@ -144,11 +225,23 @@ def gen_turn(seed: int, conv_idx: int, turn_idx: int) -> tuple[str, str, str]:
         text = "%PDF-1.4\n" + "".join(chr(c) for c in rng.randint(1, 255, size=64))
     elif kind == "unsupported_ext":
         text = _sentence(rng, 12)
+    elif kind == "docx":
+        text = build_docx_payload(rng)
+    elif kind == "xlsx":
+        text = build_xlsx_payload(rng)
+    elif kind == "pptx":
+        text = build_pptx_payload(rng)
+    elif kind == "image":
+        text, kind = build_image_payload(rng)
+    elif kind == "text_b64":
+        text = build_text_b64_payload(rng)
     else:  # plain
         text = "\n".join(_paragraphs(rng, int(rng.randint(1, 3))))
     role = ("user", "assistant", "tool")[turn_idx % 3]  # FIXTURES.md A1 cycle
     # ~1% adversarial payloads: truncated/garbled, to exercise error routing
-    if rng.rand() < 0.01:
+    # (base64 kinds excluded: truncation there just tests b64 padding, not
+    # parser robustness — the image generator plants its own junk payloads)
+    if rng.rand() < 0.01 and kind not in _IMAGE_SUBKINDS and kind != "text_b64":
         text = text[: max(1, len(text) // 3)] + "\x00<unclosed"
     return role, text, kind
 

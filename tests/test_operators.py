@@ -173,31 +173,43 @@ def test_asof_tie_break_is_deterministic(spark):
         assert len(got) == 1 and got.iloc[0]["click_right"] == 99
 
 
-def test_multimodal_plumbing(spark):
-    media = multimodal.make_fake_media(spark, n=32)
-    feats = multimodal.extract_media_features(media, fake_decode=True).toPandas()
-    assert len(feats) == 32
-    assert set(feats.modality) == {"image", "audio", "video"}
-    assert (feats.n_frames[feats.modality == "image"] == 1).all()
-    assert feats.feature.map(len).eq(8).all()
-    # deterministic: same seed -> same sha prefixes
-    again = multimodal.extract_media_features(
-        multimodal.make_fake_media(spark, n=32), fake_decode=True
-    ).toPandas()
-    assert list(feats.sort_values("media_id").sha_prefix) == list(
-        again.sort_values("media_id").sha_prefix
+def test_multimodal_real_decode_matches_local_oracle(spark):
+    """The Spark mapInPandas path must reproduce, per media_id, exactly what
+    the pure-Python header parsers say about the same deterministic bytes —
+    real dimensions/durations, not fakes."""
+    feats = (
+        multimodal.extract_media_features(multimodal.make_fake_media(spark, n=48))
+        .toPandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
     )
-
-
-def test_multimodal_real_decode_is_stubbed(spark):
-    media = multimodal.make_fake_media(spark, n=4)
-    with pytest.raises(Exception, match="NotImplementedError|media decode"):
-        multimodal.extract_media_features(media, fake_decode=False).collect()
+    assert len(feats) == 48
+    assert set(feats.modality) == {"image", "audio", "video"}
+    for r in feats.itertuples():
+        modality, payload = multimodal.gen_media_payload(r.media_id)
+        want = multimodal.decode_media(payload)
+        assert (r.format, r.width, r.height, r.n_frames) == (
+            want["format"], want["width"], want["height"], want["n_frames"]
+        ), f"media_id={r.media_id}"
+        assert abs(r.duration_s - want["duration_s"]) < 1e-9
+        assert r.sha_prefix == hashlib.sha256(payload).hexdigest()[:16]
+        assert list(r.feature) == pytest.approx(multimodal.byte_histogram(payload))
+    # real parses: every PNG/JPEG got true nonzero dims, WAVs real durations
+    imgs = feats[feats.modality == "image"]
+    assert (imgs.width > 0).all() and (imgs.height > 0).all()
+    assert (imgs.format.isin(["png", "jpeg"])).all()
+    wavs = feats[feats.modality == "audio"]
+    assert (wavs.duration_s > 0).all() and (wavs.n_frames > 0).all()
+    # planted junk video payloads survive as format=unknown rows (O1)
+    assert set(feats.format) >= {"png", "jpeg", "wav", "mp4"}
 
 
 def test_mime_sniff():
     assert multimodal.sniff_mime(b"\x89PNGxxxx") == "image/png"
     assert multimodal.sniff_mime(b"\xff\xd8\xffrest") == "image/jpeg"
+    assert multimodal.sniff_mime(b"RIFFxxxxWAVE") == "audio/wav"
+    assert multimodal.sniff_mime(b"RIFFxxxxWEBP") == "image/webp"
+    assert multimodal.sniff_mime(b"\x00\x00\x00\x18ftypisom....") == "video/mp4"
     assert multimodal.sniff_mime(b"junk") == "application/octet-stream"
     assert multimodal.sniff_mime(None) == "application/octet-stream"
 

@@ -190,6 +190,105 @@ def test_agent_vs_cli_mode_divergence(spark):
     assert agent["extracted_text"].endswith("\n")
 
 
+def test_office_sidecar_routes(spark):
+    """docx/xlsx/pptx sidecars (reference whitelist convert.py:32-41) route
+    through the office kernels; malformed sidecars fall back to raw (F3)."""
+    import json as _json
+
+    docx = _json.dumps({"paragraphs": [
+        {"style": "Title", "text": "Doc title"},
+        {"style": "Heading2", "text": "Part"},
+        {"style": "Normal", "text": "body text here"},
+        {"style": "List", "text": "item one"},
+    ]})
+    xlsx = _json.dumps({"sheets": {"S1": [["a", "b"], [1, 2]]}})
+    pptx = _json.dumps({"slides": [{"title": "Intro", "bullets": ["x", "y"]}]})
+    df = spark.createDataFrame(
+        [("c1", 0, "user", docx, "docx", None),
+         ("c1", 1, "user", xlsx, "xlsx", None),
+         ("c1", 2, "user", pptx, "pptx", None),
+         ("c1", 3, "user", "{not json", "docx", None)],
+        schema=transcripts.SCHEMA,
+    )
+    out = pipeline.extract_turns(df, mode="cli").toPandas().sort_values("turn_idx")
+    assert out.iloc[0]["extracted_text"] == (
+        "# Doc title\n\n## Part\n\nbody text here\n\n- item one"
+    )
+    assert out.iloc[1]["extracted_text"] == "## S1\n\n| a | b |\n| --- | --- |\n| 1 | 2 |"
+    assert out.iloc[2]["extracted_text"] == "# Intro\n\n- x\n\n- y"
+    assert list(out["method"])[:3] == ["docx", "xlsx", "pptx"]
+    # malformed sidecar: parse_failed -> raw passthrough, row kept, success
+    assert out.iloc[3]["method"] == "raw" and out.iloc[3]["parse_failed"]
+    assert out.iloc[3]["extracted_text"] == "{not json"
+
+
+def test_image_route_parses_real_headers(spark):
+    import base64 as _b64
+
+    from docling_gfcr_spark.kernels import media as _media
+
+    png = _b64.b64encode(_media.build_png(24, 16, seed=1)).decode()
+    tiff = _b64.b64encode(_media.build_tiff(640, 480)).decode()
+    junk = _b64.b64encode(b"not an image at all").decode()
+    df = spark.createDataFrame(
+        [("c2", 0, "user", png, "png", None),
+         ("c2", 1, "user", tiff, "tiff", None),
+         ("c2", 2, "user", junk, "jpeg", None)],
+        schema=transcripts.SCHEMA,
+    )
+    out = pipeline.extract_turns(df, mode="cli").toPandas().sort_values("turn_idx")
+    assert out.iloc[0]["extracted_text"] == (
+        "# c2-000000\n\n<!-- image -->\n\n- format: png\n- width: 24\n- height: 16"
+    )
+    assert "- width: 640\n- height: 480" in out.iloc[1]["extracted_text"]
+    assert out.iloc[0]["method"] == "image_meta" and out.iloc[0]["success"]
+    # junk bytes: reference generic-fallback apology, still a success row
+    assert out.iloc[2]["method"] == "generic" and out.iloc[2]["success"]
+    assert "não pôde ser processado" in out.iloc[2]["extracted_text"]
+
+
+def test_text_b64_encoding_cascade_wired(spark):
+    """S4 through the pipeline: raw bytes (base64) hit the utf-8 -> latin-1
+    cascade; a cp1252-encoded payload is NOT valid utf-8, so the fallback
+    step actually fires and, per the reference's order (convert.py:144),
+    latin-1 — not cp1252 — decodes it."""
+    import base64 as _b64
+
+    utf8 = _b64.b64encode("seção de extração".encode("utf-8")).decode()
+    cp1252 = _b64.b64encode("análise — rápida".encode("cp1252")).decode()
+    df = spark.createDataFrame(
+        [("c3", 0, "user", utf8, "text_b64", None),
+         ("c3", 1, "user", cp1252, "text_b64", None)],
+        schema=transcripts.SCHEMA,
+    )
+    out = pipeline.extract_turns(df, mode="cli").toPandas().sort_values("turn_idx")
+    assert out.iloc[0]["extracted_text"] == "# c3-000000\n\nseção de extração"
+    # latin-1 decode of cp1252 bytes: é survives (same codepoint), the
+    # em-dash (0x97) becomes the latin-1 control char — byte-faithful to the
+    # reference cascade, which tries latin-1 before cp1252
+    want = "análise — rápida".encode("cp1252").decode("latin-1")
+    assert out.iloc[1]["extracted_text"] == f"# c3-000001\n\n{want}"
+    assert (out["method"] == "generic_b64").all() and out["success"].all()
+
+
+def test_new_kinds_flow_through_generator(spark):
+    """The synthetic corpus now emits office/image/text_b64 kinds and every
+    one of them extracts (per-turn equality with the local oracle is covered
+    by test_per_turn_equality_vs_local_oracle over the same generator)."""
+    tdf = transcripts.make_transcripts(spark, 60, mean_turns=8, seed=21, parallelism=8)
+    out = pipeline.extract_turns(tdf, mode="agent").toPandas()
+    kinds = set(out["tool"])
+    assert {"docx", "xlsx", "pptx", "text_b64"} <= kinds
+    assert kinds & {"png", "jpeg", "bmp", "webp", "tiff"}
+    office_ok = out[out.tool.isin(["docx", "xlsx", "pptx"])]
+    assert office_ok["success"].all() and (~office_ok["parse_failed"]).all()
+    b64 = out[out.tool == "text_b64"]
+    assert b64["success"].all()
+    imgs = out[out.tool.isin(["png", "jpeg", "bmp", "webp", "tiff"])]
+    assert imgs["success"].all()
+    assert imgs["extracted_text"].str.contains("<!-- image -->|não pôde ser processado").all()
+
+
 def test_mega_conversation_assembly(spark):
     """A single 10k-turn conversation must assemble in exact order through
     the slab-based two-phase path (the skew case salting exists for)."""
