@@ -32,7 +32,6 @@ HEADLINE = [
     "events_sessionize",
     "events_hourly",
     "dedup_exact",
-    "dedup_minhash_pairs",
     "text_quality",
     "lang_id_docs",
     "ann_cosine_topk",
@@ -87,11 +86,20 @@ def main() -> None:
         results[name] = round(time.time() - t0, 3)
         print(f"# {name}: {results[name]}s ({n} rows)", file=sys.stderr)
 
-    # scale-shaped n-gram jaccard (hot-shingle cap on): the uncapped oracle
-    # variant is quadratic by design on this shared-vocab synthetic corpus
     from docling_gfcr_spark.operators import dedup as _dedup
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    # minhash LSH pairs on the xxhash64 FAST path (the queries() entry uses
+    # md5 band keys only because DuckDB must reproduce them; at scale you run
+    # this variant — same plan, no hex-string materialization)
+    t0 = time.time()
+    n = _dedup.minhash_lsh_pairs(docs, n_hashes=32, bands=8, k=5, hash_fn="xxhash64").count()
+    results["dedup_minhash_pairs"] = round(time.time() - t0, 3)
+    print(f"# dedup_minhash_pairs: {results['dedup_minhash_pairs']}s ({n} rows)", file=sys.stderr)
+
+    # scale-shaped n-gram jaccard (hot-shingle cap on): the uncapped oracle
+    # variant is quadratic by design on this shared-vocab synthetic corpus
     t0 = time.time()
     n = _dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5, hot_shingle_cap=100).count()
     results["dedup_ngram_capped"] = round(time.time() - t0, 3)

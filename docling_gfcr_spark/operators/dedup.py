@@ -161,17 +161,21 @@ def minhash_lsh_pairs(
     this op's output is candidate pairs, verified downstream anyway)."""
     rows = n_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, k, hash_fn=hash_fn)
+
+    def band_hash(b: int):
+        elems = [F.col("sig")[b * rows + r] for r in range(rows)]
+        if hash_fn == "md5":
+            # engine-portable band key: DuckDB computes the identical string
+            # (md5 over '|'-joined signature hex digests) — the oracle path
+            return F.md5(F.concat_ws("|", *elems))
+        return F.xxhash64(*elems)
+
     banded = sigs.select(
         "id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)]).alias(
-                            "band_hash"
-                        ),
-                    )
+                    F.struct(F.lit(b).alias("band"), band_hash(b).alias("band_hash"))
                     for b in range(bands)
                 ]
             )

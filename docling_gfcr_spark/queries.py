@@ -32,6 +32,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# expected-output parquet computed by the local pure-Python/numpy oracles in
+# tools/make_fixtures.py (regenerate after kernel/generator changes;
+# tests/test_golden_fixture.py pins freshness)
+FIXTURE_DIR = "/root/repo/fixtures"
+_FIXTURE_SQL = f"SELECT * FROM read_parquet('{FIXTURE_DIR}/{{name}}.parquet')"
+
+
 # ---------------------------------------------------------------------------
 # relational core (TPC-H-ish)
 # ---------------------------------------------------------------------------
@@ -466,9 +473,37 @@ FROM t
 
 
 def dedup_minhash_pairs(spark, sf_dir):
-    """LSH banding candidates (rows-only check; planted-dup recall in pytest)."""
+    """LSH banding candidates with md5 band keys — the engine-portable
+    variant, value-checked against DuckDB computing the IDENTICAL banding
+    (signatures, '|'-joined band digests, equi-join). The xxhash64 fast path
+    (same plan, no hex strings) is what bench.py times and pytest
+    recall-tests."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(d, n_hashes=32, bands=8, k=5)
+    return dedup.minhash_lsh_pairs(d, n_hashes=32, bands=8, k=5, hash_fn="md5")
+
+
+_MINHASH_SIG_LIST = ",\n    ".join(
+    f"list_min(list_transform(sh, s -> md5('{j}:' || s)))" for j in range(32)
+)
+MINHASH_PAIRS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(2, len(string_split(text,' ')) - 3)),
+           i -> array_to_string((string_split(text,' '))[i:i+4], ' '))) AS sh
+  FROM documents
+), sig AS (
+  SELECT doc_id, [
+    {_MINHASH_SIG_LIST}
+  ] AS s
+  FROM t
+), banded AS (
+  SELECT doc_id, band, md5(array_to_string(s[band*4+1 : band*4+4], '|')) AS band_hash
+  FROM sig, range(8) br(band)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
 
 
 def dedup_simhash(spark, sf_dir):
@@ -657,7 +692,10 @@ def multimodal_features(spark, sf_dir):
     feats = mm.extract_media_features(media)
     return feats.select(
         "media_id", "modality", "n_bytes", "sha_prefix", "format",
-        "width", "height", "n_frames", F.round("duration_s", 6).alias("duration_s"),
+        # duration_s raw (no round): the double is computed in the Python
+        # worker, so the fixture oracle's locally-computed double is
+        # bit-identical — rounding could only introduce tie divergence
+        "width", "height", "n_frames", "duration_s",
     )
 
 
@@ -960,7 +998,17 @@ ORACLES: dict[str, str] = {
     "assemble_by_source": ASSEMBLE_SQL,
     "ann_cosine_topk": ANN_SQL,
     "emb_neardup_exact": NEARDUP_SQL,
-    # no oracle (rows-only): dedup_minhash_pairs, dedup_simhash,
-    # emb_neardup_lsh, extract_transcripts, extract_assembled_convs,
-    # multimodal_features — non-SQL kernels, covered by pytest oracles.
+    "dedup_minhash_pairs": MINHASH_PAIRS_SQL,
+    # Fixture-backed oracles: for the non-SQL kernels the expected output is
+    # computed by an INDEPENDENT single-threaded pure-Python/numpy oracle
+    # (tools/make_fixtures.py) and stored as typed parquet; DuckDB reads it
+    # back so the driver's value-hash check is as hard as for the SQL twins.
+    "extract_transcripts": _FIXTURE_SQL.format(name="extract_transcripts"),
+    "extract_assembled_convs": _FIXTURE_SQL.format(name="extract_assembled_convs"),
+    "dedup_simhash": _FIXTURE_SQL.format(name="dedup_simhash"),
+    "emb_neardup_lsh": _FIXTURE_SQL.format(name="emb_neardup_lsh"),
+    "multimodal_features": _FIXTURE_SQL.format(name="multimodal_features"),
+    # no oracle (rows-only): approx_distinct_stats — HLL++/GK sketch
+    # internals are engine-specific; exact twins are value-checked in
+    # q1_pricing_summary / order_value_percentiles.
 }

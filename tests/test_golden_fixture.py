@@ -41,3 +41,31 @@ def test_golden_optimize_matches_reference(reference_agent, golden_text):
     ours = mk.optimize_markdown(golden_text, "manual-de-redacao.pdf")
     ref = reference_agent.optimize_markdown(golden_text, "manual-de-redacao.pdf")
     assert ours == ref  # 430 KB byte-for-byte through the 5-rule chain
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "extract_transcripts",
+        "extract_assembled_convs",
+        "dedup_simhash",
+        "emb_neardup_lsh",
+        "multimodal_features",
+    ],
+)
+def test_oracle_fixture_is_fresh(name):
+    """The committed fixtures/ parquet (what the driver's DuckDB oracle
+    reads) must equal a fresh run of the local pure-Python oracle — catches
+    kernel/generator changes that weren't followed by
+    `python tools/make_fixtures.py`."""
+    import pandas as pd
+
+    from tools import make_fixtures as mf
+
+    path = os.path.join(mf.FIXTURE_DIR, f"{name}.parquet")
+    assert os.path.exists(path), f"run tools/make_fixtures.py ({path} missing)"
+    stored = pd.read_parquet(path)
+    fresh = mf.COMPUTE[name]()
+    pd.testing.assert_frame_equal(
+        stored.reset_index(drop=True), fresh.reset_index(drop=True)
+    )

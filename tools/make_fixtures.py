@@ -1,0 +1,205 @@
+#!/usr/bin/env python3
+"""Compute expected-output fixtures for the non-SQL-expressible queries.
+
+Each ``compute_*`` function is a LOCAL pure-Python/numpy oracle — no Spark —
+that reproduces, by independent single-threaded execution, exactly what the
+corresponding ``queries()`` entry must return. The results are written as
+typed parquet under ``fixtures/`` and the driver's DuckDB oracle reads them
+back (``SELECT * FROM read_parquet(...)``), turning the former rows-only
+checks into full value-hash checks.
+
+Re-run after changing any kernel or the transcripts/media generators:
+
+    python tools/make_fixtures.py
+
+``tests/test_golden_fixture.py`` fails if a committed fixture goes stale.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FIXTURE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures")
+ORACLE_SF = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+
+
+def _round_half_up6(x: float) -> float:
+    """Mirror Spark's F.round(double, 6): HALF_UP over the shortest decimal
+    representation of the double (BigDecimal.valueOf semantics)."""
+    return float(Decimal(repr(float(x))).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP))
+
+
+def compute_extract_transcripts() -> pd.DataFrame:
+    """Local oracle for queries.extract_transcripts (same generator params)."""
+    from docling_gfcr_spark import pipeline, transcripts
+
+    rows = []
+    for c in range(200):
+        for r in transcripts.gen_conv_rows(42, c, mean_turns=6, mega_every=50, skew_factor=10):
+            name = f"{r['conv_id']}-{r['turn_idx']:06d}".replace(" ", "_")
+            x = pipeline.extract_one(r["text"], r["tool"], name, "agent")
+            rows.append(
+                {
+                    "conv_id": r["conv_id"],
+                    "turn_idx": np.int32(r["turn_idx"]),
+                    "method": x["method"],
+                    "success": bool(x["success"]),
+                    "quality_score": np.int32(x["quality_score"]),
+                    "n_spans": np.int32(x["n_spans"]),
+                    "word_count": np.int32(x["word_count"]),
+                }
+            )
+    df = pd.DataFrame(rows)
+    for c in ("turn_idx", "quality_score", "n_spans", "word_count"):
+        df[c] = df[c].astype(np.int32)
+    return df
+
+
+def compute_extract_assembled_convs() -> pd.DataFrame:
+    """Local oracle for queries.extract_assembled_convs: per-conv turn-ordered
+    newline join of extracted texts -> (n_turns, conv_chars)."""
+    from docling_gfcr_spark import pipeline, transcripts
+
+    rows = []
+    for c in range(100):
+        turns = transcripts.gen_conv_rows(42, c, mean_turns=6)
+        texts = {}
+        for r in turns:
+            name = f"{r['conv_id']}-{r['turn_idx']:06d}".replace(" ", "_")
+            texts[r["turn_idx"]] = pipeline.extract_one(r["text"], r["tool"], name, "agent")[
+                "extracted_text"
+            ]
+        joined = "\n".join(texts[t] for t in sorted(texts))
+        rows.append(
+            {
+                "conv_id": turns[0]["conv_id"],
+                "n_turns": np.int32(len(turns)),
+                "conv_chars": np.int32(len(joined)),
+            }
+        )
+    df = pd.DataFrame(rows)
+    df["n_turns"] = df["n_turns"].astype(np.int32)
+    df["conv_chars"] = df["conv_chars"].astype(np.int32)
+    return df
+
+
+def compute_dedup_simhash() -> pd.DataFrame:
+    """Local oracle for queries.dedup_simhash over the sf0.01 documents."""
+    import duckdb
+
+    from docling_gfcr_spark.operators.dedup import _simhash64
+
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{ORACLE_SF}/documents.parquet')"
+    ).fetchdf()
+    return pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"].astype(np.int64),
+            "simhash": docs["text"].map(lambda t: _simhash64(t or "")).astype(np.int64),
+        }
+    )
+
+
+def compute_emb_neardup_lsh() -> pd.DataFrame:
+    """Local oracle for queries.emb_neardup_lsh: the same hyperplane-LSH
+    bucketing, candidate pairing, float64 cosine and HALF_UP 6dp rounding —
+    computed with plain numpy/dicts (no Spark, no joins)."""
+    import duckdb
+
+    from docling_gfcr_spark.operators.similarity import hyperplanes
+
+    n_planes, n_tables, seed, dim, threshold = 6, 8, 42, 64, 0.4
+    emb = duckdb.connect().execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{ORACLE_SF}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchdf()
+    ids = emb["vec_id"].to_numpy(dtype=np.int64)
+    m = np.asarray([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    planes = hyperplanes(dim, n_planes * n_tables, seed).reshape(n_tables, n_planes, dim)
+    weights = 1 << np.arange(n_planes)
+    pairs: set[tuple[int, int]] = set()
+    for t in range(n_tables):
+        bucket = ((m @ planes[t].T) > 0) @ weights
+        by_bucket: dict[int, list[int]] = {}
+        for row, b in enumerate(bucket):
+            by_bucket.setdefault(int(b), []).append(row)
+        for members in by_bucket.values():
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    a, b2 = members[i], members[j]
+                    if ids[a] > ids[b2]:
+                        a, b2 = b2, a
+                    pairs.add((a, b2))
+    rows = []
+    norms = np.linalg.norm(m, axis=1)
+    for a, b2 in pairs:
+        cos = float(np.einsum("i,i->", m[a], m[b2]) / (norms[a] * norms[b2]))
+        if cos >= threshold:
+            rows.append({"id_a": ids[a], "id_b": ids[b2], "cos": _round_half_up6(cos)})
+    df = pd.DataFrame(rows, columns=["id_a", "id_b", "cos"]).sort_values(["id_a", "id_b"])
+    df["id_a"] = df["id_a"].astype(np.int64)
+    df["id_b"] = df["id_b"].astype(np.int64)
+    df["cos"] = df["cos"].astype(np.float64)
+    return df.reset_index(drop=True)
+
+
+def compute_multimodal_features() -> pd.DataFrame:
+    """Local oracle for queries.multimodal_features (n=128, seed=42)."""
+    import hashlib
+
+    from docling_gfcr_spark.operators import multimodal as mm
+
+    rows = []
+    for i in range(128):
+        modality, payload = mm.gen_media_payload(i, seed=42)
+        d = mm.decode_media(payload)
+        rows.append(
+            {
+                "media_id": np.int64(i),
+                "modality": modality,
+                "n_bytes": np.int64(len(payload)),
+                "sha_prefix": hashlib.sha256(payload).hexdigest()[:16],
+                "format": d["format"],
+                "width": np.int32(d["width"]),
+                "height": np.int32(d["height"]),
+                "n_frames": np.int32(d["n_frames"]),
+                "duration_s": float(d["duration_s"]),
+            }
+        )
+    df = pd.DataFrame(rows)
+    df["media_id"] = df["media_id"].astype(np.int64)
+    df["n_bytes"] = df["n_bytes"].astype(np.int64)
+    for c in ("width", "height", "n_frames"):
+        df[c] = df[c].astype(np.int32)
+    df["duration_s"] = df["duration_s"].astype(np.float64)
+    return df
+
+
+COMPUTE = {
+    "extract_transcripts": compute_extract_transcripts,
+    "extract_assembled_convs": compute_extract_assembled_convs,
+    "dedup_simhash": compute_dedup_simhash,
+    "emb_neardup_lsh": compute_emb_neardup_lsh,
+    "multimodal_features": compute_multimodal_features,
+}
+
+
+def main(only: list[str]) -> None:
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    for name, fn in COMPUTE.items():
+        if only and name not in only:
+            continue
+        df = fn()
+        path = os.path.join(FIXTURE_DIR, f"{name}.parquet")
+        df.to_parquet(path, index=False)
+        print(f"wrote {path}: {len(df)} rows, dtypes={df.dtypes.to_dict()}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
