@@ -919,6 +919,91 @@ LIMIT 20
 """
 
 
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape — CORRELATED SCALAR SUBQUERY through the SQL front
+    door (Catalyst de-correlates it into an aggregate + join; no manual
+    rewrite)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part_v")
+    return spark.sql("""
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem_v JOIN part_v ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#4'
+          AND l_quantity < (SELECT 0.5 * avg(l_quantity)
+                            FROM lineitem_v l2 WHERE l2.l_partkey = p_partkey)
+    """)
+
+
+Q17_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#4'
+  AND l_quantity < (SELECT 0.5 * avg(l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape — IN-subquery with HAVING, again via the SQL API."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql("""
+        SELECT c_custkey, o_orderkey,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate,
+               round(o_totalprice, 2) AS totalprice,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM orders_v
+        JOIN customer_v ON c_custkey = o_custkey
+        JOIN lineitem_v ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem_v
+                             GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+        GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """)
+
+
+Q18_SQL = """
+SELECT c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       round(o_totalprice, 2) AS totalprice,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+"""
+
+
+def suppliers_above_avg_balance(spark, sf_dir):
+    """HAVING over an aggregate, DataFrame API: nations whose suppliers'
+    mean balance beats the global mean (uncorrelated scalar subquery +
+    post-aggregation filter)."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    global_avg = s.agg(F.round(F.avg("s_acctbal"), 4).alias("g"))
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.avg("s_acctbal"), 4).alias("avg_bal"),
+        )
+        .join(F.broadcast(global_avg))  # scalar broadcast, no driver collect
+        .where(F.col("avg_bal") > F.col("g"))
+        .drop("g")
+    )
+
+
+SUPP_HAVING_SQL = """
+SELECT n_name, count(*) AS n_suppliers, round(avg(s_acctbal), 4) AS avg_bal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+HAVING round(avg(s_acctbal), 4) > (SELECT round(avg(s_acctbal), 4) FROM supplier)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -959,6 +1044,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "running_revenue": running_revenue,
     "q10_returned_items": q10_returned_items,
     "except_building_nonurgent": except_building_nonurgent,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q18_large_orders": q18_large_orders,
+    "suppliers_above_avg_balance": suppliers_above_avg_balance,
     "approx_distinct_stats": approx_distinct_stats,
     "extract_transcripts": extract_transcripts,
     "extract_assembled_convs": extract_assembled_convs,
@@ -991,6 +1079,9 @@ ORACLES: dict[str, str] = {
     "running_revenue": RUNNING_SQL,
     "q10_returned_items": Q10_SQL,
     "except_building_nonurgent": EXCEPT_SQL,
+    "q17_small_quantity_revenue": Q17_SQL,
+    "q18_large_orders": Q18_SQL,
+    "suppliers_above_avg_balance": SUPP_HAVING_SQL,
     "lang_id_docs": _lang_sql(),
     "text_quality": QUALITY_SQL,
     "token_counts": TOKEN_SQL,
