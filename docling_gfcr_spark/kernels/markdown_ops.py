@@ -149,3 +149,80 @@ def title_wrap(stem: str, text: str) -> str:
 def quality_score(n_issues: int) -> int:
     """max(0, 100 - 20*n) (reference A3, scripts/markdown_agent.py:258)."""
     return max(0, 100 - n_issues * 20)
+
+
+# ---------------------------------------------------------------------------
+# vectorized (pd.Series) twins — the extraction hot path
+#
+# pandas .str.replace/.str.count with a COMPILED pattern call the same
+# Python `re` engine per element (pattern.sub / non-overlapping match count),
+# so these are byte/count-identical to the scalar kernels above — pinned by
+# test_kernels_markdown.test_series_kernels_match_scalar. They exist because
+# the fused extraction UDF spends most of its time on markdown/plain rows,
+# where per-row function dispatch dominates; the Series forms cut that
+# overhead without touching regex semantics (Java-regex translation stays
+# forbidden, SURVEY.md §4.3).
+# ---------------------------------------------------------------------------
+
+
+def optimize_markdown_series(content, filenames):
+    """Vectorized optimize_markdown for rows with non-blank content.
+
+    Caller must pre-filter: rows where ``not content.strip()`` take the
+    scalar early-return path (passthrough) instead.
+    """
+    import pandas as pd  # local: keep module importable without pandas
+
+    stems = pd.Series([stem_of(f) for f in filenames], index=content.index)
+    metadata = (
+        "---\ntitle: " + stems + "\nsource: " + pd.Series(list(filenames), index=content.index)
+        + "\nconverted_by: Docling Markdown Agent\n---\n\n"
+    )
+    c = content.str.replace(_RE_BLANK_RUNS, "\n\n", regex=True)
+    c = c.str.replace(_RE_HEADER_SPACING, r"\1\n\n\2", regex=True)
+    c = c.str.replace(_RE_LIST_BEFORE, r"\n\n\1", regex=True)
+    c = c.str.replace(_RE_LIST_AFTER, r"\1\n\n\2", regex=True)
+    c = c.where(c.str.endswith("\n"), c + "\n")
+    return metadata + c
+
+
+def validate_markdown_series(content) -> dict:
+    """Vectorized validate_markdown. Returns dict of numpy arrays/lists with
+    the same fields as the scalar ValidationResult (issues as list-of-list).
+    Handles empty content rows (reference short-circuit, agent.py:211-223).
+    """
+    empty = ~content.astype(bool)
+    headers = content.str.count(_RE_HEADERS).to_numpy()
+    paragraphs = content.str.count(_RE_PARAGRAPHS).to_numpy()
+    lists = content.str.count(_RE_LISTS).to_numpy()
+    words = content.str.split().str.len().to_numpy()
+    chars = content.str.len().to_numpy()
+    pagina = content.str.contains("# Página", regex=False).to_numpy()
+    empty_np = empty.to_numpy()
+    issues: list[list[str]] = []
+    for i in range(len(content)):
+        if empty_np[i]:
+            issues.append([ISSUE_EMPTY])
+            continue
+        row: list[str] = []
+        if headers[i] == 0:
+            row.append(ISSUE_NO_HEADERS)
+        if paragraphs[i] < 2 and chars[i] > 100:
+            row.append(ISSUE_FEW_PARAGRAPHS)
+        if words[i] < 10:
+            row.append(ISSUE_TOO_SHORT)
+        if pagina[i]:
+            row.append(ISSUE_PAGE_MARKERS)
+        issues.append(row)
+    n_issues = [len(r) for r in issues]
+    zero = empty_np
+    return {
+        "headers_count": [0 if z else int(v) for z, v in zip(zero, headers)],
+        "paragraphs_count": [0 if z else int(v) for z, v in zip(zero, paragraphs)],
+        "lists_count": [0 if z else int(v) for z, v in zip(zero, lists)],
+        "word_count": [0 if z else int(v) for z, v in zip(zero, words)],
+        "char_count": [0 if z else int(v) for z, v in zip(zero, chars)],
+        "issues": issues,
+        "quality_score": [0 if z else max(0, 100 - 20 * n) for z, n in zip(zero, n_issues)],
+        "valid": [False if z else n == 0 for z, n in zip(zero, n_issues)],
+    }

@@ -172,6 +172,65 @@ def lsh_topk(
     )
 
 
+def _bucket_pairs_kernel(threshold: float, pair_chunk: int = 200_000):
+    """Grouped-map kernel: ALL qualifying pairs within one (table, bucket).
+
+    Enumerates the triangle in numpy, cosine via the same
+    ``einsum('ij,ij->i')`` path as ``cosine_batch_udf`` (bit-identical to the
+    fixture oracle), chunked so peak memory is bounded by ``pair_chunk``
+    rows regardless of bucket size. Only pairs >= threshold leave the
+    worker — the threshold filter happens BEFORE any shuffle.
+    """
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+            )
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = np.asarray(pdf["v"].to_numpy()[order].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        ia, ib = np.triu_indices(n, 1)
+        out_a, out_b, out_c = [], [], []
+        for lo in range(0, len(ia), pair_chunk):
+            sa, sb = ia[lo : lo + pair_chunk], ib[lo : lo + pair_chunk]
+            num = np.einsum("ij,ij->i", m[sa], m[sb])
+            cos = num / (norms[sa] * norms[sb])
+            keep = cos >= threshold
+            out_a.append(ids[sa[keep]])
+            out_b.append(ids[sb[keep]])
+            out_c.append(cos[keep])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos": np.concatenate(out_c),
+            }
+        )
+
+    return kernel
+
+
+def _neardup_from_buckets(tb: DataFrame, threshold: float) -> DataFrame:
+    """(id, v, table, bucket) rows -> distinct near-dup pairs.
+
+    One shuffle (groupBy the bucket key), per-bucket numpy triangle, then a
+    distinct over the tiny post-threshold pair set. Compare with the naive
+    plan (bucket self-join -> candidate distinct -> two vector re-joins):
+    at sf0.1 that materializes ~150M candidate id-pairs; this emits only the
+    qualifying pairs (thousands) out of each worker.
+    """
+    pairs = tb.groupBy("table", "bucket").applyInPandas(
+        _bucket_pairs_kernel(threshold), schema="id_a long, id_b long, cos double"
+    )
+    # a pair colliding in k tables yields k IDENTICAL rows (same floats) —
+    # distinct is over the small qualifying set, never the candidate set
+    return pairs.distinct().select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -183,28 +242,81 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Pairs with cosine >= threshold, candidates limited to same
-    (table, bucket) — multi-table OR-construction for recall."""
+    (table, bucket) — multi-table OR-construction for recall. Skew note: a
+    degenerate bucket holding B vectors costs B^2/2 kernel work; the lever
+    is n_planes (bucket count 2^n_planes), chosen at write time at scale."""
     bucket = make_bucket_udf(dim, n_planes, seed, n_tables)
-    ids = _with_table_buckets(corpus, "id", "v", bucket, id_col, vec_col).select(
-        "id", "table", "bucket"
-    )
-    a, b = ids.alias("a"), ids.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.table") == F.col("b.table"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+    tb = _with_table_buckets(corpus, "id", "v", bucket, id_col, vec_col)
+    return _neardup_from_buckets(tb, threshold)
+
+
+def write_bucketed_embeddings(
+    corpus: DataFrame,
+    path: str,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """The 100 TB layout: bucket columns computed ONCE at write time, data
+    physically partitioned by (table, bucket). Downstream near-dup runs pay
+    no hashing UDF and read already-clustered groups; probe-style lookups
+    (``lsh_topk_bucketed``) prune to exactly the probes' partitions."""
+    bucket = make_bucket_udf(dim, n_planes, seed, n_tables)
+    tb = _with_table_buckets(corpus, "id", "v", bucket, id_col, vec_col)
+    tb.write.mode("overwrite").partitionBy("table", "bucket").parquet(path)
+
+
+def neardup_from_bucketed(spark, path: str, threshold: float = 0.95) -> DataFrame:
+    """Near-dup pairs over a ``write_bucketed_embeddings`` layout."""
+    return _neardup_from_buckets(spark.read.parquet(path), threshold)
+
+
+def lsh_topk_bucketed(
+    spark,
+    path: str,
+    probes: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k against the bucketed layout with PARTITION PRUNING:
+    only the (table, bucket) directories the probes hash into are scanned —
+    ~L * corpus / 2^n_planes rows instead of the full table."""
+    from pyspark.sql import Window
+
+    bucket = make_bucket_udf(dim, n_planes, seed, n_tables)
+    p = _with_table_buckets(probes, "probe_id", "pv", bucket, id_col, vec_col)
+    probe_buckets = [
+        (int(r["table"]), int(r["bucket"]))
+        for r in p.select("table", "bucket").distinct().collect()
+    ]
+    corpus = spark.read.parquet(path)
+    # static (table, bucket) IN-list -> partition pruning at the scan
+    pruned = corpus.where(
+        F.struct(F.col("table"), F.col("bucket")).isin(
+            [F.struct(F.lit(t), F.lit(b)) for t, b in probe_buckets]
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()  # ids only: cheap shuffle, vectors joined back below
     )
-    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
-    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
+    cand = (
+        pruned.join(F.broadcast(p), ["table", "bucket"])
+        .where(F.col("probe_id") != F.col("id"))
+        .select("probe_id", "pv", F.col("id").alias("neighbor_id"), F.col("v").alias("cv"))
+        # dedupe multi-table collisions on the pair KEY (duplicate rows are
+        # byte-identical, so any survivor is correct; never distinct() over
+        # the embedding arrays themselves)
+        .dropDuplicates(["probe_id", "neighbor_id"])
+        .withColumn("cos", cosine_batch_udf(F.col("pv"), F.col("cv")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn("cos", cosine_batch_udf(F.col("va"), F.col("vb")))
-        .where(F.col("cos") >= threshold)
-        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos"))
     )

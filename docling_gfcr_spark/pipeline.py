@@ -102,11 +102,12 @@ _EMPTY = {
 }
 
 
-def extract_one(text: str | None, tool: str | None, name: str, mode: str) -> dict:
-    """Pure per-row kernel: route -> extract -> optimize -> validate.
+def route_one(text: str | None, tool: str | None, name: str, mode: str) -> dict:
+    """Per-row route + extract (NO optimize/validate — those are batched).
 
-    ``name`` plays the reference's filename role (frontmatter title P4a,
-    fallback wrap P3). Total: returns an error record instead of raising.
+    Returns either a full error record (``success`` False, O1 envelope) or a
+    partial dict ``{extracted, method, spans, n_nodes, n_kept, parse_failed}``
+    for the shared optimize/validate stage. Total: never raises.
     """
     try:
         if text is None:
@@ -213,48 +214,173 @@ def extract_one(text: str | None, tool: str | None, name: str, mode: str) -> dic
                 extracted, method = text, "raw"
             else:
                 extracted = extracted or ""
-        if mode == "agent" and extracted.strip():
-            extracted = markdown_ops.optimize_markdown(extracted, f"{name}.{kind}")
-        v = markdown_ops.validate_markdown(extracted)
         return {
-            "extracted_text": extracted,
+            "extracted": extracted,
             "method": method,
-            "success": True,
-            "error": None,
             "spans": spans,
             "n_nodes": n_nodes,
             "n_kept": n_kept,
-            "n_spans": len(spans),
             "parse_failed": parse_failed,
-            "headers_count": v["metrics"]["headers_count"],
-            "paragraphs_count": v["metrics"]["paragraphs_count"],
-            "lists_count": v["metrics"]["lists_count"],
-            "word_count": v["metrics"]["word_count"],
-            "char_count": v["metrics"]["char_count"],
-            "issues": list(v["issues"]),
-            "quality_score": v["quality_score"],
-            "valid": v["valid"],
         }
     except Exception as e:  # O1: total per-row
         return {**_EMPTY, "error": f"{type(e).__name__}: {e}"}
 
 
-def make_extract_udf(mode: str = "agent"):
-    """Build the fused scalar pandas UDF (one Arrow boundary per batch)."""
+def extract_one(text: str | None, tool: str | None, name: str, mode: str) -> dict:
+    """Pure per-row kernel: route -> extract -> optimize -> validate.
 
-    fields = [f.name for f in EXTRACT_TYPE.fields]
+    ``name`` plays the reference's filename role (frontmatter title P4a,
+    fallback wrap P3). Total: returns an error record instead of raising.
+    THE local-oracle reference path: ``extract_batch`` must equal mapping
+    this over the rows (pinned by tests/test_pipeline.py).
+    """
+    r = route_one(text, tool, name, mode)
+    if "extracted" not in r:
+        return r  # error record
+    extracted = r["extracted"]
+    kind = (tool or "text").lower()
+    if mode == "agent" and extracted.strip():
+        extracted = markdown_ops.optimize_markdown(extracted, f"{name}.{kind}")
+    v = markdown_ops.validate_markdown(extracted)
+    return {
+        "extracted_text": extracted,
+        "method": r["method"],
+        "success": True,
+        "error": None,
+        "spans": r["spans"],
+        "n_nodes": r["n_nodes"],
+        "n_kept": r["n_kept"],
+        "n_spans": len(r["spans"]),
+        "parse_failed": r["parse_failed"],
+        "headers_count": v["metrics"]["headers_count"],
+        "paragraphs_count": v["metrics"]["paragraphs_count"],
+        "lists_count": v["metrics"]["lists_count"],
+        "word_count": v["metrics"]["word_count"],
+        "char_count": v["metrics"]["char_count"],
+        "issues": list(v["issues"]),
+        "quality_score": v["quality_score"],
+        "valid": v["valid"],
+    }
+
+
+# kinds whose whole route is pure string/regex work — vectorizable with
+# pd.Series twins of the kernels (same Python `re` engine, byte-identical;
+# markdown_ops.optimize_markdown_series / validate_markdown_series)
+_VECTOR_KINDS = frozenset({"markdown", "md", "plain", "text", "txt"})
+
+
+def make_extract_udf(mode: str = "agent"):
+    """Build the fused scalar pandas UDF (one Arrow boundary per batch).
+
+    Two internal paths: markdown/plain rows run through vectorized Series
+    kernels (the hot path — no per-row dispatch); HTML/PDF/office/image/json
+    rows run the per-row ``extract_one`` kernel. Equality of the two paths is
+    pinned by tests (the local oracle always uses ``extract_one``).
+    """
 
     @F.pandas_udf(EXTRACT_TYPE)
     def extract_udf(text: pd.Series, tool: pd.Series, name: pd.Series) -> pd.DataFrame:
-        rows = [
-            extract_one(t, k, n, mode)
-            for t, k, n in zip(text.tolist(), tool.tolist(), name.tolist())
-        ]
-        # columnar assembly: dict-of-lists beats pandas' list-of-dicts
-        # inference by ~3x on 17 columns
-        return pd.DataFrame({f: [r[f] for r in rows] for f in fields})
+        return extract_batch(text.tolist(), tool.tolist(), name.tolist(), mode)
 
     return extract_udf
+
+
+def _obj_array(values: list):
+    # np.asarray on a rectangular list-of-lists (e.g. all-empty issues)
+    # builds a 2D array and breaks fancy assignment; force 1-D object
+    import numpy as np
+
+    a = np.empty(len(values), dtype=object)
+    for j, v in enumerate(values):
+        a[j] = v
+    return a
+
+
+def extract_batch(texts: list, tools: list, names: list, mode: str) -> pd.DataFrame:
+    """One Arrow batch through the fused kernel (pure function — testable
+    and micro-benchmarkable without Spark).
+
+    Routing/extraction is per-row (HTML/PDF parsers are inherently per-
+    document); the optimize (P4) + validate (A1-A3) tail runs ONCE,
+    vectorized over every successful row of the batch via the Series twins
+    in markdown_ops — byte-identical to mapping ``extract_one`` row-by-row
+    (the tests' local oracle), just without per-row kernel dispatch.
+    """
+    import numpy as np
+
+    fields = [f.name for f in EXTRACT_TYPE.fields]
+
+    def fill_per_row(out: dict, idx) -> None:
+        for i in idx:
+            r = extract_one(texts[i], tools[i], names[i], mode)
+            for f in fields:
+                out[f][i] = r[f]
+
+    n = len(texts)
+    kinds = [(t or "text").lower() for t in tools]
+    out = {f: np.empty(n, dtype=object) for f in fields}
+    pend_idx: list[int] = []
+    pend_text: list[str] = []
+    for i in range(n):
+        k = kinds[i]
+        if k in _VECTOR_KINDS and texts[i] is not None:
+            # pure-string kinds skip route_one entirely (same semantics:
+            # markdown passes through, plain title-wraps in agent mode)
+            if k in ("markdown", "md"):
+                extracted, method = texts[i], "markdown"
+            else:
+                extracted = (
+                    markdown_ops.title_wrap(names[i], texts[i])
+                    if mode == "agent"
+                    else texts[i]
+                )
+                method = "generic"
+            out["method"][i] = method
+            out["spans"][i] = []
+            out["n_nodes"][i] = out["n_kept"][i] = out["n_spans"][i] = 0
+            out["parse_failed"][i] = False
+        else:
+            r = route_one(texts[i], tools[i], names[i], mode)
+            if "extracted" not in r:  # error record: all fields fixed
+                for f in fields:
+                    out[f][i] = r[f]
+                continue
+            extracted = r["extracted"]
+            out["method"][i] = r["method"]
+            out["spans"][i] = r["spans"]
+            out["n_nodes"][i] = r["n_nodes"]
+            out["n_kept"][i] = r["n_kept"]
+            out["n_spans"][i] = len(r["spans"])
+            out["parse_failed"][i] = r["parse_failed"]
+        pend_idx.append(i)
+        pend_text.append(extracted)
+    if pend_idx:
+        try:
+            base = pd.Series(pend_text)
+            if mode == "agent":
+                nonblank = base.str.strip().astype(bool)
+                if nonblank.any():
+                    nb = np.flatnonzero(nonblank.to_numpy())
+                    fnames = [f"{names[pend_idx[j]]}.{kinds[pend_idx[j]]}" for j in nb]
+                    base = base.copy()
+                    base[nonblank] = markdown_ops.optimize_markdown_series(
+                        base[nonblank], fnames
+                    )
+            v = markdown_ops.validate_markdown_series(base)
+            out["extracted_text"][pend_idx] = base.to_numpy(dtype=object)
+            out["success"][pend_idx] = True
+            out["error"][pend_idx] = None
+            out["issues"][pend_idx] = _obj_array(v["issues"])
+            for z in (
+                "headers_count", "paragraphs_count", "lists_count",
+                "word_count", "char_count", "quality_score", "valid",
+            ):
+                out[z][pend_idx] = v[z]
+        except Exception:
+            # total fallback: vectorization must never change the O1
+            # invariant (a bad batch degrades to per-row, never fails)
+            fill_per_row(out, pend_idx)
+    return pd.DataFrame(out)
 
 
 def extract_turns(df: DataFrame, mode: str = "agent") -> DataFrame:

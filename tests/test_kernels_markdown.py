@@ -105,3 +105,27 @@ def test_validate_parity_with_reference(reference_agent, content):
     assert dict(ours["metrics"]) == dict(ref["metrics"])
     assert ours["quality_score"] == ref["quality_score"]
     assert ours["valid"] == ref["valid"]
+
+
+# ---- vectorized Series twins must match the scalar kernels byte-for-byte --
+
+
+@settings(max_examples=100, deadline=None)
+@given(contents=st.lists(md_text, min_size=1, max_size=8), filename=fname)
+def test_series_kernels_match_scalar(contents, filename):
+    import pandas as pd
+
+    s = pd.Series(contents)
+    nonblank = s.str.strip().astype(bool)
+    if nonblank.any():
+        got = mk.optimize_markdown_series(s[nonblank], [filename] * int(nonblank.sum()))
+        for text, o in zip(s[nonblank], got):
+            assert o == mk.optimize_markdown(text, filename)
+    v = mk.validate_markdown_series(s)
+    for i, text in enumerate(contents):
+        want = mk.validate_markdown(text)
+        assert v["issues"][i] == want["issues"]
+        assert v["quality_score"][i] == want["quality_score"]
+        assert v["valid"][i] == want["valid"]
+        for metric, value in want["metrics"].items():
+            assert v[metric][i] == value, (metric, text)

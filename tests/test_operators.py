@@ -173,6 +173,53 @@ def test_asof_tie_break_is_deterministic(spark):
         assert len(got) == 1 and got.iloc[0]["click_right"] == 99
 
 
+def test_neardup_bucketed_layout_equals_inline(spark, tmp_path):
+    """write_bucketed_embeddings (the 100 TB write-time layout) must yield
+    byte-identical near-dup pairs to the inline bucketing path."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "bucketed")
+    similarity.write_bucketed_embeddings(e, path, n_planes=4, n_tables=4)
+    inline = (
+        similarity.embedding_neardup_pairs(e, threshold=0.35, n_planes=4, n_tables=4)
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    bucketed = (
+        similarity.neardup_from_bucketed(spark, path, threshold=0.35)
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    assert len(inline) > 0
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(inline, bucketed)
+
+
+def test_lsh_topk_bucketed_prunes_partitions(spark, tmp_path):
+    """Probe lookups against the bucketed layout must hit only the probes'
+    (table, bucket) partitions — PartitionFilters pinned in the plan — and
+    return exactly what the inline lsh_topk computes."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "bucketed_topk")
+    similarity.write_bucketed_embeddings(e, path, n_planes=4, n_tables=4)
+    probes = e.where(F.col("vec_id") % 200 == 0)
+    got = similarity.lsh_topk_bucketed(spark, path, probes, k=3, n_planes=4, n_tables=4)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the bucketed-corpus scan is the only one with (table, bucket)
+    # partition columns; its PartitionFilters must carry the probe IN-list
+    scan_lines = [
+        l for l in plan.splitlines() if "PartitionFilters: [" in l and "table#" in l
+    ]
+    assert scan_lines, f"no partition-pruned scan in plan:\n{plan[:2000]}"
+    want = similarity.lsh_topk(e, probes, k=3, n_planes=4, n_tables=4).toPandas()
+    gpd = got.toPandas()
+    key = ["probe_id", "rank"]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        gpd.sort_values(key).reset_index(drop=True),
+        want.sort_values(key).reset_index(drop=True),
+    )
+
+
 def test_multimodal_real_decode_matches_local_oracle(spark):
     """The Spark mapInPandas path must reproduce, per media_id, exactly what
     the pure-Python header parsers say about the same deterministic bytes —
