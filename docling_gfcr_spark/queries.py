@@ -1004,6 +1004,123 @@ HAVING round(avg(s_acctbal), 4) > (SELECT round(avg(s_acctbal), 4) FROM supplier
 """
 
 
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: conditional-aggregate ratio (promo revenue share)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01")) & (F.col("l_shipdate") < F.lit("1997-07-01"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q14_SQL = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+"""
+
+
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    predicates over a join — exercises OR-of-ANDs pushdown/planning."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 20))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20) & (F.col("l_quantity") >= 30))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30) & (F.col("l_quantity") >= 40))
+    )
+    return j.where(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+Q19_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity >= 20)
+   OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity >= 30)
+   OR (p_brand = 'Brand#3' AND p_size <= 30 AND l_quantity >= 40)
+"""
+
+
+def orders_with_late_shipments(spark, sf_dir):
+    """TPC-H Q4 shape (adapted to the slim schema): per-priority count of
+    orders with EXISTS a lineitem shipped >60 days after the order date —
+    correlated EXISTS via left-semi join on a range condition."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(o.o_orderdate.cast("date"), 60).cast("timestamp")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_late_orders"))
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS n_late_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q22_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape: customers with above-average balance and no URGENT
+    orders — scalar subquery + NOT EXISTS (anti-join), by market segment.
+    (Every customer has >=1 order in this data, so plain NO-orders would be
+    an empty — trivially matching — result.)"""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    pos_avg = c.where(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal"), 4).alias("g")
+    )
+    return (
+        c.join(F.broadcast(pos_avg))
+        .where(F.col("c_acctbal") > F.col("g"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_cust"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+    )
+
+
+Q22_SQL = """
+SELECT c_mktsegment, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
+FROM customer c
+WHERE c_acctbal > (SELECT round(avg(c_acctbal), 4) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1047,6 +1164,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_orders": q18_large_orders,
     "suppliers_above_avg_balance": suppliers_above_avg_balance,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "orders_with_late_shipments": orders_with_late_shipments,
+    "q22_idle_rich_customers": q22_idle_rich_customers,
     "approx_distinct_stats": approx_distinct_stats,
     "extract_transcripts": extract_transcripts,
     "extract_assembled_convs": extract_assembled_convs,
@@ -1082,6 +1203,10 @@ ORACLES: dict[str, str] = {
     "q17_small_quantity_revenue": Q17_SQL,
     "q18_large_orders": Q18_SQL,
     "suppliers_above_avg_balance": SUPP_HAVING_SQL,
+    "q14_promo_revenue": Q14_SQL,
+    "q19_disjunctive_revenue": Q19_SQL,
+    "orders_with_late_shipments": Q4_SQL,
+    "q22_idle_rich_customers": Q22_SQL,
     "lang_id_docs": _lang_sql(),
     "text_quality": QUALITY_SQL,
     "token_counts": TOKEN_SQL,

@@ -120,7 +120,8 @@ Corpus: {n_turns:,} turns ({N_CONV} conversations, deterministic seed 42,
 mega-conversation skew planted every 200th conv at 40x turns).
 Job: parquet scan -> fused-UDF extraction (route/extract/optimize/validate)
 -> noop sink (full materialization of every extracted turn). Pure-kernel
-single-core ceiling: ~5,800 turns/s (so ideal-linear = 5,800 x cores).
+single-core ceiling: ~15,000 turns/s (vectorized batch kernel; ideal-linear
+= 15,000 x cores, so the JVM scan/Arrow/sink share shows up well before 32).
 
 | parallelism | wall sec | extracted turns/sec | per-core |
 |---|---|---|---|
