@@ -289,6 +289,42 @@ def test_new_kinds_flow_through_generator(spark):
     assert imgs["extracted_text"].str.contains("<!-- image -->|não pôde ser processado").all()
 
 
+def test_extract_batch_equals_per_row_on_adversarial_input():
+    """Property: the batched kernel (vectorized tail) equals mapping
+    extract_one row-by-row, for arbitrary payload/kind combinations —
+    including blanks, nulls, wrong-kind payloads, and garbage."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    kinds = st.sampled_from(
+        ["markdown", "plain", "html", "json", "pdf_text", "docx", "png",
+         "text_b64", "unsupported_ext", None]
+    )
+    payloads = st.one_of(
+        st.none(),
+        st.text(alphabet=st.sampled_from(list("ab<>#&{}[]\"\\/ \n\t-*+=áé\x00")), max_size=120),
+    )
+    fields = [f.name for f in pipeline.EXTRACT_TYPE.fields]
+
+    @settings(max_examples=60, deadline=None)
+    @given(rows=st.lists(st.tuples(payloads, kinds), min_size=1, max_size=12))
+    def check(rows):
+        texts = [t for t, _ in rows]
+        tools = [k for _, k in rows]
+        names = [f"n{i}" for i in range(len(rows))]
+        for mode in ("agent", "cli"):
+            got = pipeline.extract_batch(texts, tools, names, mode)
+            for i, (t, k) in enumerate(rows):
+                want = pipeline.extract_one(t, k, names[i], mode)
+                for f in fields:
+                    g = got[f].iloc[i]
+                    assert g == want[f] or (g != g and want[f] != want[f]), (
+                        f, i, t, k, mode, g, want[f]
+                    )
+
+    check()
+
+
 def test_mega_conversation_assembly(spark):
     """A single 10k-turn conversation must assemble in exact order through
     the slab-based two-phase path (the skew case salting exists for)."""

@@ -82,6 +82,21 @@ def test_minhash_no_python_boundary(spark):
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
 
 
+def test_neardup_single_shuffle_no_candidate_join(spark):
+    """The LSH near-dup plan must be: bucket UDF -> ONE hashpartitioning
+    exchange (the (table, bucket) groupBy) -> grouped kernel -> distinct of
+    the tiny qualifying set. No self-join, no second vector shuffle."""
+    from docling_gfcr_spark.operators import similarity
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = plan_of(similarity.embedding_neardup_pairs(e, threshold=0.4, n_planes=4, n_tables=4))
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    assert "FlatMapGroupsInPandas" in p or "FlatMapGroupsInArrow" in p
+    # exchanges: one for the groupBy, one for the post-threshold distinct
+    # (over qualifying pairs only) — never a candidate-pair shuffle
+    assert p.count("Exchange hashpartitioning") <= 2
+
+
 def test_topk_probe_side_broadcast(spark):
     from pyspark.sql import functions as F
 
