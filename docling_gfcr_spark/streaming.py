@@ -76,6 +76,82 @@ def _has_agg(df: DataFrame) -> bool:
     return "Aggregate" in df._jdf.queryExecution().logical().toString()
 
 
+def stream_dedup_exact(stream: DataFrame, text_col: str = "text", watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: watermarked ``dropDuplicates`` on the content
+    hash — the ingest-time twin of ``operators.dedup.exact_dedup_keep``.
+
+    The watermark bounds the dedup state (Spark evicts hashes older than the
+    horizon), which is what makes this viable on an unbounded 100 TB/day
+    stream: exact global dedup stays a batch compaction job; this stage
+    kills the duplicates that arrive close together (retries, double-sends).
+    """
+    return (
+        stream.withColumn("content_hash", F.md5(F.col(text_col)))
+        .withWatermark("ts", watermark)
+        .dropDuplicates(["content_hash"])
+        .drop("content_hash")
+    )
+
+
+def stream_extract_durable(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    mode: str = "agent",
+    checkpoint_dir: str | None = None,
+):
+    """Streaming ingest with the SAME durable-commit protocol as the batch
+    job: each micro-batch writes extracted rows under ``part_id=<batch_id>``
+    (dynamic partition overwrite — a replayed batch replaces, never
+    duplicates: exactly-once on top of at-least-once delivery) and then
+    appends one lineage row per batch. foreachBatch is the Spark-idiomatic
+    bridge from a stream to a transactional sink.
+
+    Returns the started StreamingQuery (caller drains/stops it).
+    """
+    import time as _time
+
+    data_dir, lineage_dir = f"{out_dir}/data", f"{out_dir}/lineage"
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        extracted = pipeline.extract_turns(batch_df, mode=mode).withColumn(
+            "part_id", F.lit(int(batch_id))
+        )
+        (
+            extracted.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("part_id")
+            .parquet(data_dir)
+        )
+        metrics = (
+            spark.read.parquet(data_dir)
+            .where(F.col("part_id") == int(batch_id))
+            .agg(
+                F.count("*").alias("n_turns"),
+                F.sum("n_nodes").alias("nodes_classified"),
+                F.sum("n_spans").alias("spans_emitted"),
+                F.sum(F.col("parse_failed").cast("long")).alias("parse_failures"),
+                F.sum((~F.col("success")).cast("long")).alias("errors"),
+            )
+            .withColumn("part_id", F.lit(int(batch_id)))
+            .withColumn("run_id", F.lit("stream"))
+            .withColumn("n_parts", F.lit(-1))
+            .withColumn("status", F.lit("committed"))
+            .withColumn("committed_at", F.lit(_time.time()))
+        )
+        metrics.coalesce(1).write.mode("append").parquet(lineage_dir)
+
+    # foreachBatch gets the pre-extraction stream (extraction happens inside
+    # the batch fn so a replayed batch re-extracts deterministically)
+    from docling_gfcr_spark.transcripts import SCHEMA as TRANSCRIPTS_SCHEMA
+
+    src = spark.readStream.schema(TRANSCRIPTS_SCHEMA).format("parquet").load(input_dir)
+    writer = src.writeStream.foreachBatch(commit_batch)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def stateful_turn_progress(stream: DataFrame, gap_turns: int = 100):
     """Custom stateful streaming operator (applyInPandasWithState): per
     conversation, maintain running (n_turns, max_turn_idx, n_errors) across

@@ -62,6 +62,65 @@ def test_windowed_event_counts_match_batch_bucketing(spark, tmp_path):
     pd.testing.assert_frame_equal(got, batch)
 
 
+def test_stream_dedup_exact_drops_in_horizon_duplicates(spark, tmp_path):
+    """Watermarked streaming dedup: duplicate payloads inside the watermark
+    horizon are dropped; the survivor set matches batch exact-dedup."""
+    src = str(tmp_path / "dedup_src")
+    tdf = transcripts.make_transcripts(spark, 6, mean_turns=4, seed=5, parallelism=2)
+    dup = tdf.limit(5)  # re-send five rows verbatim
+    tdf.unionByName(dup).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(transcripts.SCHEMA).format("parquet").load(src)
+    )
+    out = streaming.run_stream_to_memory(
+        spark, streaming.stream_dedup_exact(stream), "stream_dedup_t"
+    )
+    got = out.toPandas()
+    n_distinct = tdf.select(F.md5("text")).distinct().count()
+    assert len(got) == n_distinct
+    assert got["text"].map(lambda t: t).nunique() == n_distinct
+
+
+def test_stream_extract_durable_exactly_once(spark, tmp_path):
+    """foreachBatch durable sink: two input waves -> per-batch partitioned
+    data + lineage rows; totals match the input, no loss, no duplicates."""
+    src = str(tmp_path / "durable_src")
+    out_dir = str(tmp_path / "durable_out")
+    ckpt = str(tmp_path / "durable_ckpt")
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    tdf = transcripts.make_transcripts(spark, 8, mean_turns=4, seed=6, parallelism=2).cache()
+    half1 = tdf.where(F.col("turn_idx") % 2 == 0)
+    half2 = tdf.where(F.col("turn_idx") % 2 == 1)
+    half1.coalesce(1).write.mode("overwrite").parquet(src + "/w1")
+
+    q = streaming.stream_extract_durable(spark, src + "/w*", out_dir, checkpoint_dir=ckpt)
+    q.processAllAvailable()
+    half2.coalesce(1).write.mode("overwrite").parquet(src + "/w2")
+    q.processAllAvailable()
+    q.stop()
+
+    data = spark.read.parquet(out_dir + "/data")
+    assert data.count() == tdf.count()
+    assert data.select("conv_id", "turn_idx").distinct().count() == tdf.count()
+    lin = spark.read.parquet(out_dir + "/lineage").toPandas()
+    assert lin["n_turns"].sum() == tdf.count()
+    assert (lin["status"] == "committed").all()
+    # extracted text equals the batch pipeline's (stream == batch invariant)
+    got = (
+        data.select("conv_id", "turn_idx", "extracted_text")
+        .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    want = (
+        pipeline.extract_turns(tdf, mode="agent")
+        .select("conv_id", "turn_idx", "extracted_text")
+        .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_stateful_turn_progress_across_batches(spark, tmp_path):
     """applyInPandasWithState keeps per-conversation state across micro-batches:
     feed two file batches, assert totals accumulate."""
