@@ -231,6 +231,115 @@ def _neardup_from_buckets(tb: DataFrame, threshold: float) -> DataFrame:
     return pairs.distinct().select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    seed: int = 42,
+    iters: int = 10,
+    sample_limit: int = 20_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means on a DETERMINISTIC bounded sample (orderBy(id) →
+    limit → driver numpy). At 10^12 vectors you train on a fixed sample
+    anyway; the expensive part — assignment — stays distributed. Returns
+    unit-norm centroids (n_centroids, dim)."""
+    rows = (
+        corpus.orderBy(id_col)
+        .limit(sample_limit)
+        .select(F.col(vec_col).cast("array<double>"))
+        .collect()
+    )
+    m = np.asarray([r[0] for r in rows], dtype=np.float64)
+    return spherical_kmeans(m, n_centroids, seed, iters)
+
+
+def spherical_kmeans(m: np.ndarray, n_centroids: int, seed: int = 42, iters: int = 10) -> np.ndarray:
+    """Pure-numpy deterministic spherical k-means (shared by the Spark
+    trainer and the local fixture oracle)."""
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cent = m[rng.choice(len(m), n_centroids, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(n_centroids):
+            mask = assign == c
+            if mask.any():
+                v = m[mask].mean(axis=0)
+                cent[c] = v / max(float(np.linalg.norm(v)), 1e-12)
+    return cent
+
+
+def make_ivf_assign_udf(centroids: np.ndarray, n_probe: int = 1):
+    """Nearest-centroid id(s) per vector: ``n_probe`` clusters, best first.
+    Argmax/argsort ties resolve to the lowest centroid id (numpy stable
+    behaviour) — deterministic across runs and engines."""
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.asarray(vecs.tolist(), dtype=np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ cent.T
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    return assign
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF ANN: corpus rows carry their nearest-centroid cluster (computed
+    once — at real scale at write time, partitioned by cluster exactly like
+    ``write_bucketed_embeddings``); each probe visits its ``n_probe``
+    closest clusters and re-ranks exactly inside them. Scan fraction ≈
+    n_probe / n_centroids of the corpus instead of all of it."""
+    from pyspark.sql import Window
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_centroids, seed, iters, id_col=id_col, vec_col=vec_col
+        )
+    assign1 = make_ivf_assign_udf(centroids, n_probe=1)
+    assignp = make_ivf_assign_udf(centroids, n_probe=n_probe)
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        assign1(F.col(vec_col))[0].alias("cluster"),
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).cast("array<double>").alias("pv"),
+        F.explode(assignp(F.col(vec_col))).alias("cluster"),
+    )
+    cand = (
+        c.join(F.broadcast(p), "cluster")
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine_batch_udf(F.col("pv"), F.col("cv")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos"))
+    )
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

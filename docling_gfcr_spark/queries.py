@@ -634,6 +634,16 @@ FROM (
 """
 
 
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (coarse-quantizer scale path): deterministic spherical
+    k-means centroids, probes visit their 4 nearest of 16 clusters, exact
+    re-rank inside. Value-checked against a local numpy oracle fixture that
+    reimplements the candidate machinery without Spark."""
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") % 100 == 0)
+    return similarity.ivf_topk(e, probes, k=5, n_centroids=16, n_probe=4)
+
+
 def emb_neardup_exact(spark, sf_dir):
     """Exact cosine>=0.4 near-dup pairs (brute force — the oracle baseline
     for the LSH variant; 0.4 because the synthetic embeddings top out at
@@ -1151,6 +1161,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": doc_fingerprint,
     "assemble_by_source": assemble_by_source,
     "ann_cosine_topk": ann_cosine_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "emb_neardup_exact": emb_neardup_exact,
     "emb_neardup_lsh": emb_neardup_lsh,
     "asof_error_after_click": asof_error_after_click,
@@ -1223,6 +1234,7 @@ ORACLES: dict[str, str] = {
     "extract_assembled_convs": _FIXTURE_SQL.format(name="extract_assembled_convs"),
     "dedup_simhash": _FIXTURE_SQL.format(name="dedup_simhash"),
     "emb_neardup_lsh": _FIXTURE_SQL.format(name="emb_neardup_lsh"),
+    "ann_ivf_topk": _FIXTURE_SQL.format(name="ann_ivf_topk"),
     "multimodal_features": _FIXTURE_SQL.format(name="multimodal_features"),
     # no oracle (rows-only): approx_distinct_stats — HLL++/GK sketch
     # internals are engine-specific; exact twins are value-checked in

@@ -149,6 +149,55 @@ def compute_emb_neardup_lsh() -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def compute_ann_ivf_topk() -> pd.DataFrame:
+    """Local oracle for queries.ann_ivf_topk: same deterministic centroids
+    (shared pure-numpy spherical_kmeans), but candidate generation / rank is
+    plain numpy loops — no joins, no UDFs, no Spark."""
+    import duckdb
+
+    from docling_gfcr_spark.operators.similarity import spherical_kmeans
+
+    k, n_centroids, n_probe, seed, iters = 5, 16, 4, 42, 10
+    emb = duckdb.connect().execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{ORACLE_SF}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchdf()
+    ids = emb["vec_id"].to_numpy(dtype=np.int64)
+    m = np.asarray([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    # trainer samples orderBy(vec_id).limit(20000) — ids are already sorted
+    cent = spherical_kmeans(m[:20_000], n_centroids, seed, iters)
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    sims = mn @ cent.T
+    cluster = np.argmax(sims, axis=1)  # corpus: nearest centroid
+    probe_rows = np.flatnonzero(ids % 100 == 0)
+    norms = np.linalg.norm(m, axis=1)
+    out = []
+    for pr in probe_rows:
+        probe_clusters = np.argsort(-sims[pr], kind="stable")[:n_probe]
+        cand = np.flatnonzero(np.isin(cluster, probe_clusters))
+        cand = cand[ids[cand] != ids[pr]]
+        if len(cand) == 0:
+            continue
+        pv = np.broadcast_to(m[pr], (len(cand), m.shape[1]))
+        cos = np.einsum("ij,ij->i", pv, m[cand]) / (norms[pr] * norms[cand])
+        # rank by (-cos, neighbor_id): mergesort keeps determinism on ties
+        order = np.lexsort((ids[cand], -cos))[:k]
+        for rank, j in enumerate(order, start=1):
+            out.append(
+                {
+                    "probe_id": ids[pr],
+                    "rank": np.int64(rank),
+                    "neighbor_id": ids[cand[j]],
+                    "cos": _round_half_up6(cos[j]),
+                }
+            )
+    df = pd.DataFrame(out)
+    df["probe_id"] = df["probe_id"].astype(np.int64)
+    df["rank"] = df["rank"].astype(np.int64)
+    df["neighbor_id"] = df["neighbor_id"].astype(np.int64)
+    df["cos"] = df["cos"].astype(np.float64)
+    return df
+
+
 def compute_multimodal_features() -> pd.DataFrame:
     """Local oracle for queries.multimodal_features (n=128, seed=42)."""
     import hashlib
@@ -186,6 +235,7 @@ COMPUTE = {
     "extract_assembled_convs": compute_extract_assembled_convs,
     "dedup_simhash": compute_dedup_simhash,
     "emb_neardup_lsh": compute_emb_neardup_lsh,
+    "ann_ivf_topk": compute_ann_ivf_topk,
     "multimodal_features": compute_multimodal_features,
 }
 
