@@ -35,7 +35,9 @@ HEADLINE = [
     "text_quality",
     "lang_id_docs",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "emb_neardup_lsh",
+    "asof_error_after_click",
 ]
 
 N_CONV_BENCH = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

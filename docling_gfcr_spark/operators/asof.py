@@ -43,6 +43,8 @@ def asof_join(
     suffix: str = "_right",
     allow_exact_matches: bool = False,
     slab_seconds: float | None = 86400.0,
+    hot_key_threshold: int = 50_000,
+    hot_keys: list | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row of the same ``by`` key
     with right.on < left.on (strict predecessor by default, matching
@@ -51,7 +53,10 @@ def asof_join(
 
     ``slab_seconds`` bounds per-group memory for hot keys (see module
     docstring); pass ``None`` to co-group on the bare key (only safe when no
-    key is pathologically large).
+    key is pathologically large). Slabbing is applied ONLY to keys whose row
+    count (either side) exceeds ``hot_key_threshold`` — splitting every key
+    would explode the group count (keys x slabs) and per-group scheduling
+    overhead dwarfs the work for normal keys; cold keys stay one group.
     """
     right_cols = [c for c in right.columns if c != by]
     renamed = right
@@ -96,8 +101,32 @@ def asof_join(
     slab_l = F.floor(_epoch(F.col(on), on_type) / F.lit(float(slab_seconds)))
     slab_r = F.floor(_epoch(F.col(on_right), on_type) / F.lit(float(slab_seconds)))
 
-    l2 = left.withColumn("_slab", slab_l)
-    r2 = renamed.withColumn("_slab", slab_r)
+    # Hot-key census: one tiny map-side-combinable count per side, collected
+    # to the driver (keys exceeding the threshold are few BY DEFINITION —
+    # bounded by total_rows / threshold). Same eager-stats pattern AQE uses;
+    # pass ``hot_keys`` explicitly to skip the census on huge inputs.
+    if hot_keys is None:
+        def key_counts(df: DataFrame) -> DataFrame:
+            return df.select(F.col(by).alias("_k")).groupBy("_k").count()
+
+        hot_keys = [
+            r["_k"]
+            for r in (
+                key_counts(left)
+                .unionByName(key_counts(renamed))
+                .groupBy("_k").agg(F.max("count").alias("_cnt"))
+                .where(F.col("_cnt") > hot_key_threshold)
+                .collect()
+            )
+        ]
+    if not hot_keys:
+        # no pathological keys: plain per-key cogroup (one group per key,
+        # no carry machinery, no extra union/window stages)
+        return left.groupBy(by).cogroup(renamed.groupBy(by)).applyInPandas(merge, schema=schema)
+
+    is_hot = F.col(by).isin(list(hot_keys))
+    l2 = left.withColumn("_slab", F.when(is_hot, slab_l).otherwise(F.lit(0)).cast("long"))
+    r2 = renamed.withColumn("_slab", F.when(is_hot, slab_r).otherwise(F.lit(0)).cast("long"))
 
     # latest right row per (key, slab): struct max is lexicographic, so
     # leading with `on_right` picks the latest, remaining cols break ties —

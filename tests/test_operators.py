@@ -138,10 +138,16 @@ def test_asof_slab_path_matches_oracle_and_plain_path(spark):
         [(u, t, i) for u, t, i in right_rows], "user_id int, ts double, click long"
     ).repartition(8)
 
-    slab = asof_join(left, right, on="ts", by="user_id", slab_seconds=1000.0).toPandas()
+    slab = asof_join(
+        left, right, on="ts", by="user_id", slab_seconds=1000.0, hot_key_threshold=5000
+    ).toPandas()  # threshold below the hot user's 20k rows -> slab path active
     plain = asof_join(left, right, on="ts", by="user_id", slab_seconds=None).toPandas()
+    # cold threshold: nothing hot -> single group per key, same output
+    cold = asof_join(
+        left, right, on="ts", by="user_id", slab_seconds=1000.0, hot_key_threshold=10**9
+    ).toPandas()
     want = _local_asof_oracle(left_rows, right_rows)
-    for got in (slab, plain):
+    for got in (slab, plain, cold):
         rows = sorted(
             (r.event_id, r.user_id, r.ts, r.ts_right, r.click_right) for r in got.itertuples()
         )
