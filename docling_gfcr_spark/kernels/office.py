@@ -27,7 +27,7 @@ import json
 _HEADING_STYLES = {f"Heading{i}": i for i in range(1, 7)}
 
 
-def _pipe_table(rows: list[list]) -> list[str]:
+def pipe_table(rows: list[list]) -> list[str]:
     """Markdown pipe table: first row is the header (golden-fixture flavor)."""
     if not rows:
         return []
@@ -60,7 +60,7 @@ def assemble_docx(payload: str) -> str:
         else:
             blocks.append(text)
     for table in doc.get("tables", []):
-        lines = _pipe_table(table)
+        lines = pipe_table(table)
         if lines:
             blocks.append("\n".join(lines))
     return "\n\n".join(blocks)
@@ -74,7 +74,7 @@ def assemble_xlsx(payload: str) -> str:
     blocks: list[str] = []
     for sheet, rows in doc.get("sheets", {}).items():
         blocks.append(f"## {sheet}")
-        lines = _pipe_table(rows)
+        lines = pipe_table(rows)
         if lines:
             blocks.append("\n".join(lines))
     return "\n\n".join(blocks)

@@ -130,12 +130,26 @@ def route_one(text: str | None, tool: str | None, name: str, mode: str) -> dict:
                     kind=kind, supported=", ".join(sorted(SUPPORTED_KINDS))
                 ),
             }
-        if kind in ("html", "xhtml"):
+        if kind in ("html", "xhtml", "xml"):
+            # xml rides the same markup kernel: text nodes survive, tags
+            # don't (docling's xml handling is likewise text extraction)
             r = extract_html(text)
             extracted, parse_failed = r["text"], r["parse_failed"]
             n_nodes, n_kept = r["n_nodes"], r["n_kept"]
             spans = [{"start": s, "end": e, "kind": k} for s, e, k in r["spans"]]
-            method = "html"
+            method = "html" if kind != "xml" else "xml"
+        elif kind == "csv":
+            # docling renders CSV as a markdown table (golden-fixture pipe
+            # flavor); stdlib csv handles quoting/embedded commas
+            import csv as _csv
+            import io as _io
+
+            try:
+                rows = [row for row in _csv.reader(_io.StringIO(text)) if row]
+                extracted = "\n".join(office.pipe_table(rows))
+                method = "csv"
+            except _csv.Error:
+                extracted, method, parse_failed = "", "csv", True
         elif kind == "pdf":
             r = assemble_pdf(text)
             extracted, parse_failed = r["text"], r["parse_failed"]

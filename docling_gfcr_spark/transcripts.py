@@ -50,9 +50,9 @@ FOOTER_MARKER = "footerboilerplate"
 # format kind), and raw-bytes-through-the-encoding-cascade ("text_b64").
 KINDS = (
     "html", "pdf_text", "pdf", "markdown", "plain", "json", "binary_stub",
-    "unsupported_ext", "docx", "xlsx", "pptx", "image", "text_b64",
+    "unsupported_ext", "docx", "xlsx", "pptx", "image", "text_b64", "csv", "xml",
 )
-_KIND_P = (0.26, 0.08, 0.08, 0.14, 0.10, 0.08, 0.02, 0.02, 0.06, 0.05, 0.05, 0.04, 0.02)
+_KIND_P = (0.23, 0.08, 0.08, 0.12, 0.10, 0.08, 0.02, 0.02, 0.06, 0.05, 0.05, 0.04, 0.02, 0.03, 0.02)
 _IMAGE_SUBKINDS = ("png", "jpeg", "bmp", "webp", "tiff")
 
 
@@ -205,6 +205,32 @@ def build_text_b64_payload(rng: np.random.RandomState) -> str:
     return base64.b64encode(body.encode(enc)).decode("ascii")
 
 
+def build_csv_payload(rng: np.random.RandomState) -> str:
+    """CSV grid with quoted cells containing commas (exercises real parsing)."""
+    n_cols = int(rng.randint(2, 5))
+    lines = [",".join(str(rng.choice(_VOCAB)) for _ in range(n_cols))]
+    for _ in range(int(rng.randint(2, 7))):
+        cells = []
+        for _ in range(n_cols):
+            if rng.rand() < 0.2:
+                cells.append('"' + f"{rng.choice(_VOCAB)}, {rng.choice(_VOCAB)}" + '"')
+            else:
+                cells.append(str(int(rng.randint(0, 10_000))))
+        lines.append(",".join(cells))
+    return "\n".join(lines)
+
+
+def build_xml_payload(rng: np.random.RandomState) -> str:
+    paras = "".join(
+        f"<para>{_sentence(rng, int(rng.randint(8, 16)))}</para>"
+        for _ in range(int(rng.randint(1, 4)))
+    )
+    return (
+        f"<?xml version='1.0'?><doc><title>{_sentence(rng, 3).rstrip('.')}</title>"
+        f"<section>{paras}</section></doc>"
+    )
+
+
 def gen_turn(seed: int, conv_idx: int, turn_idx: int) -> tuple[str, str, str]:
     """(role, text, tool) for one turn — THE deterministic unit both the Spark
     generator and local test oracles call."""
@@ -235,6 +261,10 @@ def gen_turn(seed: int, conv_idx: int, turn_idx: int) -> tuple[str, str, str]:
         text, kind = build_image_payload(rng)
     elif kind == "text_b64":
         text = build_text_b64_payload(rng)
+    elif kind == "csv":
+        text = build_csv_payload(rng)
+    elif kind == "xml":
+        text = build_xml_payload(rng)
     else:  # plain
         text = "\n".join(_paragraphs(rng, int(rng.randint(1, 3))))
     role = ("user", "assistant", "tool")[turn_idx % 3]  # FIXTURES.md A1 cycle

@@ -247,6 +247,31 @@ def test_image_route_parses_real_headers(spark):
     assert "não pôde ser processado" in out.iloc[2]["extracted_text"]
 
 
+def test_csv_and_xml_routes(spark):
+    """csv -> markdown pipe table (docling's flavor, quoting honoured);
+    xml -> markup kernel text extraction (tags stripped, text kept)."""
+    csv_payload = 'name,score\n"alpha, prime",10\nbeta,20'
+    xml_payload = (
+        "<?xml version='1.0'?><doc><title>Heading words</title>"
+        "<section><para>body text with enough words to be kept as main content here</para>"
+        "</section></doc>"
+    )
+    df = spark.createDataFrame(
+        [("c4", 0, "user", csv_payload, "csv", None),
+         ("c4", 1, "user", xml_payload, "xml", None)],
+        schema=transcripts.SCHEMA,
+    )
+    out = pipeline.extract_turns(df, mode="cli").toPandas().sort_values("turn_idx")
+    assert out.iloc[0]["extracted_text"] == (
+        "| name | score |\n| --- | --- |\n| alpha, prime | 10 |\n| beta | 20 |"
+    )
+    assert out.iloc[0]["method"] == "csv"
+    xml_text = out.iloc[1]["extracted_text"]
+    assert "body text with enough words" in xml_text
+    assert "<para>" not in xml_text and "<doc>" not in xml_text
+    assert out.iloc[1]["method"] == "xml" and out.iloc[1]["n_spans"] > 0
+
+
 def test_text_b64_encoding_cascade_wired(spark):
     """S4 through the pipeline: raw bytes (base64) hit the utf-8 -> latin-1
     cascade; a cp1252-encoded payload is NOT valid utf-8, so the fallback
@@ -281,7 +306,10 @@ def test_new_kinds_flow_through_generator(spark):
     assert {"docx", "xlsx", "pptx", "text_b64"} <= kinds
     assert kinds & {"png", "jpeg", "bmp", "webp", "tiff"}
     office_ok = out[out.tool.isin(["docx", "xlsx", "pptx"])]
-    assert office_ok["success"].all() and (~office_ok["parse_failed"]).all()
+    # ~1% of payloads are adversarially garbled by the generator — those
+    # parse-fail into the raw fallback (still success); the rest must parse
+    assert office_ok["success"].all()
+    assert (~office_ok["parse_failed"]).mean() >= 0.9
     b64 = out[out.tool == "text_b64"]
     assert b64["success"].all()
     imgs = out[out.tool.isin(["png", "jpeg", "bmp", "webp", "tiff"])]
