@@ -34,8 +34,10 @@ def _norm(a) -> Column:
 
 def cosine_sim(a, b) -> Column:
     """Sequential-fold cosine in DOUBLE — bit-exact vs DuckDB's
-    list_cosine_similarity (oracle-checked paths use this)."""
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    list_cosine_similarity (oracle-checked paths use this). try_divide:
+    under ANSI mode a zero-norm vector would otherwise throw
+    DIVIDE_BY_ZERO and kill the job; NULL is filtered by every ranking."""
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 @F.pandas_udf(T.DoubleType())
@@ -78,7 +80,10 @@ def cosine_topk(
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        scored.where(F.col("cos").isNotNull() & ~F.isnan("cos"))
+        # zero-norm vectors: NULL (try_divide) or NaN (numpy 0/0) cosine;
+        # NaN sorts LARGEST in Spark's DESC order — drop, never rank
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("probe_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos"))
     )
@@ -166,7 +171,10 @@ def lsh_topk(
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        scored.where(F.col("cos").isNotNull() & ~F.isnan("cos"))
+        # zero-norm vectors: NULL (try_divide) or NaN (numpy 0/0) cosine;
+        # NaN sorts LARGEST in Spark's DESC order — drop, never rank
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("probe_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos"))
     )
@@ -334,7 +342,8 @@ def ivf_topk(
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        cand.where(F.col("cos").isNotNull() & ~F.isnan("cos"))  # see cosine_topk
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("probe_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos"))
     )
@@ -425,7 +434,8 @@ def lsh_topk_bucketed(
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        cand.where(F.col("cos").isNotNull() & ~F.isnan("cos"))  # see cosine_topk
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("probe_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos"))
     )

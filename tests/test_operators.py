@@ -179,6 +179,30 @@ def test_asof_tie_break_is_deterministic(spark):
         assert len(got) == 1 and got.iloc[0]["click_right"] == 99
 
 
+def test_zero_norm_vectors_never_rank(spark):
+    """A zero embedding has NaN cosine to everything; Spark sorts NaN as the
+    LARGEST double in DESC order, so without the guard it would top every
+    ranking. Plant one and assert it never appears as a neighbor."""
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.standard_normal(8).astype("float32").tolist()) for i in range(40)]
+    rows.append((999, [0.0] * 8))  # the zero vector
+    e = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]),
+        "vec_id long, embedding array<float>",
+    )
+    probes = e.where(F.col("vec_id") < 3)
+    for fn in (
+        lambda: similarity.cosine_topk(e, probes, k=5),
+        lambda: similarity.lsh_topk(e, probes, k=5, n_planes=3, n_tables=4, dim=8),
+        lambda: similarity.ivf_topk(e, probes, k=5, n_centroids=4, n_probe=4),
+    ):
+        out = fn().toPandas()
+        assert 999 not in set(out["neighbor_id"]), fn
+        assert not out["cos"].isna().any()
+
+
 def test_ivf_topk_recall_vs_bruteforce(spark):
     e = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
     probes = e.where(F.col("vec_id") % 50 == 0)
