@@ -1,0 +1,63 @@
+"""Deterministic sampling / split assignment for training-data pipelines.
+
+Random sampling is wrong for dataset curation at scale: re-runs must land
+every row in the same split regardless of partitioning, cluster size, or
+retry history. These operators derive a uniform [0,1) value from
+``md5(salt:id)`` and threshold it — a pure function of the row, portable
+across engines (the DuckDB oracle computes the identical hex strings), and
+exactly the trick lineage bucketing already uses (lineage.with_part_id).
+
+Thresholds are compared as 8-hex-char STRINGS (lowercase md5 output), so no
+engine-specific hex->int conversion is involved: u < f  <=>  hex8 <
+format(floor(f * 2^32), '08x').
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hex8(id_col: str, salt: str) -> Column:
+    return F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 8
+    )
+
+
+def _threshold_hex(fraction: float) -> str:
+    return format(min(int(fraction * 2**32), 2**32 - 1), "08x")
+
+
+def hash_sample(df: DataFrame, fraction: float, id_col: str = "doc_id", salt: str = "sample") -> DataFrame:
+    """Keep ~``fraction`` of rows, decided per-row by md5 — stable across
+    runs, partitionings and engines (unlike ``DataFrame.sample``)."""
+    return df.where(_hex8(id_col, salt) < _threshold_hex(fraction))
+
+
+def split_column(
+    id_col: str = "doc_id",
+    weights: tuple[float, ...] = (0.8, 0.1, 0.1),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    salt: str = "split",
+) -> Column:
+    """'train'/'val'/'test' (or custom) assignment column."""
+    if len(weights) != len(names):
+        raise ValueError("weights and names must align")
+    h = _hex8(id_col, salt)
+    acc = 0.0
+    expr = None
+    for w, name in zip(weights[:-1], names[:-1]):
+        acc += w
+        cond = h < _threshold_hex(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return (expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1])).alias("split")
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[float, ...] = (0.8, 0.1, 0.1),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    salt: str = "split",
+) -> DataFrame:
+    return df.withColumn("split", split_column(id_col, weights, names, salt))

@@ -584,6 +584,47 @@ SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp FROM
 """
 
 
+def split_train_val_test(spark, sf_dir):
+    """Deterministic 80/10/10 split assignment (md5-thresholded, stable
+    across partitionings/engines) + per-(lang, split) counts — the
+    dataset-curation shape every training pipeline needs."""
+    from docling_gfcr_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        sampling.deterministic_split(d)
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+SPLIT_SQL = f"""
+SELECT lang,
+       CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < '{format(int(0.8 * 2**32), "08x")}' THEN 'train'
+            WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < '{format(int(0.9 * 2**32), "08x")}' THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1, 2
+"""
+
+
+def hash_sampled_docs(spark, sf_dir):
+    """Deterministic ~20% hash sample (stable across runs, unlike
+    DataFrame.sample) — full row-level value check against DuckDB computing
+    the identical md5 threshold predicate."""
+    from docling_gfcr_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    return sampling.hash_sample(d, 0.2).select("doc_id", "lang", "n_chars")
+
+
+HASH_SAMPLE_SQL = f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8) < '{format(int(0.2 * 2**32), "08x")}'
+"""
+
+
 def assemble_by_source(spark, sf_dir):
     """Ordered string aggregation per group (the conversation-assembly shape
     on oracle-checkable data)."""
@@ -1159,6 +1200,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": text_quality,
     "token_counts": token_counts,
     "doc_fingerprint": doc_fingerprint,
+    "split_train_val_test": split_train_val_test,
+    "hash_sampled_docs": hash_sampled_docs,
     "assemble_by_source": assemble_by_source,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -1222,6 +1265,8 @@ ORACLES: dict[str, str] = {
     "text_quality": QUALITY_SQL,
     "token_counts": TOKEN_SQL,
     "doc_fingerprint": FP_SQL,
+    "split_train_val_test": SPLIT_SQL,
+    "hash_sampled_docs": HASH_SAMPLE_SQL,
     "assemble_by_source": ASSEMBLE_SQL,
     "ann_cosine_topk": ANN_SQL,
     "emb_neardup_exact": NEARDUP_SQL,

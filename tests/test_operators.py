@@ -179,6 +179,30 @@ def test_asof_tie_break_is_deterministic(spark):
         assert len(got) == 1 and got.iloc[0]["click_right"] == 99
 
 
+def test_deterministic_split_stable_and_proportional(spark):
+    """Split assignment is a pure function of the id: identical under any
+    repartitioning, and proportions land near the requested weights."""
+    from docling_gfcr_spark.operators import sampling
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    a = sampling.deterministic_split(d).select("doc_id", "split").toPandas()
+    b = (
+        sampling.deterministic_split(d.repartition(13))
+        .select("doc_id", "split")
+        .toPandas()
+    )
+    key = "doc_id"
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True)
+    )
+    frac = a["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.06 and abs(frac["val"] - 0.1) < 0.04
+    # hash_sample is a subset-stable filter: sampled ids ⊂ ids, ~fraction
+    s = sampling.hash_sample(d, 0.2)
+    assert 0.12 < s.count() / d.count() < 0.28
+    assert s.join(d, "doc_id", "left_anti").count() == 0
+
+
 def test_zero_norm_vectors_never_rank(spark):
     """A zero embedding has NaN cosine to everything; Spark sorts NaN as the
     LARGEST double in DESC order, so without the guard it would top every
