@@ -89,6 +89,28 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def repetition_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1 flavor), pure
+    Catalyst: duplicate-line fraction, duplicate-word fraction, mean line
+    length, fraction of purely-alphabetic words. The standard cheap filters
+    for boilerplate/spam in web-scale corpora."""
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines).cast("long")
+    n_uniq_lines = F.size(F.array_distinct(lines)).cast("long")
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_words = F.size(words).cast("long")
+    n_uniq_words = F.size(F.array_distinct(words)).cast("long")
+    n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("^[A-Za-z]+$"))).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        F.round((n_lines - n_uniq_lines) / F.greatest(n_lines, F.lit(1)), 6).alias("dup_line_frac"),
+        F.round((n_words - n_uniq_words) / F.greatest(n_words, F.lit(1)), 6).alias("dup_word_frac"),
+        F.round(F.length(F.col(text_col)) / F.greatest(n_lines, F.lit(1)), 6).alias("mean_line_len"),
+        F.round(n_alpha_words / F.greatest(n_words, F.lit(1)), 6).alias("alpha_word_frac"),
+    )
+
+
 def fingerprint(text_col: str = "text") -> Column:
     """Content fingerprint: md5 of casefolded, alnum-only text — robust to
     whitespace/punct/case edits; the cheap first stage before MinHash."""

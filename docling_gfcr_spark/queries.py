@@ -584,6 +584,54 @@ SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp FROM
 """
 
 
+def repetition_signals(spark, sf_dir):
+    """Gopher-style repetition/quality signals per doc (dup-line/word
+    fractions etc.) — the cheap web-corpus filters, all codegen'd."""
+    d = _t(spark, sf_dir, "documents")
+    return text_analysis.repetition_features(d)
+
+
+REPETITION_SQL = """
+SELECT doc_id,
+       len(string_split(text, chr(10))) AS n_lines,
+       round((len(string_split(text, chr(10))) - len(list_distinct(string_split(text, chr(10)))))
+             / greatest(len(string_split(text, chr(10))), 1), 6) AS dup_line_frac,
+       round((len(string_split_regex(trim(text), '\\s+')) - len(list_distinct(string_split_regex(trim(text), '\\s+'))))
+             / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) AS dup_word_frac,
+       round(length(text) / greatest(len(string_split(text, chr(10))), 1), 6) AS mean_line_len,
+       round(len(list_filter(string_split_regex(trim(text), '\\s+'), w -> regexp_full_match(w, '[A-Za-z]+')))
+             / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) AS alpha_word_frac
+FROM documents
+"""
+
+
+def corpus_token_budget(spark, sf_dir):
+    """The curation bottom line: token budget per (lang, split) — combines
+    deterministic split assignment with the BPE-ish tokenizer."""
+    from docling_gfcr_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        sampling.deterministic_split(d)
+        .groupBy("lang", "split")
+        .agg(
+            F.sum(text_analysis.token_count_bpe_ish("text")).alias("total_tokens"),
+            F.round(F.avg(text_analysis.token_count_bpe_ish("text")), 4).alias("avg_tokens"),
+        )
+    )
+
+
+TOKEN_BUDGET_SQL = f"""
+SELECT lang,
+       CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < '{format(int(0.8 * 2**32), "08x")}' THEN 'train'
+            WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < '{format(int(0.9 * 2**32), "08x")}' THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_tokens,
+       round(avg(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))), 4) AS avg_tokens
+FROM documents GROUP BY 1, 2
+"""
+
+
 def split_train_val_test(spark, sf_dir):
     """Deterministic 80/10/10 split assignment (md5-thresholded, stable
     across partitionings/engines) + per-(lang, split) counts — the
@@ -1200,6 +1248,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": text_quality,
     "token_counts": token_counts,
     "doc_fingerprint": doc_fingerprint,
+    "repetition_signals": repetition_signals,
+    "corpus_token_budget": corpus_token_budget,
     "split_train_val_test": split_train_val_test,
     "hash_sampled_docs": hash_sampled_docs,
     "assemble_by_source": assemble_by_source,
@@ -1265,6 +1315,8 @@ ORACLES: dict[str, str] = {
     "text_quality": QUALITY_SQL,
     "token_counts": TOKEN_SQL,
     "doc_fingerprint": FP_SQL,
+    "repetition_signals": REPETITION_SQL,
+    "corpus_token_budget": TOKEN_BUDGET_SQL,
     "split_train_val_test": SPLIT_SQL,
     "hash_sampled_docs": HASH_SAMPLE_SQL,
     "assemble_by_source": ASSEMBLE_SQL,
