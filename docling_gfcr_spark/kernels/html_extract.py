@@ -477,9 +477,6 @@ def extract_html(raw: str, engine: str = "fast") -> dict:
 
 
 def strip_tags(raw: str) -> str:
-    """SQL-parity tag strip: regexp_replace(text, '<[^>]*>', ' ') + squeeze.
-
-    Mirrors the ``extract_strip_tags`` driver-contract query so the same
-    semantics exist as a kernel for tests.
-    """
+    """SQL-parity tag strip: regexp_replace(text, '<[^>]*>', ' ') + squeeze —
+    the degraded-but-total fallback the extractor uses on parse failure."""
     return _WS_RE.sub(" ", _TAG_STRIP_RE.sub(" ", raw)).strip()

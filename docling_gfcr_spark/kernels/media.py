@@ -219,6 +219,132 @@ def parse_media(b: bytes) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# pixel-level PNG codec (stdlib zlib) + transforms
+# ---------------------------------------------------------------------------
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
+
+
+def decode_png_pixels(b: bytes) -> tuple[int, int, int, bytearray]:
+    """Full 8-bit PNG decode: chunk walk, zlib inflate, scanline unfilter
+    (all five filter types incl. Paeth). Returns (w, h, channels, pixels
+    row-major). Raises MediaParseError on anything unsupported."""
+    meta = parse_png(b)
+    w, h = meta["width"], meta["height"]
+    bit_depth, color_type = b[24], b[25]
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS:
+        raise MediaParseError(f"unsupported PNG (depth={bit_depth}, color={color_type})")
+    ch = _PNG_CHANNELS[color_type]
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(b):
+        length, ctype = struct.unpack(">I4s", b[i : i + 8])
+        if ctype == b"IDAT":
+            idat += b[i + 8 : i + 8 + length]
+        if ctype == b"IEND":
+            break
+        i += 12 + length  # len + type + payload + crc
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != (stride + 1) * h:
+        raise MediaParseError("PNG data length mismatch")
+    out = bytearray(stride * h)
+    prev = bytearray(stride)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ftype == 1:  # Sub
+            for x in range(ch, stride):
+                line[x] = (line[x] + line[x - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                c = prev[x - ch] if x >= ch else 0
+                bb = prev[x]
+                p = a + bb - c
+                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        elif ftype != 0:
+            raise MediaParseError(f"unknown PNG filter {ftype}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return w, h, ch, out
+
+
+def encode_png_pixels(w: int, h: int, ch: int, pixels: bytes) -> bytes:
+    """8-bit PNG encode (filter 0) — inverse of decode_png_pixels."""
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    stride = w * ch
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        raw += pixels[y * stride : (y + 1) * stride]
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def resize_png(b: bytes, max_side: int) -> bytes:
+    """Real nearest-neighbor downscale so the longest side <= max_side;
+    returns the input unchanged when already small enough."""
+    w, h, ch, px = decode_png_pixels(b)
+    if max(w, h) <= max_side:
+        return b
+    scale = max_side / max(w, h)
+    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    stride = w * ch
+    out = bytearray(nw * nh * ch)
+    for y in range(nh):
+        sy = min(h - 1, int(y / scale))
+        for x in range(nw):
+            sx = min(w - 1, int(x / scale))
+            src = sy * stride + sx * ch
+            dst = (y * nw + x) * ch
+            out[dst : dst + ch] = px[src : src + ch]
+    return encode_png_pixels(nw, nh, ch, bytes(out))
+
+
+def wav_frame_sample(b: bytes, step: int) -> bytes:
+    """Keep every ``step``-th PCM frame (real decimation, no resample
+    filter); sample rate is divided accordingly so duration is preserved."""
+    meta = parse_wav(b)
+    block = meta["block_align"]
+    # locate the data chunk
+    i, n = 12, len(b)
+    while i + 8 <= n:
+        cid, csize = struct.unpack("<4sI", b[i : i + 8])
+        if cid == b"data":
+            data = b[i + 8 : i + 8 + csize]
+            frames = bytearray()
+            for f in range(0, len(data) // block, step):
+                frames += data[f * block : (f + 1) * block]
+            new_rate = max(1, meta["sample_rate"] // step)
+            fmt = struct.pack(
+                "<HHIIHH", 1, meta["channels"], new_rate, new_rate * block, block, meta["bits"]
+            )
+            body = (
+                b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(frames)) + bytes(frames)
+            )
+            return b"RIFF" + struct.pack("<I", len(body)) + body
+        i += 8 + csize + (csize & 1)
+    raise MediaParseError("WAV missing data chunk")
+
+
+# ---------------------------------------------------------------------------
 # builders (minimal VALID files — real CRCs/zlib/box sizes)
 # ---------------------------------------------------------------------------
 

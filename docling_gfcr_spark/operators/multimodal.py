@@ -175,6 +175,59 @@ def make_fake_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def transform_payload(blob: bytes, max_side: int, frame_step: int) -> tuple[bytes, bool]:
+    """Pure per-payload transform (shared by the Spark stage and the local
+    fixture oracle): returns (new_payload, transformed)."""
+    try:
+        if blob.startswith(b"\x89PNG"):
+            out = media.resize_png(blob, max_side)
+            return out, out != blob
+        if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+            return media.wav_frame_sample(blob, frame_step), True
+    except media.MediaParseError:
+        pass  # O1: keep the row, flag untouched
+    return blob, False
+
+
+def transform_media(df: DataFrame, max_side: int = 64, frame_step: int = 4) -> DataFrame:
+    """Media transformation stage (mapInPandas): REAL pixel/PCM work where
+    the container is stdlib-decodable, honest passthrough where not.
+
+    - PNG images larger than ``max_side``: nearest-neighbor downscale
+      (full scanline unfilter incl. Paeth — kernels/media.py) and re-encode.
+    - WAV audio: keep every ``frame_step``-th PCM frame (decimation; sample
+      rate divided so duration is preserved).
+    - JPEG/MP4 payloads pass through unchanged with ``transformed=false`` —
+      entropy-coded streams need real codecs (Pillow/av on executors in
+      production, swapped into this same iterator).
+
+    Output keeps the MEDIA_SCHEMA shape plus a ``transformed`` flag so the
+    stage composes with extract_media_features downstream.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, modality, payload in zip(
+                pdf["media_id"], pdf["modality"], pdf["payload"]
+            ):
+                blob = bytes(payload) if payload is not None else b""
+                out, done = transform_payload(blob, max_side, frame_step)
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "modality": modality,
+                        "payload": out,
+                        "mime": sniff_mime(out),
+                        "n_bytes": len(out),
+                        "transformed": done,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(op, schema=MEDIA_SCHEMA + ", transformed boolean")
+
+
 def media_summary(df: DataFrame) -> DataFrame:
     """Partition-friendly rollup by modality/mime (plain Catalyst agg)."""
     return df.groupBy("modality", "mime").agg(

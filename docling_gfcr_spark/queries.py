@@ -800,6 +800,17 @@ def multimodal_features(spark, sf_dir):
 
 
 
+def multimodal_transformed(spark, sf_dir):
+    """transform_media (real PNG resize + WAV decimation) -> features;
+    value-checked against the local pure-Python oracle fixture."""
+    media = mm.make_fake_media(spark, n=128, seed=42)
+    feats = mm.extract_media_features(mm.transform_media(media, max_side=20, frame_step=4))
+    return feats.select(
+        "media_id", "modality", "n_bytes", "sha_prefix", "format",
+        "width", "height", "n_frames", "duration_s",
+    )
+
+
 def asof_error_after_click(spark, sf_dir):
     """As-of join (custom operator, operators/asof.py): for each error event,
     the latest strictly-earlier click by the same user."""
@@ -1276,6 +1287,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_transcripts": extract_transcripts,
     "extract_assembled_convs": extract_assembled_convs,
     "multimodal_features": multimodal_features,
+    "multimodal_transformed": multimodal_transformed,
 }
 
 ORACLES: dict[str, str] = {
@@ -1333,6 +1345,7 @@ ORACLES: dict[str, str] = {
     "emb_neardup_lsh": _FIXTURE_SQL.format(name="emb_neardup_lsh"),
     "ann_ivf_topk": _FIXTURE_SQL.format(name="ann_ivf_topk"),
     "multimodal_features": _FIXTURE_SQL.format(name="multimodal_features"),
+    "multimodal_transformed": _FIXTURE_SQL.format(name="multimodal_transformed"),
     # no oracle (rows-only): approx_distinct_stats — HLL++/GK sketch
     # internals are engine-specific; exact twins are value-checked in
     # q1_pricing_summary / order_value_percentiles.

@@ -52,6 +52,7 @@ def test_golden_optimize_matches_reference(reference_agent, golden_text):
         "emb_neardup_lsh",
         "ann_ivf_topk",
         "multimodal_features",
+        "multimodal_transformed",
     ],
 )
 def test_oracle_fixture_is_fresh(name):

@@ -327,6 +327,33 @@ def test_multimodal_real_decode_matches_local_oracle(spark):
     assert set(feats.format) >= {"png", "jpeg", "wav", "mp4"}
 
 
+def test_transform_media_real_resize_and_decimation(spark):
+    """PNG payloads really shrink (re-decoded dims <= max_side, corner pixel
+    preserved by nearest-neighbor); WAV payloads are really decimated
+    (frames/step, duration preserved); entropy-coded formats pass through."""
+    from docling_gfcr_spark.kernels import media as mk
+
+    src = multimodal.make_fake_media(spark, n=32)
+    out = multimodal.extract_media_features(
+        multimodal.transform_media(src, max_side=12, frame_step=5)
+    ).toPandas().set_index("media_id")
+    for i in range(32):
+        modality, payload = multimodal.gen_media_payload(i)
+        r = out.loc[i]
+        if payload.startswith(b"\x89PNG"):
+            w0, h0 = mk.parse_png(payload)["width"], mk.parse_png(payload)["height"]
+            assert r.width <= 12 and r.height <= 12
+            if max(w0, h0) > 12:
+                assert (r.width, r.height) != (w0, h0)
+        elif payload[:4] == b"RIFF":
+            orig = mk.parse_wav(payload)
+            assert r.n_frames == len(range(0, orig["n_frames"], 5))
+            assert abs(r.duration_s - orig["duration_s"]) <= 5 / orig["sample_rate"] * 5
+        else:  # jpeg / mp4 / junk: untouched
+            d = multimodal.decode_media(payload)
+            assert (r.width, r.height, r.n_frames) == (d["width"], d["height"], d["n_frames"])
+
+
 def test_mime_sniff():
     assert multimodal.sniff_mime(b"\x89PNGxxxx") == "image/png"
     assert multimodal.sniff_mime(b"\xff\xd8\xffrest") == "image/jpeg"

@@ -230,6 +230,40 @@ def compute_multimodal_features() -> pd.DataFrame:
     return df
 
 
+def compute_multimodal_transformed() -> pd.DataFrame:
+    """Local oracle for queries.multimodal_transformed (transform then
+    feature-extract, all pure functions)."""
+    import hashlib
+
+    from docling_gfcr_spark.operators import multimodal as mm
+
+    rows = []
+    for i in range(128):
+        modality, payload = mm.gen_media_payload(i, seed=42)
+        blob, _ = mm.transform_payload(payload, max_side=20, frame_step=4)
+        d = mm.decode_media(blob)
+        rows.append(
+            {
+                "media_id": np.int64(i),
+                "modality": modality,
+                "n_bytes": np.int64(len(blob)),
+                "sha_prefix": hashlib.sha256(blob).hexdigest()[:16],
+                "format": d["format"],
+                "width": np.int32(d["width"]),
+                "height": np.int32(d["height"]),
+                "n_frames": np.int32(d["n_frames"]),
+                "duration_s": float(d["duration_s"]),
+            }
+        )
+    df = pd.DataFrame(rows)
+    df["media_id"] = df["media_id"].astype(np.int64)
+    df["n_bytes"] = df["n_bytes"].astype(np.int64)
+    for c in ("width", "height", "n_frames"):
+        df[c] = df[c].astype(np.int32)
+    df["duration_s"] = df["duration_s"].astype(np.float64)
+    return df
+
+
 COMPUTE = {
     "extract_transcripts": compute_extract_transcripts,
     "extract_assembled_convs": compute_extract_assembled_convs,
@@ -237,6 +271,7 @@ COMPUTE = {
     "emb_neardup_lsh": compute_emb_neardup_lsh,
     "ann_ivf_topk": compute_ann_ivf_topk,
     "multimodal_features": compute_multimodal_features,
+    "multimodal_transformed": compute_multimodal_transformed,
 }
 
 
