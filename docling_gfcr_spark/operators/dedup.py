@@ -194,6 +194,68 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 50
+) -> DataFrame:
+    """Dedup clusters: connected components over near-dup pairs by iterative
+    min-label propagation (each node takes the smallest label among itself
+    and its neighbors until fixpoint — O(diameter) rounds, so near-dup
+    clusters converge in a handful).
+
+    Iterative-Spark discipline: every round ``localCheckpoint``s the label
+    table — without truncation the lineage doubles per round and planning
+    time explodes (the classic iterative-join trap); the convergence check
+    is one count per round. At 10^12 edges you'd switch the propagation step
+    to the large-star/small-star variant (Kiveris et al. 2014) — same loop
+    skeleton, fewer rounds on high-degree graphs.
+
+    Returns ``(node, comp)`` where comp = min node id in the component.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = und.select(F.col("a").alias("node")).distinct().withColumn(
+        "comp", F.col("node")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = und.join(labels, und["b"] == labels["node"]).select(
+            F.col("a").alias("node"), F.col("comp")
+        )
+        new_labels = (
+            labels.unionByName(nbr).groupBy("node").agg(F.min("comp").alias("comp"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_cluster_members(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    bands: int = 8,
+    k: int = 5,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """MinHash-LSH pairs -> connected components -> full membership table
+    (every doc in a >=2-member near-dup cluster, labeled by its cluster's
+    min doc id — the keeper under keep-first policy)."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, n_hashes, bands, k, hash_fn=hash_fn)
+    comp = connected_components(pairs)
+    return comp.select(F.col("node").alias(id_col), F.col("comp").alias("cluster_id"))
+
+
 # ---- SimHash (pandas UDF: bit packing is not relational) -----------------
 
 

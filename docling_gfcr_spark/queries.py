@@ -506,6 +506,15 @@ JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.
 """
 
 
+def dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: minhash-LSH pairs -> iterative connected
+    components (min-label propagation) -> membership table. Fixture oracle
+    = DuckDB-computed pairs + pure-Python union-find — an end-to-end
+    independent path."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.dedup_cluster_members(d, n_hashes=32, bands=8, k=5, hash_fn="md5")
+
+
 def dedup_simhash(spark, sf_dir):
     """SimHash fingerprints (pandas UDF; pure-Python oracle in pytest)."""
     d = _t(spark, sf_dir, "documents")
@@ -1254,6 +1263,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_topk": dedup_ngram_topk,
     "minhash_signature_digest": minhash_signature_digest,
     "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_clusters": dedup_clusters,
     "dedup_simhash": dedup_simhash,
     "lang_id_docs": lang_id_docs,
     "text_quality": text_quality,
@@ -1342,6 +1352,7 @@ ORACLES: dict[str, str] = {
     "extract_transcripts": _FIXTURE_SQL.format(name="extract_transcripts"),
     "extract_assembled_convs": _FIXTURE_SQL.format(name="extract_assembled_convs"),
     "dedup_simhash": _FIXTURE_SQL.format(name="dedup_simhash"),
+    "dedup_clusters": _FIXTURE_SQL.format(name="dedup_clusters"),
     "emb_neardup_lsh": _FIXTURE_SQL.format(name="emb_neardup_lsh"),
     "ann_ivf_topk": _FIXTURE_SQL.format(name="ann_ivf_topk"),
     "multimodal_features": _FIXTURE_SQL.format(name="multimodal_features"),

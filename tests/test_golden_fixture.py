@@ -49,6 +49,7 @@ def test_golden_optimize_matches_reference(reference_agent, golden_text):
         "extract_transcripts",
         "extract_assembled_convs",
         "dedup_simhash",
+        "dedup_clusters",
         "emb_neardup_lsh",
         "ann_ivf_topk",
         "multimodal_features",

@@ -71,6 +71,30 @@ def _py_simhash(text: str) -> int:
     return v - (1 << 64 if v >= 1 << 63 else 0)
 
 
+def test_connected_components_multi_hop_chains(spark):
+    """Min-label propagation must close multi-hop chains (diameter > 1):
+    a 6-node path, a triangle, and an isolated edge."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),  # path: all -> comp 1
+         (10, 11), (11, 12), (10, 12),            # triangle -> comp 10
+         (20, 21)],                               # edge -> comp 20
+        "id_a long, id_b long",
+    )
+    comp = dedup.connected_components(edges).toPandas().set_index("node")["comp"]
+    assert all(comp[n] == 1 for n in range(1, 7))
+    assert all(comp[n] == 10 for n in (10, 11, 12))
+    assert comp[20] == 20 and comp[21] == 20
+
+
+def test_dedup_cluster_members_on_planted_dups(spark, planted_docs):
+    """Exact dups + near dups of the same base doc land in ONE cluster keyed
+    by the min doc id."""
+    members = dedup.dedup_cluster_members(planted_docs, k=3).toPandas()
+    by_doc = members.set_index("doc_id")["cluster_id"]
+    for j in range(5):  # doc j has near-dup 100+j and exact dup 200+j
+        assert by_doc[j] == j and by_doc[100 + j] == j and by_doc[200 + j] == j
+
+
 def test_simhash_matches_pure_python(spark, planted_docs):
     got = planted_docs.select("doc_id", dedup.simhash_udf("text").alias("sh")).toPandas()
     texts = {r.doc_id: r.text for r in planted_docs.collect()}

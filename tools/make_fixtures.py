@@ -107,6 +107,38 @@ def compute_dedup_simhash() -> pd.DataFrame:
     )
 
 
+def compute_dedup_clusters() -> pd.DataFrame:
+    """Local oracle for queries.dedup_clusters: the candidate pairs come
+    from DUCKDB (the same banding SQL the dedup_minhash_pairs oracle uses),
+    clustering from a pure-Python union-find — no Spark anywhere."""
+    import duckdb
+
+    from docling_gfcr_spark.queries import MINHASH_PAIRS_SQL
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{ORACLE_SF}/documents.parquet')"
+    )
+    pairs = con.execute(MINHASH_PAIRS_SQL).fetchdf()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = sorted((node, find(node)) for node in parent)
+    df = pd.DataFrame(rows, columns=["doc_id", "cluster_id"])
+    df["doc_id"] = df["doc_id"].astype(np.int64)
+    df["cluster_id"] = df["cluster_id"].astype(np.int64)
+    return df
+
+
 def compute_emb_neardup_lsh() -> pd.DataFrame:
     """Local oracle for queries.emb_neardup_lsh: the same hyperplane-LSH
     bucketing, candidate pairing, float64 cosine and HALF_UP 6dp rounding —
@@ -268,6 +300,7 @@ COMPUTE = {
     "extract_transcripts": compute_extract_transcripts,
     "extract_assembled_convs": compute_extract_assembled_convs,
     "dedup_simhash": compute_dedup_simhash,
+    "dedup_clusters": compute_dedup_clusters,
     "emb_neardup_lsh": compute_emb_neardup_lsh,
     "ann_ivf_topk": compute_ann_ivf_topk,
     "multimodal_features": compute_multimodal_features,
