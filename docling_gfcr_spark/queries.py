@@ -682,6 +682,45 @@ WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8) < '{format(int(0.2
 """
 
 
+def split_contamination(spark, sf_dir):
+    """Train/test contamination check: eval-split docs whose content
+    fingerprint also appears in the train split (the leakage audit every
+    dataset release needs). Composes deterministic splits + fingerprints +
+    a semi-join, all Catalyst."""
+    from docling_gfcr_spark.operators import sampling
+
+    d = sampling.deterministic_split(_t(spark, sf_dir, "documents")).withColumn(
+        "fp", text_analysis.fingerprint("text")
+    )
+    train_fps = d.where(F.col("split") == "train").select("fp").distinct()
+    ev = d.where(F.col("split") != "train")
+    contaminated = ev.join(train_fps, "fp", "left_semi")
+    return (
+        ev.groupBy("split").agg(F.count("*").alias("n_docs"))
+        .join(
+            contaminated.groupBy("split").agg(F.count("*").alias("n_contaminated")),
+            "split",
+            "left",
+        )
+        .na.fill(0, ["n_contaminated"])
+    )
+
+
+CONTAMINATION_SQL = f"""
+WITH d AS (
+  SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+         CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < '{format(int(0.8 * 2**32), "08x")}' THEN 'train'
+              WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < '{format(int(0.9 * 2**32), "08x")}' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, count(*) AS n_docs,
+       CAST(sum(CASE WHEN fp IN (SELECT DISTINCT fp FROM d WHERE split = 'train')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+FROM d WHERE split != 'train' GROUP BY split
+"""
+
+
 def assemble_by_source(spark, sf_dir):
     """Ordered string aggregation per group (the conversation-assembly shape
     on oracle-checkable data)."""
@@ -1273,6 +1312,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_token_budget": corpus_token_budget,
     "split_train_val_test": split_train_val_test,
     "hash_sampled_docs": hash_sampled_docs,
+    "split_contamination": split_contamination,
     "assemble_by_source": assemble_by_source,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -1341,6 +1381,7 @@ ORACLES: dict[str, str] = {
     "corpus_token_budget": TOKEN_BUDGET_SQL,
     "split_train_val_test": SPLIT_SQL,
     "hash_sampled_docs": HASH_SAMPLE_SQL,
+    "split_contamination": CONTAMINATION_SQL,
     "assemble_by_source": ASSEMBLE_SQL,
     "ann_cosine_topk": ANN_SQL,
     "emb_neardup_exact": NEARDUP_SQL,
