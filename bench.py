@@ -81,11 +81,20 @@ def main() -> None:
     # warmup: JVM/codegen/Arrow path
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
+    def timed(fn) -> tuple[float, int]:
+        """Best of two runs: this shared VM shows 10-20x single-run variance
+        under noisy neighbors; min-of-2 keeps the per-round record from
+        being hostage to one bad window."""
+        best, n = 1e9, 0
+        for _ in range(2):
+            t0 = time.time()
+            n = fn()
+            best = min(best, time.time() - t0)
+        return round(best, 3), n
+
     for name in HEADLINE:
-        fn = Q.QUERIES[name]
-        t0 = time.time()
-        n = fn(spark, SF_DIR).count()
-        results[name] = round(time.time() - t0, 3)
+        q = Q.QUERIES[name]
+        results[name], n = timed(lambda: q(spark, SF_DIR).count())
         print(f"# {name}: {results[name]}s ({n} rows)", file=sys.stderr)
 
     from docling_gfcr_spark.operators import dedup as _dedup
@@ -95,16 +104,16 @@ def main() -> None:
     # minhash LSH pairs on the xxhash64 FAST path (the queries() entry uses
     # md5 band keys only because DuckDB must reproduce them; at scale you run
     # this variant — same plan, no hex-string materialization)
-    t0 = time.time()
-    n = _dedup.minhash_lsh_pairs(docs, n_hashes=32, bands=8, k=5, hash_fn="xxhash64").count()
-    results["dedup_minhash_pairs"] = round(time.time() - t0, 3)
+    results["dedup_minhash_pairs"], n = timed(
+        lambda: _dedup.minhash_lsh_pairs(docs, n_hashes=32, bands=8, k=5, hash_fn="xxhash64").count()
+    )
     print(f"# dedup_minhash_pairs: {results['dedup_minhash_pairs']}s ({n} rows)", file=sys.stderr)
 
     # scale-shaped n-gram jaccard (hot-shingle cap on): the uncapped oracle
     # variant is quadratic by design on this shared-vocab synthetic corpus
-    t0 = time.time()
-    n = _dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5, hot_shingle_cap=100).count()
-    results["dedup_ngram_capped"] = round(time.time() - t0, 3)
+    results["dedup_ngram_capped"], n = timed(
+        lambda: _dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5, hot_shingle_cap=100).count()
+    )
     print(f"# dedup_ngram_capped: {results['dedup_ngram_capped']}s ({n} rows)", file=sys.stderr)
 
     # north-star throughput: extracted turns/sec over parquet-backed transcripts
@@ -123,10 +132,12 @@ def main() -> None:
     extract_sec = min(extract_pass() for _ in range(2))
 
     # ordering + skew-safe two-phase conversation assembly (the shuffle path)
-    t0 = time.time()
-    ex = pipeline.extract_turns(tdf, mode="agent")
-    pipeline.assemble_conversations(ex).write.mode("overwrite").format("noop").save()
-    results["assemble_conversations"] = round(time.time() - t0, 3)
+    def assemble_pass() -> int:
+        ex = pipeline.extract_turns(tdf, mode="agent")
+        pipeline.assemble_conversations(ex).write.mode("overwrite").format("noop").save()
+        return 0
+
+    results["assemble_conversations"], _n = timed(assemble_pass)
     print(f"# assemble_conversations: {results['assemble_conversations']}s", file=sys.stderr)
     results["extract_pipeline"] = round(extract_sec, 3)
     turns_per_sec = round(n_turns / extract_sec, 1)
