@@ -185,8 +185,9 @@ class _BlockParser(HTMLParser):
         start = self._abs()
         # `data` is entity-decoded (convert_charrefs=True), so start+len(data)
         # would under-run raw extents on '&amp;'-style runs; the raw text node
-        # extends to the next markup start ('<') — scan the raw input instead
-        end = self.raw.find("<", start)
+        # extends to the next markup start — scan from start+1 so a text run
+        # BEGINNING with a literal '<' ("a < b") doesn't yield a 0-width span
+        end = self.raw.find("<", start + 1)
         if end == -1:
             end = len(self.raw)
         blk = self._ensure()
@@ -209,9 +210,15 @@ class _BlockParser(HTMLParser):
 # the same _Block semantics; extract_html differential-tests it against the
 # HTMLParser engine in the suite and falls back to it on any exception.
 
-# group index tells the token type (1 = tag, 2 = text; comments/CDATA have
-# no group and are skipped) — one attribute read replaces a startswith chain
-_FAST_TOKEN_RE = re.compile(r"<!--.*?-->|<!\[[^\]]*\]>|(<[^>]*>)|([^<]+)", re.DOTALL)
+# group index tells the token type (1 = tag/decl, 2 = bare '<' kept as TEXT,
+# 3 = text; comments/CDATA have no group and are skipped) — one attribute
+# read replaces a startswith chain. A tag must start '</x', '<x', '<!' or
+# '<?': a bare '<' in character data ("a < b") is TEXT, like html.parser
+# treats it — '<[^>]*>' here would swallow everything up to the NEXT real
+# tag's '>' and silently drop user content.
+_FAST_TOKEN_RE = re.compile(
+    r"<!--.*?-->|<!\[[^\]]*\]>|(</?[a-zA-Z][^>]*>|<[!?][^>]*>)|(<)|([^<]+)", re.DOTALL
+)
 _TAG_NAME_RE = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9:-]*)")
 _ATTR_HINT_RE = re.compile(
     r"""(?:class|id|role)\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE
@@ -330,10 +337,10 @@ class _FastBlocks:
         skip_until: re.Pattern | None = None
         for m in _FAST_TOKEN_RE.finditer(raw):
             gi = m.lastindex
-            if gi == 2:  # text node
-                if skip_until is not None or self._drop_depth:
+            if gi != 1:  # text node (3), bare '<' (2), or skipped comment
+                if gi is None or skip_until is not None or self._drop_depth:
                     continue
-                tok = m.group(2)
+                tok = m.group(gi)
                 if not tok.strip():
                     continue
                 data = _html.unescape(tok) if "&" in tok else tok
@@ -343,8 +350,6 @@ class _FastBlocks:
                 if self._link_depth:
                     blk.n_link_chars += len(data.strip())
                     blk.n_anchor += 1
-                continue
-            if gi != 1:  # comment / CDATA-ish: always skipped
                 continue
             tok = m.group(1)
             c1 = tok[1] if len(tok) > 1 else ""

@@ -198,12 +198,19 @@ def parse_webp(b: bytes) -> dict:
 _IMAGE_PARSERS = (parse_png, parse_jpeg, parse_gif, parse_bmp, parse_tiff, parse_webp)
 
 
+# Totality boundary: a TRUNCATED container can pass a parser's magic check
+# and then blow up inside struct.unpack/slicing (struct.error, IndexError,
+# zlib.error) — dispatchers normalize every failure to MediaParseError so
+# one adversarial blob can never kill a Spark task (O1 invariant).
+_PARSE_ERRORS = (MediaParseError, struct.error, IndexError, ValueError, zlib.error, EOFError)
+
+
 def parse_image(b: bytes) -> dict:
     """Dispatch across the image parsers by magic; raises MediaParseError."""
     for p in _IMAGE_PARSERS:
         try:
             return p(b)
-        except MediaParseError:
+        except _PARSE_ERRORS:
             continue
     raise MediaParseError("unrecognized image container")
 
@@ -213,7 +220,7 @@ def parse_media(b: bytes) -> dict:
     for p in (*_IMAGE_PARSERS, parse_wav, parse_mp4):
         try:
             return p(b)
-        except MediaParseError:
+        except _PARSE_ERRORS:
             continue
     raise MediaParseError("unrecognized media container")
 

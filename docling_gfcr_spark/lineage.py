@@ -97,6 +97,12 @@ def committed_parts(storage: ParquetStorage, n_parts: int) -> set[int]:
     lineage = storage.read_lineage()
     if lineage is None:
         return set()
+    if "n_parts" not in lineage.columns:
+        raise ValueError(
+            "lineage table predates n_parts tracking — its part ids cannot be "
+            "validated against this run's hash scheme; rerun the whole job "
+            "into a fresh output directory"
+        )
     rows = (
         lineage.where(F.col("status") == "committed")
         .select("part_id", "n_parts")

@@ -57,8 +57,11 @@ def asof_join(
         if c != by:
             renamed = renamed.withColumnRenamed(c, c + suffix)
     on_right = on + suffix
-    left = left.where(F.col(on).isNotNull())
-    renamed = renamed.where(F.col(on_right).isNotNull())
+    # equi-join semantics: null `on` never matches, and null `by` keys never
+    # match EACH OTHER (Window.partitionBy would group nulls together,
+    # silently diverging from DuckDB's ASOF equi-join)
+    left = left.where(F.col(on).isNotNull() & F.col(by).isNotNull())
+    renamed = renamed.where(F.col(on_right).isNotNull() & F.col(by).isNotNull())
     left_cols = list(left.columns)
     right_out = [c for c in renamed.columns if c != by]
 

@@ -184,8 +184,8 @@ def transform_payload(blob: bytes, max_side: int, frame_step: int) -> tuple[byte
             return out, out != blob
         if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
             return media.wav_frame_sample(blob, frame_step), True
-    except media.MediaParseError:
-        pass  # O1: keep the row, flag untouched
+    except media._PARSE_ERRORS:  # truncated/corrupt container (zlib/struct/
+        pass  # index errors included): O1 — keep the row, flag untouched
     return blob, False
 
 

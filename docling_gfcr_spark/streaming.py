@@ -80,15 +80,18 @@ def stream_dedup_exact(stream: DataFrame, text_col: str = "text", watermark: str
     """Streaming exact dedup: watermarked ``dropDuplicates`` on the content
     hash — the ingest-time twin of ``operators.dedup.exact_dedup_keep``.
 
-    The watermark bounds the dedup state (Spark evicts hashes older than the
-    horizon), which is what makes this viable on an unbounded 100 TB/day
-    stream: exact global dedup stays a batch compaction job; this stage
-    kills the duplicates that arrive close together (retries, double-sends).
+    ``dropDuplicatesWithinWatermark`` is load-bearing: plain
+    ``dropDuplicates(['content_hash'])`` only applies watermark eviction when
+    the event-time column is part of the dedup key, so its state would grow
+    unboundedly. The WithinWatermark variant evicts each hash once it ages
+    past the horizon — bounded state on an unbounded 100 TB/day stream.
+    Exact GLOBAL dedup stays a batch compaction job; this stage kills the
+    duplicates that arrive close together (retries, double-sends).
     """
     return (
         stream.withColumn("content_hash", F.md5(F.col(text_col)))
         .withWatermark("ts", watermark)
-        .dropDuplicates(["content_hash"])
+        .dropDuplicatesWithinWatermark(["content_hash"])
         .drop("content_hash")
     )
 
@@ -111,20 +114,17 @@ def stream_extract_durable(
     """
     import time as _time
 
-    data_dir, lineage_dir = f"{out_dir}/data", f"{out_dir}/lineage"
+    from docling_gfcr_spark import lineage
+
+    storage = lineage.ParquetStorage(spark, out_dir)
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         extracted = pipeline.extract_turns(batch_df, mode=mode).withColumn(
             "part_id", F.lit(int(batch_id))
         )
-        (
-            extracted.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("part_id")
-            .parquet(data_dir)
-        )
+        storage.overwrite_data_partitions(extracted)
         metrics = (
-            spark.read.parquet(data_dir)
+            storage.read_data()
             .where(F.col("part_id") == int(batch_id))
             .agg(
                 F.count("*").alias("n_turns"),
@@ -135,11 +135,14 @@ def stream_extract_durable(
             )
             .withColumn("part_id", F.lit(int(batch_id)))
             .withColumn("run_id", F.lit("stream"))
+            # streaming parts are batch ids, not hash buckets: n_parts=-1
+            # marks them non-comparable so batch resume refuses to mix
             .withColumn("n_parts", F.lit(-1))
             .withColumn("status", F.lit("committed"))
             .withColumn("committed_at", F.lit(_time.time()))
+            .select(*lineage._LINEAGE_COLS)
         )
-        metrics.coalesce(1).write.mode("append").parquet(lineage_dir)
+        storage.append_lineage(metrics)
 
     # foreachBatch gets the pre-extraction stream (extraction happens inside
     # the batch fn so a replayed batch re-extracts deterministically)

@@ -99,3 +99,19 @@ def test_fast_engine_handles_entities_and_rawtext():
     assert "café & more" in r["text"]
     assert "not content" not in r["text"]
     assert "after script" in r["text"]
+
+
+def test_bare_lt_in_text_not_swallowed():
+    """'a < b' in character data is TEXT (html.parser semantics): the fast
+    tokenizer must not treat the bare '<' as a tag opener and swallow
+    everything up to the next real tag (code-review regression)."""
+    raw = (
+        "<p>first long sentence with enough words to be kept as content</p>"
+        "<p>a < b second long sentence with enough words to be kept too</p>"
+    )
+    for engine in ("fast", "parser"):
+        r = extract_html(raw, engine)
+        assert "second long sentence" in r["text"], (engine, r["text"])
+        assert "a < b" in r["text"], (engine, r["text"])
+        # and no span may be zero-width
+        assert all(e > s for s, e, _ in r["spans"]), (engine, r["spans"])

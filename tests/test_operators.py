@@ -441,3 +441,48 @@ def test_analyze_payload_columns(spark):
     assert (others.estimated_pages == 1).all()
     assert (pdfs.estimated_pages >= 1).all()
     assert (ex.size_mb == (ex.size_bytes / 1048576).round(2)).all()
+
+
+def test_media_decode_total_on_truncated_containers(spark):
+    """Truncated/corrupt payloads that PASS the magic check must degrade to
+    format='unknown' / untransformed — never a struct/zlib/index error
+    killing the task (code-review regression)."""
+    from docling_gfcr_spark.kernels import media as mk
+
+    bad = [
+        mk.build_mp4(1.0)[:40],           # mvhd cut mid-field -> struct.error
+        mk.build_png(4, 4)[:24],          # IHDR only -> IndexError in pixel decode
+        mk.build_wav(100)[:20],           # fmt chunk truncated
+        b"RIFF\x00\x00\x00\x00WAVE",      # headers only
+    ]
+    for blob in bad:
+        d = multimodal.decode_media(blob)
+        assert isinstance(d["format"], str)  # no exception = pass
+        out, done = multimodal.transform_payload(blob, 8, 2)
+        assert out == blob or done  # untouched or genuinely transformed
+    # and through the actual Spark stage: rows survive
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": range(len(bad)), "modality": "image",
+                      "payload": bad, "mime": "x", "n_bytes": [len(b) for b in bad]}),
+        multimodal.MEDIA_SCHEMA,
+    )
+    feats = multimodal.extract_media_features(multimodal.transform_media(df)).toPandas()
+    assert len(feats) == len(bad)
+
+
+def test_asof_null_by_keys_never_match(spark):
+    """NULL by-keys must not join each other (DuckDB ASOF equi-join
+    semantics; Window.partitionBy would otherwise group them together)."""
+    from docling_gfcr_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(None, 10.0, 1), (1, 10.0, 2)], "user_id int, ts double, event_id long"
+    )
+    right = spark.createDataFrame(
+        [(None, 5.0, 100), (1, 5.0, 200)], "user_id int, ts double, click long"
+    )
+    got = asof_join(left, right, on="ts", by="user_id").toPandas()
+    assert len(got) == 1
+    assert got.iloc[0]["event_id"] == 2 and got.iloc[0]["click_right"] == 200
