@@ -816,8 +816,18 @@ def emb_neardup_lsh(spark, sf_dir):
 
 
 def extract_transcripts(spark, sf_dir):
-    """Flagship: synthetic transcripts -> full extraction pipeline."""
-    tdf = transcripts.make_transcripts(spark, 200, mean_turns=6, seed=42, mega_every=50, skew_factor=10)
+    """Flagship: transcripts via the CUSTOM DATA SOURCE (Python DataSource
+    V2, sources/transcripts_source.py) -> full extraction pipeline. The
+    fixture oracle value-checks the whole chain incl. the source."""
+    from docling_gfcr_spark.sources import register_transcripts_source
+
+    register_transcripts_source(spark)
+    tdf = (
+        spark.read.format("transcripts")
+        .option("n_conv", 200).option("mean_turns", 6).option("seed", 42)
+        .option("mega_every", 50).option("skew_factor", 10).option("parallelism", 16)
+        .load()
+    )
     ex = pipeline.extract_turns(tdf, mode="agent")
     return ex.select(
         "conv_id", "turn_idx", "method", "success", "quality_score", "n_spans", "word_count"

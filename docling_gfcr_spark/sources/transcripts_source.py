@@ -1,0 +1,105 @@
+"""`transcripts` — a custom Spark data source (Python DataSource V2 API).
+
+The reference ingests documents from the local filesystem one path at a time
+(S1, /root/reference/scripts/convert.py:47-58). The rebuild's primary source
+is a table, but a first-class SOURCE abstraction matters for the engine
+surface: this module registers the deterministic transcripts generator as a
+real `spark.read.format("transcripts")` source, so synthetic corpora compose
+with everything that consumes a DataFrame — no helper-function plumbing:
+
+    register_transcripts_source(spark)
+    df = (spark.read.format("transcripts")
+          .option("n_conv", 1000).option("seed", 7).load())
+
+Scale shape: `partitions()` splits the conversation id-range into
+``parallelism`` chunks; each executor generates its chunk locally (zero
+shuffle, zero driver data — identical plan to the mapInPandas generator).
+Rows are yielded as Arrow batches (``read`` yields pa.RecordBatch) so the
+Python worker boundary is columnar, not per-row pickling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+SCHEMA_DDL = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+)
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class TranscriptsReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n_conv = int(options.get("n_conv", 100))
+        self.seed = int(options.get("seed", 42))
+        self.mean_turns = int(options.get("mean_turns", 8))
+        self.mega_every = int(options.get("mega_every", 0))
+        self.skew_factor = int(options.get("skew_factor", 50))
+        self.parallelism = int(options.get("parallelism", 8))
+
+    def partitions(self):
+        n_parts = max(1, min(self.parallelism, self.n_conv))
+        step = -(-self.n_conv // n_parts)  # ceil div
+        return [
+            _RangePartition(lo, min(lo + step, self.n_conv))
+            for lo in range(0, self.n_conv, step)
+        ]
+
+    def read(self, partition: _RangePartition):
+        # executor-side: generate this id-range locally, emit Arrow batches
+        import pyarrow as pa
+
+        from docling_gfcr_spark.transcripts import gen_conv_rows
+
+        rows: list[dict] = []
+        for conv_idx in range(partition.start, partition.end):
+            rows.extend(
+                gen_conv_rows(
+                    self.seed, conv_idx, self.mean_turns, self.mega_every, self.skew_factor
+                )
+            )
+        if not rows:
+            return
+        yield pa.RecordBatch.from_pylist(
+            [
+                {
+                    "conv_id": r["conv_id"],
+                    "turn_idx": r["turn_idx"],
+                    "role": r["role"],
+                    "text": r["text"],
+                    "tool": r["tool"],
+                    "ts": r["ts"],
+                }
+                for r in rows
+            ],
+            schema=pa.schema(
+                [
+                    ("conv_id", pa.string()),
+                    ("turn_idx", pa.int32()),
+                    ("role", pa.string()),
+                    ("text", pa.string()),
+                    ("tool", pa.string()),
+                    ("ts", pa.timestamp("us")),
+                ]
+            ),
+        )
+
+
+class TranscriptsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "transcripts"
+
+    def schema(self) -> str:
+        return SCHEMA_DDL
+
+    def reader(self, schema) -> TranscriptsReader:
+        return TranscriptsReader(self.options)
+
+
+def register_transcripts_source(spark) -> None:
+    spark.dataSource.register(TranscriptsDataSource)
