@@ -129,7 +129,7 @@ def main() -> None:
         return time.time() - t0
 
     extract_pass()  # warmup: python-worker spawn + imports (per-executor one-off)
-    extract_sec = min(extract_pass() for _ in range(2))
+    extract_sec = min(extract_pass() for _ in range(3))  # north-star: min-of-3
 
     # ordering + skew-safe two-phase conversation assembly (the shuffle path)
     def assemble_pass() -> int:

@@ -20,7 +20,12 @@ Python worker boundary is columnar, not per-row pickling.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 SCHEMA_DDL = (
     "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
@@ -89,6 +94,40 @@ class TranscriptsReader(DataSourceReader):
         )
 
 
+class TranscriptsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch stream of the same deterministic corpus: each batch emits
+    the next ``convs_per_batch`` conversations (offset = next conv id, so a
+    checkpoint-restart resumes exactly where it stopped — the offset is the
+    whole source state). ``n_conv`` bounds the stream; after that, batches
+    are empty (a bounded replay source for tests/backfills)."""
+
+    def __init__(self, options: dict):
+        self.n_conv = int(options.get("n_conv", 100))
+        self.seed = int(options.get("seed", 42))
+        self.mean_turns = int(options.get("mean_turns", 8))
+        self.mega_every = int(options.get("mega_every", 0))
+        self.skew_factor = int(options.get("skew_factor", 50))
+        self.convs_per_batch = int(options.get("convs_per_batch", 10))
+
+    def initialOffset(self) -> dict:
+        return {"next_conv": 0}
+
+    def read(self, start: dict):
+        from docling_gfcr_spark.transcripts import gen_conv_rows
+
+        lo = int(start["next_conv"])
+        hi = min(lo + self.convs_per_batch, self.n_conv)
+        rows = []
+        for conv_idx in range(lo, hi):
+            for r in gen_conv_rows(
+                self.seed, conv_idx, self.mean_turns, self.mega_every, self.skew_factor
+            ):
+                rows.append(
+                    (r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"], r["ts"])
+                )
+        return iter(rows), {"next_conv": hi}
+
+
 class TranscriptsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -99,6 +138,9 @@ class TranscriptsDataSource(DataSource):
 
     def reader(self, schema) -> TranscriptsReader:
         return TranscriptsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> TranscriptsStreamReader:
+        return TranscriptsStreamReader(self.options)
 
 
 def register_transcripts_source(spark) -> None:

@@ -24,6 +24,35 @@ def test_datasource_equals_generator_at_any_parallelism(spark):
         pd.testing.assert_frame_equal(got, want)
 
 
+def test_streaming_datasource_micro_batches(spark, tmp_path):
+    """readStream.format('transcripts'): the bounded replay stream emits the
+    full corpus across micro-batches, equal to the batch source's rows."""
+    register_transcripts_source(spark)
+    stream = (
+        spark.readStream.format("transcripts")
+        .option("n_conv", 20).option("seed", 9).option("mean_turns", 4)
+        .option("convs_per_batch", 6)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("tsrc_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = (
+        spark.table("tsrc_t").toPandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    want = (
+        spark.read.format("transcripts")
+        .option("n_conv", 20).option("seed", 9).option("mean_turns", 4).load()
+        .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_datasource_partition_count_and_pipeline_compose(spark):
     register_transcripts_source(spark)
     df = (
