@@ -216,8 +216,10 @@ class _BlockParser(HTMLParser):
 # '<?': a bare '<' in character data ("a < b") is TEXT, like html.parser
 # treats it — '<[^>]*>' here would swallow everything up to the NEXT real
 # tag's '>' and silently drop user content.
+# '</\s*x' included: html.parser accepts whitespace after '</' in end tags
 _FAST_TOKEN_RE = re.compile(
-    r"<!--.*?-->|<!\[[^\]]*\]>|(</?[a-zA-Z][^>]*>|<[!?][^>]*>)|(<)|([^<]+)", re.DOTALL
+    r"<!--.*?-->|<!\[[^\]]*\]>|(</\s*[a-zA-Z][^>]*>|<[a-zA-Z][^>]*>|<[!?][^>]*>)|(<)|([^<]+)",
+    re.DOTALL,
 )
 _TAG_NAME_RE = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9:-]*)")
 _ATTR_HINT_RE = re.compile(

@@ -37,7 +37,10 @@ class _RangePartition(InputPartition):
         self.start, self.end = start, end
 
 
-class TranscriptsReader(DataSourceReader):
+class _GeneratorOptions:
+    """Shared option parsing — batch and stream readers MUST agree on
+    defaults or the 'same deterministic corpus' equality breaks silently."""
+
     def __init__(self, options: dict):
         self.n_conv = int(options.get("n_conv", 100))
         self.seed = int(options.get("seed", 42))
@@ -45,53 +48,57 @@ class TranscriptsReader(DataSourceReader):
         self.mega_every = int(options.get("mega_every", 0))
         self.skew_factor = int(options.get("skew_factor", 50))
         self.parallelism = int(options.get("parallelism", 8))
+        self.convs_per_batch = int(options.get("convs_per_batch", 10))
 
-    def partitions(self):
-        n_parts = max(1, min(self.parallelism, self.n_conv))
-        step = -(-self.n_conv // n_parts)  # ceil div
-        return [
-            _RangePartition(lo, min(lo + step, self.n_conv))
-            for lo in range(0, self.n_conv, step)
-        ]
-
-    def read(self, partition: _RangePartition):
-        # executor-side: generate this id-range locally, emit Arrow batches
-        import pyarrow as pa
-
+    def gen_range(self, lo: int, hi: int) -> list[dict]:
         from docling_gfcr_spark.transcripts import gen_conv_rows
 
         rows: list[dict] = []
-        for conv_idx in range(partition.start, partition.end):
+        for conv_idx in range(lo, hi):
             rows.extend(
                 gen_conv_rows(
                     self.seed, conv_idx, self.mean_turns, self.mega_every, self.skew_factor
                 )
             )
+        return rows
+
+
+_ARROW_SCHEMA_FIELDS = (
+    ("conv_id", "string"),
+    ("turn_idx", "int32"),
+    ("role", "string"),
+    ("text", "string"),
+    ("tool", "string"),
+    ("ts", "timestamp[us]"),
+)
+
+
+class TranscriptsReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.opts = _GeneratorOptions(options)
+
+    def partitions(self):
+        o = self.opts
+        if o.n_conv <= 0:
+            return [_RangePartition(0, 0)]  # empty corpus, like the generator
+        n_parts = max(1, min(o.parallelism, o.n_conv))
+        step = -(-o.n_conv // n_parts)  # ceil div
+        return [
+            _RangePartition(lo, min(lo + step, o.n_conv))
+            for lo in range(0, o.n_conv, step)
+        ]
+
+    def read(self, partition: _RangePartition):
+        # executor-side: generate this id-range locally, emit Arrow batches.
+        # gen_conv_rows dicts carry exactly the six schema keys, so they feed
+        # from_pylist directly — no per-row copying on the hot path.
+        import pyarrow as pa
+
+        rows = self.opts.gen_range(partition.start, partition.end)
         if not rows:
             return
-        yield pa.RecordBatch.from_pylist(
-            [
-                {
-                    "conv_id": r["conv_id"],
-                    "turn_idx": r["turn_idx"],
-                    "role": r["role"],
-                    "text": r["text"],
-                    "tool": r["tool"],
-                    "ts": r["ts"],
-                }
-                for r in rows
-            ],
-            schema=pa.schema(
-                [
-                    ("conv_id", pa.string()),
-                    ("turn_idx", pa.int32()),
-                    ("role", pa.string()),
-                    ("text", pa.string()),
-                    ("tool", pa.string()),
-                    ("ts", pa.timestamp("us")),
-                ]
-            ),
-        )
+        schema = pa.schema([(n, pa.type_for_alias(t)) for n, t in _ARROW_SCHEMA_FIELDS])
+        yield pa.RecordBatch.from_pylist(rows, schema=schema)
 
 
 class TranscriptsStreamReader(SimpleDataSourceStreamReader):
@@ -102,30 +109,27 @@ class TranscriptsStreamReader(SimpleDataSourceStreamReader):
     are empty (a bounded replay source for tests/backfills)."""
 
     def __init__(self, options: dict):
-        self.n_conv = int(options.get("n_conv", 100))
-        self.seed = int(options.get("seed", 42))
-        self.mean_turns = int(options.get("mean_turns", 8))
-        self.mega_every = int(options.get("mega_every", 0))
-        self.skew_factor = int(options.get("skew_factor", 50))
-        self.convs_per_batch = int(options.get("convs_per_batch", 10))
+        self.opts = _GeneratorOptions(options)
 
     def initialOffset(self) -> dict:
         return {"next_conv": 0}
 
-    def read(self, start: dict):
-        from docling_gfcr_spark.transcripts import gen_conv_rows
+    def _rows(self, lo: int, hi: int):
+        return [
+            (r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"], r["ts"])
+            for r in self.opts.gen_range(lo, hi)
+        ]
 
+    def read(self, start: dict):
         lo = int(start["next_conv"])
-        hi = min(lo + self.convs_per_batch, self.n_conv)
-        rows = []
-        for conv_idx in range(lo, hi):
-            for r in gen_conv_rows(
-                self.seed, conv_idx, self.mean_turns, self.mega_every, self.skew_factor
-            ):
-                rows.append(
-                    (r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"], r["ts"])
-                )
-        return iter(rows), {"next_conv": hi}
+        hi = min(lo + self.opts.convs_per_batch, self.opts.n_conv)
+        return iter(self._rows(lo, hi)), {"next_conv": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # crash-recovery replay: Spark re-reads a WAL-planned-but-uncommitted
+        # batch through this method on restart; without it the checkpoint is
+        # permanently stuck (the base class raises NotImplementedError)
+        return iter(self._rows(int(start["next_conv"]), int(end["next_conv"])))
 
 
 class TranscriptsDataSource(DataSource):

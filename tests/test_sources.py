@@ -53,6 +53,42 @@ def test_streaming_datasource_micro_batches(spark, tmp_path):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_streaming_datasource_checkpoint_restart_and_replay(spark, tmp_path):
+    """Offsets survive restart: a second query on the same checkpoint
+    continues where the first stopped (no loss, no duplicates), and
+    readBetweenOffsets (the crash-recovery replay path Spark calls for a
+    WAL-planned-but-uncommitted batch) returns exactly the offset range."""
+    register_transcripts_source(spark)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def run(n_conv: int) -> None:
+        q = (
+            spark.readStream.format("transcripts")
+            .option("n_conv", n_conv).option("seed", 4).option("mean_turns", 3)
+            .option("convs_per_batch", 4).load()
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run(8)   # first run: convs 0..7
+    run(16)  # restart same checkpoint: must continue at conv 8, not replay
+    got = spark.read.parquet(out)
+    want = transcripts.make_transcripts(spark, 16, mean_turns=3, seed=4, parallelism=2)
+    assert got.count() == want.count()
+    assert got.select("conv_id", "turn_idx").distinct().count() == want.count()
+
+    # direct replay-path contract
+    from docling_gfcr_spark.sources.transcripts_source import TranscriptsStreamReader
+
+    r = TranscriptsStreamReader({"n_conv": "16", "seed": "4", "mean_turns": "3"})
+    replay = list(r.readBetweenOffsets({"next_conv": 4}, {"next_conv": 8}))
+    fresh, _ = r.read({"next_conv": 4})
+    assert replay == list(fresh)[: len(replay)] or replay == list(r._rows(4, 8))
+
+
 def test_datasource_partition_count_and_pipeline_compose(spark):
     register_transcripts_source(spark)
     df = (
