@@ -593,6 +593,37 @@ SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp FROM
 """
 
 
+def doc_chunks(spark, sf_dir):
+    """Python UDTF through SQL LATERAL: chunk every document into 40-word
+    context windows (one output row per chunk) — the UDTF engine surface +
+    the standard training-pipeline chunking op, value-checked against a
+    DuckDB list-slicing twin."""
+    from docling_gfcr_spark.operators.udtf_ops import register_udtfs
+
+    register_udtfs(spark)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
+    return spark.sql("""
+        SELECT doc_id, c.chunk_idx, c.chunk, c.n_words
+        FROM documents_v, LATERAL chunk_text(text, 40) c
+    """)
+
+
+DOC_CHUNKS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+), u AS (
+  SELECT doc_id, unnest(list_transform(
+           range(0, CAST(ceil(len(w) / 40.0) AS BIGINT)),
+           i -> {'idx': i, 'c': array_to_string(w[i*40+1 : i*40+40], ' ')})) AS x
+  FROM t
+)
+SELECT doc_id, CAST(x.idx AS INT) AS chunk_idx, x.c AS chunk,
+       CAST(len(string_split(x.c, ' ')) AS INT) AS n_words
+FROM u
+"""
+
+
 def repetition_signals(spark, sf_dir):
     """Gopher-style repetition/quality signals per doc (dup-line/word
     fractions etc.) — the cheap web-corpus filters, all codegen'd."""
@@ -1318,6 +1349,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": text_quality,
     "token_counts": token_counts,
     "doc_fingerprint": doc_fingerprint,
+    "doc_chunks": doc_chunks,
     "repetition_signals": repetition_signals,
     "corpus_token_budget": corpus_token_budget,
     "split_train_val_test": split_train_val_test,
@@ -1387,6 +1419,7 @@ ORACLES: dict[str, str] = {
     "text_quality": QUALITY_SQL,
     "token_counts": TOKEN_SQL,
     "doc_fingerprint": FP_SQL,
+    "doc_chunks": DOC_CHUNKS_SQL,
     "repetition_signals": REPETITION_SQL,
     "corpus_token_budget": TOKEN_BUDGET_SQL,
     "split_train_val_test": SPLIT_SQL,
