@@ -354,6 +354,34 @@ FROM events GROUP BY event_type
 """
 
 
+def events_variant_stats(spark, sf_dir):
+    """Semi-structured via the VARIANT type (Spark 4): parse_json into an
+    open-schema variant column, typed extraction with try_variant_get —
+    the modern engine path for the `props` payloads (events_json_extract
+    keeps the classic get_json_object twin)."""
+    e = _t(spark, sf_dir, "events")
+    v = e.withColumn("v", F.parse_json("props"))
+    return (
+        v.select("event_type", F.try_variant_get("v", "$.k", "int").alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+EVENTS_VARIANT_SQL = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 def events_sessionize(spark, sf_dir):
     """Gap-based sessionization (30 min) via lag + running sum of boundaries."""
     e = _t(spark, sf_dir, "events")
@@ -1338,6 +1366,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_name_normalize": part_name_normalize,
     "events_hourly": events_hourly,
     "events_json_extract": events_json_extract,
+    "events_variant_stats": events_variant_stats,
     "events_sessionize": events_sessionize,
     "dedup_exact": dedup_exact,
     "dedup_ngram_topk": dedup_ngram_topk,
@@ -1396,6 +1425,7 @@ ORACLES: dict[str, str] = {
     "part_name_normalize": PART_NORM_SQL,
     "events_hourly": EVENTS_HOURLY_SQL,
     "events_json_extract": EVENTS_JSON_SQL,
+    "events_variant_stats": EVENTS_VARIANT_SQL,
     "events_sessionize": SESSIONIZE_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_topk": DEDUP_NGRAM_SQL,
