@@ -88,3 +88,64 @@ def test_decode_cascade_total(payload):
     assert out is None or isinstance(out, str)
     # latin-1 accepts any byte: cascade can only fail on empty-never case
     assert out is not None
+
+
+# ---- media kernel totality fuzz (stdlib container parsers) ----------------
+
+
+def test_parse_media_total_on_arbitrary_bytes():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from docling_gfcr_spark.kernels import media
+    from docling_gfcr_spark.operators import multimodal as mm
+
+    magics = [b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"GIF89a", b"BM", b"II*\x00",
+              b"RIFF", b"\x00\x00\x00\x18ftyp"]
+
+    @settings(max_examples=200, deadline=None)
+    @given(prefix=st.sampled_from(magics + [b""]), body=st.binary(max_size=120))
+    def check(prefix, body):
+        blob = prefix + body
+        try:
+            media.parse_media(blob)
+        except media.MediaParseError:
+            pass  # the only permitted failure mode
+        d = mm.decode_media(blob)  # and the operator boundary is total
+        assert isinstance(d["format"], str)
+        out, _ = mm.transform_payload(blob, 8, 2)
+        assert isinstance(out, bytes)
+
+    check()
+
+
+def test_media_parsers_total_on_truncations_of_valid_files():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from docling_gfcr_spark.kernels import media
+    from docling_gfcr_spark.operators import multimodal as mm
+
+    files = [
+        media.build_png(12, 9, seed=3),
+        media.build_jpeg(30, 20, seed=1),
+        media.build_wav(300, 8000, 2, seed=2),
+        media.build_mp4(2.5),
+        media.build_tiff(7, 5),
+        media.build_webp(9, 4),
+        media.build_gif(3, 3),
+        media.build_bmp(6, 6),
+    ]
+
+    @settings(max_examples=200, deadline=None)
+    @given(fi=st.integers(0, len(files) - 1), frac=st.floats(0.0, 1.0))
+    def check(fi, frac):
+        blob = files[fi][: int(len(files[fi]) * frac)]
+        try:
+            media.parse_media(blob)
+        except media.MediaParseError:
+            pass
+        mm.decode_media(blob)
+        mm.transform_payload(blob, 8, 2)
+
+    check()
