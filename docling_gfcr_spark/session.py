@@ -33,6 +33,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python DataSource V2 filter pushdown (sources/transcripts_source.py
+        # prunes its generated id-range from pushed conv_id predicates)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # bigger Arrow batches amortize the JVM<->Python boundary for the
         # fused extraction UDF; payloads are ~KB-sized strings
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")

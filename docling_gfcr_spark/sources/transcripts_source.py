@@ -76,17 +76,46 @@ _ARROW_SCHEMA_FIELDS = (
 class TranscriptsReader(DataSourceReader):
     def __init__(self, options: dict):
         self.opts = _GeneratorOptions(options)
+        # pushed-down conv id bounds (conv_id is 'conv-%08d', so string
+        # comparisons on it are exactly integer comparisons on the index)
+        self._lo, self._hi = 0, self.opts.n_conv
+
+    def pushFilters(self, filters):
+        """Native filter pushdown (DataSource V2): EqualTo / >= / <= on
+        conv_id shrink the GENERATED id-range — rows that a WHERE clause
+        would drop are never even produced. Everything else stays in Spark.
+        """
+        from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThanOrEqual
+
+        def conv_index(value) -> int | None:
+            if isinstance(value, str) and value.startswith("conv-") and value[5:].isdigit():
+                return int(value[5:])
+            return None
+
+        for f in filters:
+            idx = conv_index(getattr(f, "value", None))
+            if getattr(f, "attribute", None) == ("conv_id",) and idx is not None:
+                if isinstance(f, EqualTo):
+                    self._lo = max(self._lo, idx)
+                    self._hi = min(self._hi, idx + 1)
+                    continue
+                if isinstance(f, GreaterThanOrEqual):
+                    self._lo = max(self._lo, idx)
+                    continue
+                if isinstance(f, LessThanOrEqual):
+                    self._hi = min(self._hi, idx + 1)
+                    continue
+            yield f  # unsupported: Spark keeps evaluating it
 
     def partitions(self):
         o = self.opts
-        if o.n_conv <= 0:
+        lo, hi = self._lo, min(self._hi, o.n_conv)
+        if hi <= lo:
             return [_RangePartition(0, 0)]  # empty corpus, like the generator
-        n_parts = max(1, min(o.parallelism, o.n_conv))
-        step = -(-o.n_conv // n_parts)  # ceil div
-        return [
-            _RangePartition(lo, min(lo + step, o.n_conv))
-            for lo in range(0, o.n_conv, step)
-        ]
+        n = hi - lo
+        n_parts = max(1, min(o.parallelism, n))
+        step = -(-n // n_parts)  # ceil div
+        return [_RangePartition(x, min(x + step, hi)) for x in range(lo, hi, step)]
 
     def read(self, partition: _RangePartition):
         # executor-side: generate this id-range locally, emit Arrow batches.

@@ -89,6 +89,44 @@ def test_streaming_datasource_checkpoint_restart_and_replay(spark, tmp_path):
     assert replay == list(fresh)[: len(replay)] or replay == list(r._rows(4, 8))
 
 
+def test_datasource_filter_pushdown_prunes_generation(spark):
+    """conv_id equality/range predicates push into the source (only the
+    requested id-range is generated); unsupported predicates stay in Spark
+    and results equal the unpruned where()."""
+    from pyspark.sql import functions as F
+
+    register_transcripts_source(spark)
+
+    def src():
+        return (
+            spark.read.format("transcripts")
+            .option("n_conv", 200).option("seed", 3).option("mean_turns", 4).load()
+        )
+
+    full = src().toPandas()
+    eq = src().where(F.col("conv_id") == "conv-00000007").toPandas()
+    assert set(eq.conv_id) == {"conv-00000007"}
+    assert len(eq) == (full.conv_id == "conv-00000007").sum()
+
+    rng = src().where(
+        (F.col("conv_id") >= "conv-00000100") & (F.col("conv_id") <= "conv-00000104")
+    ).toPandas()
+    assert sorted(set(rng.conv_id)) == [f"conv-{i:08d}" for i in range(100, 105)]
+
+    # mixed: pushable range + unsupported predicate evaluated by Spark
+    mixed = src().where(
+        (F.col("conv_id") >= "conv-00000100")
+        & (F.col("conv_id") <= "conv-00000104")
+        & (F.col("tool") == "markdown")
+    ).toPandas()
+    want = full[
+        (full.conv_id >= "conv-00000100")
+        & (full.conv_id <= "conv-00000104")
+        & (full.tool == "markdown")
+    ]
+    assert len(mixed) == len(want) and set(mixed.tool) <= {"markdown"}
+
+
 def test_datasource_partition_count_and_pipeline_compose(spark):
     register_transcripts_source(spark)
     df = (
