@@ -80,6 +80,35 @@ class TranscriptsReader(DataSourceReader):
         # comparisons on it are exactly integer comparisons on the index)
         self._lo, self._hi = 0, self.opts.n_conv
 
+    def partitions(self):
+        o = self.opts
+        lo, hi = self._lo, min(self._hi, o.n_conv)
+        if hi <= lo:
+            return [_RangePartition(0, 0)]  # empty corpus, like the generator
+        n = hi - lo
+        n_parts = max(1, min(o.parallelism, n))
+        step = -(-n // n_parts)  # ceil div
+        return [_RangePartition(x, min(x + step, hi)) for x in range(lo, hi, step)]
+
+    def read(self, partition: _RangePartition):
+        # executor-side: generate this id-range locally, emit Arrow batches.
+        # gen_conv_rows dicts carry exactly the six schema keys, so they feed
+        # from_pylist directly — no per-row copying on the hot path.
+        import pyarrow as pa
+
+        rows = self.opts.gen_range(partition.start, partition.end)
+        if not rows:
+            return
+        schema = pa.schema([(n, pa.type_for_alias(t)) for n, t in _ARROW_SCHEMA_FIELDS])
+        yield pa.RecordBatch.from_pylist(rows, schema=schema)
+
+
+class PushdownTranscriptsReader(TranscriptsReader):
+    """Opt-in (``option('pushdown', 'true')``) because Spark REFUSES any
+    reader that merely defines pushFilters when
+    ``spark.sql.python.filterPushdown.enabled`` is false — a session that
+    hasn't set the conf must still be able to read the default source."""
+
     def pushFilters(self, filters):
         """Native filter pushdown (DataSource V2): EqualTo / >= / <= on
         conv_id shrink the GENERATED id-range — rows that a WHERE clause
@@ -106,28 +135,6 @@ class TranscriptsReader(DataSourceReader):
                     self._hi = min(self._hi, idx + 1)
                     continue
             yield f  # unsupported: Spark keeps evaluating it
-
-    def partitions(self):
-        o = self.opts
-        lo, hi = self._lo, min(self._hi, o.n_conv)
-        if hi <= lo:
-            return [_RangePartition(0, 0)]  # empty corpus, like the generator
-        n = hi - lo
-        n_parts = max(1, min(o.parallelism, n))
-        step = -(-n // n_parts)  # ceil div
-        return [_RangePartition(x, min(x + step, hi)) for x in range(lo, hi, step)]
-
-    def read(self, partition: _RangePartition):
-        # executor-side: generate this id-range locally, emit Arrow batches.
-        # gen_conv_rows dicts carry exactly the six schema keys, so they feed
-        # from_pylist directly — no per-row copying on the hot path.
-        import pyarrow as pa
-
-        rows = self.opts.gen_range(partition.start, partition.end)
-        if not rows:
-            return
-        schema = pa.schema([(n, pa.type_for_alias(t)) for n, t in _ARROW_SCHEMA_FIELDS])
-        yield pa.RecordBatch.from_pylist(rows, schema=schema)
 
 
 class TranscriptsStreamReader(SimpleDataSourceStreamReader):
@@ -170,6 +177,8 @@ class TranscriptsDataSource(DataSource):
         return SCHEMA_DDL
 
     def reader(self, schema) -> TranscriptsReader:
+        if str(self.options.get("pushdown", "false")).lower() == "true":
+            return PushdownTranscriptsReader(self.options)
         return TranscriptsReader(self.options)
 
     def simpleStreamReader(self, schema) -> TranscriptsStreamReader:

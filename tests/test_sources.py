@@ -100,7 +100,8 @@ def test_datasource_filter_pushdown_prunes_generation(spark):
     def src():
         return (
             spark.read.format("transcripts")
-            .option("n_conv", 200).option("seed", 3).option("mean_turns", 4).load()
+            .option("n_conv", 200).option("seed", 3).option("mean_turns", 4)
+            .option("pushdown", "true").load()
         )
 
     full = src().toPandas()
