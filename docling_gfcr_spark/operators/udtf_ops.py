@@ -24,6 +24,8 @@ class ChunkText:
     document, final chunk short. Empty/blank text yields no rows."""
 
     def eval(self, text: str, chunk_words: int):  # noqa: D102 (UDTF contract)
+        if chunk_words is None:  # NULL chunk size: no rows, like NULL text
+            return
         words = (text or "").split()
         w = max(1, int(chunk_words))
         for i in range(0, (len(words) + w - 1) // w):

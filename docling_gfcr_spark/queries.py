@@ -638,8 +638,12 @@ def doc_chunks(spark, sf_dir):
 
 DOC_CHUNKS_SQL = r"""
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-  FROM documents WHERE length(trim(text)) > 0
+  -- list_filter of empty tokens == Python str.split() semantics for leading/
+  -- trailing/tab/newline whitespace (RE2 \s is ASCII; the corpus has no NBSP)
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS w
+  FROM documents
+  WHERE len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) > 0
 ), u AS (
   SELECT doc_id, unnest(list_transform(
            range(0, CAST(ceil(len(w) / 40.0) AS BIGINT)),

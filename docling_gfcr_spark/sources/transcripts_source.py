@@ -117,10 +117,24 @@ class PushdownTranscriptsReader(TranscriptsReader):
         from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThanOrEqual
 
         def conv_index(value) -> int | None:
-            if isinstance(value, str) and value.startswith("conv-") and value[5:].isdigit():
+            # ONLY canonical 'conv-%08d' comparands: for anything else
+            # (unpadded 'conv-7', 9-digit, arbitrary strings) string order
+            # on the padded ids diverges from integer order, so consuming
+            # the filter would return WRONG results — yield it back instead.
+            if (
+                isinstance(value, str)
+                and len(value) == 13
+                and value.startswith("conv-")
+                and value[5:].isdigit()
+                and value == f"conv-{int(value[5:]):08d}"
+            ):
                 return int(value[5:])
             return None
 
+        if self.opts.n_conv > 10**8:
+            # ids wider than 8 digits: padded-string order != integer order
+            yield from filters
+            return
         for f in filters:
             idx = conv_index(getattr(f, "value", None))
             if getattr(f, "attribute", None) == ("conv_id",) and idx is not None:

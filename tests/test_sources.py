@@ -127,6 +127,33 @@ def test_datasource_filter_pushdown_prunes_generation(spark):
     ]
     assert len(mixed) == len(want) and set(mixed.tool) <= {"markdown"}
 
+    # NON-CANONICAL comparands must NOT be consumed: string order on padded
+    # ids != integer order, so these must fall back to Spark evaluation and
+    # match the unpruned where() exactly (code-review regression)
+    for pred, pandas_mask in [
+        (F.col("conv_id") == "conv-7", full.conv_id == "conv-7"),          # 0 rows
+        (F.col("conv_id") >= "conv-4", full.conv_id >= "conv-4"),          # 0 rows
+        (F.col("conv_id") <= "conv-4", full.conv_id <= "conv-4"),          # all rows
+        (F.col("conv_id") <= "conv-000000041", full.conv_id <= "conv-000000041"),
+    ]:
+        got = src().where(pred).count()
+        assert got == int(pandas_mask.sum()), pred
+
+    # and pruning genuinely happens at the reader level
+    from pyspark.sql.datasource import EqualTo
+
+    from docling_gfcr_spark.sources.transcripts_source import PushdownTranscriptsReader
+
+    r = PushdownTranscriptsReader({"n_conv": "200"})
+    leftover = list(r.pushFilters([EqualTo(("conv_id",), "conv-00000007")]))
+    assert leftover == [] and (r._lo, r._hi) == (7, 8)
+    parts = r.partitions()
+    assert len(parts) == 1 and (parts[0].start, parts[0].end) == (7, 8)
+    # non-canonical: yielded back, range untouched
+    r2 = PushdownTranscriptsReader({"n_conv": "200"})
+    leftover2 = list(r2.pushFilters([EqualTo(("conv_id",), "conv-7")]))
+    assert len(leftover2) == 1 and (r2._lo, r2._hi) == (0, 200)
+
 
 def test_datasource_partition_count_and_pipeline_compose(spark):
     register_transcripts_source(spark)
