@@ -1115,6 +1115,61 @@ FROM orders
 """
 
 
+def q7_nation_trade_volume(spark, sf_dir):
+    """TPC-H Q7 shape: revenue flowing between supplier-nation and
+    customer-nation pairs — a 5-way join through BOTH dimension paths
+    (lineitem->supplier->nation and lineitem->orders->customer->nation),
+    dims broadcast, cross-pair aggregation."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01")) & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("supp_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cust_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("supp_nk"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("cust_nk"))
+        .where(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        # exact-decimal accumulation: per-item revenue is exactly 4dp
+        # (2dp price x 2dp discount), so casting each item to DECIMAL(18,4)
+        # recovers the exact value and the SUM is order-independent — no
+        # half-cent rounding ties between engines (double sums hit one here)
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")), 2
+            ).cast("double").alias("volume"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS volume,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND n1.n_name < n2.n_name
+GROUP BY n1.n_name, n2.n_name
+"""
+
+
 def q10_returned_items(spark, sf_dir):
     """TPC-H Q10 shape: revenue lost to returned items per customer, top 20."""
     c = _t(spark, sf_dir, "customer")
@@ -1399,6 +1454,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_order_counts": cube_order_counts,
     "grouping_sets_sql": grouping_sets_sql,
     "running_revenue": running_revenue,
+    "q7_nation_trade_volume": q7_nation_trade_volume,
     "q10_returned_items": q10_returned_items,
     "except_building_nonurgent": except_building_nonurgent,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
@@ -1440,6 +1496,7 @@ ORACLES: dict[str, str] = {
     "cube_order_counts": CUBE_SQL,
     "grouping_sets_sql": GROUPING_SETS_SQL,
     "running_revenue": RUNNING_SQL,
+    "q7_nation_trade_volume": Q7_SQL,
     "q10_returned_items": Q10_SQL,
     "except_building_nonurgent": EXCEPT_SQL,
     "q17_small_quantity_revenue": Q17_SQL,
