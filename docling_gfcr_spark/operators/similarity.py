@@ -325,7 +325,10 @@ def ivf_topk(
         )
     assign1 = make_ivf_assign_udf(centroids, n_probe=1)
     assignp = make_ivf_assign_udf(centroids, n_probe=n_probe)
-    c = ensure_parallelism(corpus).select(
+    # no ensure_parallelism fan-out here: assignment is one cheap matmul per
+    # batch, and the repartition shuffle costs more than it buys on inputs
+    # small enough to arrive as one split (big corpora have many splits)
+    c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
         assign1(F.col(vec_col))[0].alias("cluster"),
