@@ -486,3 +486,26 @@ def test_asof_null_by_keys_never_match(spark):
     got = asof_join(left, right, on="ts", by="user_id").toPandas()
     assert len(got) == 1
     assert got.iloc[0]["event_id"] == 2 and got.iloc[0]["click_right"] == 200
+
+
+def test_approx_distinct_within_hll_tolerance(spark):
+    """The one rows-only contract query: pin HLL++/GK outputs against exact
+    counts with the algorithms' error bounds (default rsd 0.05 -> assert a
+    generous 3-sigma 15%), so a regression to nonsense values fails CI even
+    without a cross-engine oracle."""
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").cache()
+    row = (
+        li.agg(
+            F.approx_count_distinct("l_orderkey").alias("a_orders"),
+            F.approx_count_distinct("l_partkey").alias("a_parts"),
+            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("a_p50"),
+        ).collect()[0]
+    )
+    exact_orders = li.select("l_orderkey").distinct().count()
+    exact_parts = li.select("l_partkey").distinct().count()
+    exact_p50 = li.agg(F.percentile("l_extendedprice", F.lit(0.5))).collect()[0][0]
+    assert abs(row.a_orders - exact_orders) / exact_orders < 0.15
+    assert abs(row.a_parts - exact_parts) / exact_parts < 0.15
+    # GK sketch with accuracy 10000 on ~60k rows: the approx median must sit
+    # within 2% of the exact interpolated median's value
+    assert abs(row.a_p50 - exact_p50) / exact_p50 < 0.02
