@@ -494,16 +494,21 @@ def test_approx_distinct_within_hll_tolerance(spark):
     generous 3-sigma 15%), so a regression to nonsense values fails CI even
     without a cross-engine oracle."""
     li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").cache()
-    row = (
-        li.agg(
-            F.approx_count_distinct("l_orderkey").alias("a_orders"),
-            F.approx_count_distinct("l_partkey").alias("a_parts"),
-            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("a_p50"),
-        ).collect()[0]
-    )
-    exact_orders = li.select("l_orderkey").distinct().count()
-    exact_parts = li.select("l_partkey").distinct().count()
-    exact_p50 = li.agg(F.percentile("l_extendedprice", F.lit(0.5))).collect()[0][0]
+    try:
+        row = (
+            li.agg(
+                F.approx_count_distinct("l_orderkey").alias("a_orders"),
+                F.approx_count_distinct("l_partkey").alias("a_parts"),
+                F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("a_p50"),
+            ).collect()[0]
+        )
+        exact_orders = li.select("l_orderkey").distinct().count()
+        exact_parts = li.select("l_partkey").distinct().count()
+        exact_p50 = li.agg(F.percentile("l_extendedprice", F.lit(0.5))).collect()[0][0]
+    finally:
+        # a lingering cache would swap later plan tests' parquet scans for
+        # InMemoryTableScan (no PushedFilters) — session is module-shared
+        li.unpersist()
     assert abs(row.a_orders - exact_orders) / exact_orders < 0.15
     assert abs(row.a_parts - exact_parts) / exact_parts < 0.15
     # GK sketch with accuracy 10000 on ~60k rows: the approx median must sit
