@@ -69,20 +69,41 @@ def ngram_jaccard_pairs(
     self-join linear-ish at corpus scale.
     """
     df = ensure_parallelism(df)
-    sh = (
-        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(word_shingles(text_col, k))).alias("shingle"))
-        # hash-partition by shingle ONCE: the frequency agg, the cold filter
-        # join and both sides of the pair self-join all cluster on shingle,
-        # so Catalyst's ReuseExchange serves them from this single shuffle
-        .repartition("shingle")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(text_col, k)).alias("shs"),
     )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
-    sh_cold = sh.join(freq.where(F.col("df_") <= hot_shingle_cap), "shingle")
-    a, b = sh_cold.alias("a"), sh_cold.alias("b")
+    # |shingle set| per doc: one pass over the array — NO shuffle (the old
+    # plan recomputed this with a groupBy over the exploded shingles)
+    sizes = base.select("id", F.size("shs").alias("sz"))
+    sh = base.select("id", F.explode("shs").alias("shingle"))
+    # ONE shuffle clusters co-occurring ids per shingle; the hot-shingle cap
+    # (stop-shingle skew guard) and the can't-pair filter apply to the
+    # aggregated lists, replacing the old frequency-agg + filter join
+    groups = (
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .where(F.size("ids").between(2, hot_shingle_cap))
+    )
+    # Enumerate ordered (id_a < id_b) pairs WORKER-SIDE with array exprs —
+    # never through a join. The old shingle self-join materialized up to
+    # C(cap, 2) joined rows per shingle through the SMJ machinery and
+    # shuffled them into the pair aggregation; here pairs are exploded after
+    # the shingle shuffle and partially aggregated map-side before the (much
+    # smaller) pair shuffle. Per-row memory is bounded by C(cap, 2) structs.
+    # (F.transform deliberately uses the two-parameter (element, index) form.)
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size("ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        groups.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count("*").alias("n_common"))
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
