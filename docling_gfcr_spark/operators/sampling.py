@@ -28,10 +28,20 @@ def _threshold_hex(fraction: float) -> str:
     return format(min(int(fraction * 2**32), 2**32 - 1), "08x")
 
 
+def sample_predicate(fraction: float, id_col: str = "doc_id", salt: str = "sample") -> Column:
+    """Keep-row predicate for a ~``fraction`` md5 hash sample. ``fraction >=
+    1.0`` short-circuits to always-true: the threshold comparison is strict
+    '<' against a hex clamp of 2^32-1, which would otherwise silently drop
+    rows whose hex8 is exactly 'ffffffff'."""
+    if fraction >= 1.0:
+        return F.lit(True)
+    return _hex8(id_col, salt) < _threshold_hex(fraction)
+
+
 def hash_sample(df: DataFrame, fraction: float, id_col: str = "doc_id", salt: str = "sample") -> DataFrame:
     """Keep ~``fraction`` of rows, decided per-row by md5 — stable across
     runs, partitionings and engines (unlike ``DataFrame.sample``)."""
-    return df.where(_hex8(id_col, salt) < _threshold_hex(fraction))
+    return df.where(sample_predicate(fraction, id_col, salt))
 
 
 def split_column(
@@ -48,7 +58,9 @@ def split_column(
     expr = None
     for w, name in zip(weights[:-1], names[:-1]):
         acc += w
-        cond = h < _threshold_hex(acc)
+        # a cumulative weight reaching 1.0 before the last name must capture
+        # EVERY row (strict '<' against the hex clamp would leak 'ffffffff')
+        cond = F.lit(True) if acc >= 1.0 else h < _threshold_hex(acc)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return (expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1])).alias("split")
 

@@ -253,17 +253,28 @@ def train_ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> np.ndarray:
-    """Spherical k-means on a DETERMINISTIC bounded sample (orderBy(id) →
-    limit → driver numpy). At 10^12 vectors you train on a fixed sample
-    anyway; the expensive part — assignment — stays distributed. Returns
-    unit-norm centroids (n_centroids, dim)."""
+    """Spherical k-means on a DETERMINISTIC md5-thresholded hash sample
+    (sampling.sample_predicate, salt 'ivf') — a pure scan-side predicate:
+    every executor decides keep/drop per row independently, so there is no
+    global sort/top-K anywhere in the trainer's plan and the training input
+    is identical across runs, partitionings and engines. The sample fraction
+    targets ~1.2x ``sample_limit`` rows (binomial around it); at 10^12
+    vectors you train on a fixed sample anyway — the expensive part,
+    assignment, stays distributed. Driver-side sort of the ~20k collected
+    rows pins the numpy init order. Returns unit-norm centroids
+    (n_centroids, dim). The fixture oracle (tools/make_fixtures.py) computes
+    the identical sample rule locally."""
+    from docling_gfcr_spark.operators.sampling import sample_predicate
+
+    n = corpus.count()
+    fraction = min(1.0, 1.2 * sample_limit / max(n, 1))
     rows = (
-        corpus.orderBy(id_col)
-        .limit(sample_limit)
-        .select(F.col(vec_col).cast("array<double>"))
+        corpus.where(sample_predicate(fraction, id_col=id_col, salt="ivf"))
+        .select(F.col(id_col), F.col(vec_col).cast("array<double>"))
         .collect()
     )
-    m = np.asarray([r[0] for r in rows], dtype=np.float64)
+    rows.sort(key=lambda r: r[0])
+    m = np.asarray([r[1] for r in rows], dtype=np.float64)
     return spherical_kmeans(m, n_centroids, seed, iters)
 
 

@@ -195,8 +195,22 @@ def compute_ann_ivf_topk() -> pd.DataFrame:
     ).fetchdf()
     ids = emb["vec_id"].to_numpy(dtype=np.int64)
     m = np.asarray([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
-    # trainer samples orderBy(vec_id).limit(20000) — ids are already sorted
-    cent = spherical_kmeans(m[:20_000], n_centroids, seed, iters)
+    # trainer samples via md5-threshold (similarity.train_ivf_centroids:
+    # hex8(md5('ivf:<id>')) < threshold, fraction = min(1, 1.2*limit/n),
+    # rows sorted by id) — mirror the exact rule here
+    import hashlib as _hashlib
+
+    sample_limit = 20_000
+    fraction = min(1.0, 1.2 * sample_limit / max(len(ids), 1))
+    if fraction < 1.0:
+        thr = format(min(int(fraction * 2**32), 2**32 - 1), "08x")
+        keep = np.array(
+            [_hashlib.md5(f"ivf:{int(i)}".encode()).hexdigest()[:8] < thr for i in ids]
+        )
+        sample = m[keep]
+    else:
+        sample = m
+    cent = spherical_kmeans(sample, n_centroids, seed, iters)
     mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
     sims = mn @ cent.T
     cluster = np.argmax(sims, axis=1)  # corpus: nearest centroid
