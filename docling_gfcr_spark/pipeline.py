@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from docling_gfcr_spark.kernels import encodings, markdown_ops, media, office
+from docling_gfcr_spark.kernels import asciidoc, encodings, markdown_ops, media, office
 from docling_gfcr_spark.kernels.html_extract import extract_html
 from docling_gfcr_spark.kernels.pdf_layout import assemble_pages, assemble_pdf
 
@@ -42,7 +42,7 @@ from docling_gfcr_spark.kernels.pdf_layout import assemble_pages, assemble_pdf
 # (kernels/encodings.py <- reference convert.py:131-152).
 SUPPORTED_KINDS = frozenset(
     "html xhtml pdf pdf_text markdown md plain text txt json csv xml adoc asciidoc "
-    "docx xlsx pptx png jpeg jpg tiff tif bmp webp text_b64".split()
+    "doc docx xlsx pptx png jpeg jpg tiff tif bmp webp text_b64".split()
 )
 IMAGE_KINDS = frozenset("png jpeg jpg tiff tif bmp webp".split())
 _UNSUPPORTED_FMT = (
@@ -168,10 +168,18 @@ def route_one(text: str | None, tool: str | None, name: str, mode: str) -> dict:
                 extracted, method, parse_failed = "", "pdf_text", True
         elif kind in ("markdown", "md"):
             extracted, method = text, "markdown"
-        elif kind in ("docx", "xlsx", "pptx"):
+        elif kind in ("adoc", "asciidoc"):
+            # structural AsciiDoc kernel (reference whitelists .adoc/.asciidoc
+            # at convert.py:32-41; the agent whitelist markdown_agent.py:131
+            # adds .doc — both formerly rode the generic text fallback)
+            extracted, method = asciidoc.adoc_to_markdown(text), "adoc"
+        elif kind in ("doc", "docx", "xlsx", "pptx"):
             # office sidecar shapes (kernels/office.py; reference whitelists
-            # these extensions at convert.py:32-41 and delegates to docling)
+            # these extensions at convert.py:32-41 and delegates to docling;
+            # legacy .doc shares the docx sidecar — docling parses both into
+            # the same document model)
             assemble = {
+                "doc": office.assemble_docx,
                 "docx": office.assemble_docx,
                 "xlsx": office.assemble_xlsx,
                 "pptx": office.assemble_pptx,

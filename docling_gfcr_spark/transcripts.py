@@ -51,8 +51,9 @@ FOOTER_MARKER = "footerboilerplate"
 KINDS = (
     "html", "pdf_text", "pdf", "markdown", "plain", "json", "binary_stub",
     "unsupported_ext", "docx", "xlsx", "pptx", "image", "text_b64", "csv", "xml",
+    "adoc", "doc",
 )
-_KIND_P = (0.23, 0.08, 0.08, 0.12, 0.10, 0.08, 0.02, 0.02, 0.06, 0.05, 0.05, 0.04, 0.02, 0.03, 0.02)
+_KIND_P = (0.20, 0.08, 0.08, 0.10, 0.10, 0.08, 0.02, 0.02, 0.06, 0.05, 0.05, 0.04, 0.02, 0.03, 0.02, 0.03, 0.02)
 _IMAGE_SUBKINDS = ("png", "jpeg", "bmp", "webp", "tiff")
 
 
@@ -205,6 +206,23 @@ def build_text_b64_payload(rng: np.random.RandomState) -> str:
     return base64.b64encode(body.encode(enc)).decode("ascii")
 
 
+def build_adoc_payload(rng: np.random.RandomState) -> str:
+    """AsciiDoc document: attribute entries, '=' headings, '*' bullets and a
+    '----' literal block (exercises every rule in kernels/asciidoc.py)."""
+    parts = [f"= {_sentence(rng, 3).rstrip('.')}", ":toc: left", ""]
+    for si in range(int(rng.randint(1, 4))):
+        parts.append(f"{'=' * int(rng.randint(2, 4))} {_sentence(rng, 3).rstrip('.')}")
+        parts.append("")
+        parts.append(_sentence(rng, int(rng.randint(8, 18))))
+        if rng.rand() < 0.5:
+            for d in range(int(rng.randint(1, 4))):
+                parts.append(f"{'*' * (1 + (d % 2))} {_sentence(rng, 3).rstrip('.')}")
+        if rng.rand() < 0.3:
+            parts += ["", "----", _sentence(rng, 5), "----"]
+        parts.append("")
+    return "\n".join(parts)
+
+
 def build_csv_payload(rng: np.random.RandomState) -> str:
     """CSV grid with quoted cells containing commas (exercises real parsing)."""
     n_cols = int(rng.randint(2, 5))
@@ -251,8 +269,10 @@ def gen_turn(seed: int, conv_idx: int, turn_idx: int) -> tuple[str, str, str]:
         text = "%PDF-1.4\n" + "".join(chr(c) for c in rng.randint(1, 255, size=64))
     elif kind == "unsupported_ext":
         text = _sentence(rng, 12)
-    elif kind == "docx":
+    elif kind in ("docx", "doc"):
         text = build_docx_payload(rng)
+    elif kind == "adoc":
+        text = build_adoc_payload(rng)
     elif kind == "xlsx":
         text = build_xlsx_payload(rng)
     elif kind == "pptx":

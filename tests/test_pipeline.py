@@ -222,6 +222,32 @@ def test_office_sidecar_routes(spark):
     assert out.iloc[3]["extracted_text"] == "{not json"
 
 
+def test_adoc_and_doc_routes(spark):
+    """.adoc gets a structural AsciiDoc->markdown kernel (reference whitelist
+    convert.py:32-41); legacy .doc (agent whitelist markdown_agent.py:131)
+    shares the docx sidecar route — neither rides the generic text fallback."""
+    import json as _json
+
+    adoc = "= Top\n:toc: left\n== Sub\n\nbody here\n* one\n** two\n----\nlit text\n----"
+    doc = _json.dumps({"paragraphs": [
+        {"style": "Title", "text": "Legacy doc"},
+        {"style": "Normal", "text": "word body"},
+    ]})
+    df = spark.createDataFrame(
+        [("c9", 0, "user", adoc, "adoc", None),
+         ("c9", 1, "user", adoc, "asciidoc", None),
+         ("c9", 2, "user", doc, "doc", None)],
+        schema=transcripts.SCHEMA,
+    )
+    out = pipeline.extract_turns(df, mode="cli").toPandas().sort_values("turn_idx")
+    want_adoc = "# Top\n## Sub\n\nbody here\n- one\n  - two\n```\nlit text\n```"
+    assert out.iloc[0]["extracted_text"] == want_adoc
+    assert out.iloc[1]["extracted_text"] == want_adoc
+    assert list(out["method"]) == ["adoc", "adoc", "doc"]
+    assert out.iloc[2]["extracted_text"] == "# Legacy doc\n\nword body"
+    assert out["success"].all()
+
+
 def test_image_route_parses_real_headers(spark):
     import base64 as _b64
 
@@ -303,7 +329,7 @@ def test_new_kinds_flow_through_generator(spark):
     tdf = transcripts.make_transcripts(spark, 60, mean_turns=8, seed=21, parallelism=8)
     out = pipeline.extract_turns(tdf, mode="agent").toPandas()
     kinds = set(out["tool"])
-    assert {"docx", "xlsx", "pptx", "text_b64"} <= kinds
+    assert {"docx", "xlsx", "pptx", "text_b64", "adoc", "doc"} <= kinds
     assert kinds & {"png", "jpeg", "bmp", "webp", "tiff"}
     office_ok = out[out.tool.isin(["docx", "xlsx", "pptx"])]
     # ~1% of payloads are adversarially garbled by the generator — those
