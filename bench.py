@@ -129,15 +129,11 @@ def main() -> None:
         return time.time() - t0
 
     extract_pass()  # warmup: python-worker spawn + imports (per-executor one-off)
-    # north-star metric: adaptive min — noisy-neighbor bursts on this shared
-    # VM can slow a single pass 10x, so keep sampling (up to 6 passes inside
-    # a ~30s box) and take the best
-    extract_sec = extract_pass()
-    t_box = time.time()
-    for _ in range(5):
-        if time.time() - t_box > 30:
-            break
-        extract_sec = min(extract_sec, extract_pass())
+    # PINNED PROTOCOL (round 3): min-of-2 timed passes after one warmup —
+    # the same rule as every query above — so round-over-round deltas are
+    # apples-to-apples. (r2 used an adaptive up-to-6-pass min here, which
+    # inflated the apparent r1->r2 win; do not drift again.)
+    extract_sec = min(extract_pass(), extract_pass())
 
     # ordering + skew-safe two-phase conversation assembly (the shuffle path)
     def assemble_pass() -> int:
@@ -158,6 +154,7 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
+                "passes": 2,  # pinned: min-of-2 for every entry incl. extraction
                 "queries": results,
                 "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
                 "throughput": {
