@@ -77,6 +77,14 @@ class ParquetStorage:
     def read_data(self) -> DataFrame:
         return self.spark.read.parquet(self.data_dir)
 
+    def read_data_partition(self, part_id: int) -> DataFrame:
+        """Scan exactly one ``part_id`` partition by path — file listing
+        touches ONE directory instead of the whole (growing) table, so
+        per-batch metric reads stay O(batch) as history accumulates. The
+        partition column itself is not in the result (it lives in the path).
+        """
+        return self.spark.read.parquet(f"{self.data_dir}/part_id={int(part_id)}")
+
     def read_lineage(self) -> DataFrame | None:
         try:
             return self.spark.read.parquet(self.lineage_dir)

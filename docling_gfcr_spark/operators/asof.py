@@ -96,12 +96,18 @@ def asof_join(
                 )
             ]
     if slab_seconds is not None and hot_keys:
+        # each side's epoch conversion keys on ITS OWN dtype — deriving the
+        # right side's from the left schema would mis-convert when the two
+        # `on` columns differ (e.g. left double vs right timestamp_ntz)
         on_type = dict(
             (f.name, f.dataType.simpleString()) for f in left.schema.fields
         )[on]
+        on_type_r = dict(
+            (f.name, f.dataType.simpleString()) for f in renamed.schema.fields
+        )[on_right]
         is_hot = F.col(by).isin(list(hot_keys))
         slab_l = F.when(is_hot, F.floor(_epoch(F.col(on), on_type) / F.lit(float(slab_seconds)))).otherwise(F.lit(0)).cast("long")
-        slab_r = F.when(is_hot, F.floor(_epoch(F.col(on_right), on_type) / F.lit(float(slab_seconds)))).otherwise(F.lit(0)).cast("long")
+        slab_r = F.when(is_hot, F.floor(_epoch(F.col(on_right), on_type_r) / F.lit(float(slab_seconds)))).otherwise(F.lit(0)).cast("long")
         l2 = left.withColumn("_slab", slab_l)
         r2 = renamed.withColumn("_slab", slab_r)
 

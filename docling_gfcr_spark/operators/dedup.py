@@ -215,6 +215,24 @@ def minhash_lsh_pairs(
     )
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Release the cached blocks behind a ``localCheckpoint``ed DataFrame.
+
+    ``Dataset.unpersist`` only frees CacheManager entries (from ``persist``);
+    a local checkpoint lives as a plain persisted RDD referenced by the
+    analyzed plan's LogicalRDD node, so without this every iteration of an
+    iterative job leaks one materialized label table into the block manager.
+    Best-effort: internal-API access is wrapped, failure just means the
+    blocks age out with the session as before.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 50
 ) -> DataFrame:
@@ -231,6 +249,10 @@ def connected_components(
     skeleton, fewer rounds on high-degree graphs.
 
     Returns ``(node, comp)`` where comp = min node id in the component.
+    Raises ``RuntimeError`` if the loop hits ``max_iter`` without reaching
+    the fixpoint — un-converged labels are silently WRONG clusters, and for
+    near-dup graphs a diameter > 50 means the input is not what this
+    operator is for (use the large-star/small-star variant).
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = (
@@ -241,6 +263,7 @@ def connected_components(
     labels = und.select(F.col("a").alias("node")).distinct().withColumn(
         "comp", F.col("node")
     ).localCheckpoint()
+    converged = False
     for _ in range(max_iter):
         nbr = und.join(labels, und["b"] == labels["node"]).select(
             F.col("a").alias("node"), F.col("comp")
@@ -254,9 +277,18 @@ def connected_components(
             .where(F.col("n.comp") != F.col("o.comp"))
             .count()
         )
+        _free_local_checkpoint(labels)  # superseded round: release its blocks
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    _free_local_checkpoint(und)
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds; labels would be wrong — raise max_iter or switch to "
+            "connected_components_star for high-diameter graphs"
+        )
     return labels
 
 

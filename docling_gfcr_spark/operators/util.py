@@ -14,6 +14,13 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     """
     if min_partitions is None:
         min_partitions = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min_partitions:
+    # JVM-side partition count: Python-side ``df.rdd`` would build a whole
+    # extra javaToPython conversion plan per call just to ask this question
+    # (Dataset.rdd is a cached lazy val, so repeated calls don't re-plan)
+    try:
+        n = df._jdf.rdd().getNumPartitions()
+    except Exception:  # internal API moved: fall back to the public route
+        n = df.rdd.getNumPartitions()
+    if n < min_partitions:
         return df.repartition(min_partitions)
     return df

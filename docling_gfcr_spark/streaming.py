@@ -123,9 +123,11 @@ def stream_extract_durable(
             "part_id", F.lit(int(batch_id))
         )
         storage.overwrite_data_partitions(extracted)
+        # read back ONLY this batch's partition path: scanning the whole data
+        # dir and filtering would re-list every partition ever written, making
+        # each micro-batch slower as stream history grows
         metrics = (
-            storage.read_data()
-            .where(F.col("part_id") == int(batch_id))
+            storage.read_data_partition(int(batch_id))
             .agg(
                 F.count("*").alias("n_turns"),
                 F.sum("n_nodes").alias("nodes_classified"),
