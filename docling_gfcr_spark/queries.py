@@ -904,6 +904,94 @@ def extract_assembled_convs(spark, sf_dir):
     return conv.select("conv_id", "n_turns", F.length("conv_text").alias("conv_chars"))
 
 
+def resume_extraction_job(spark, sf_dir):
+    """North-rule resume invariant, END-TO-END and value-checked: run the
+    wave-committed extraction job (lineage.run_extraction_job), crash it
+    after wave 2 (injected), resume under a new run_id, and audit the final
+    state. Output (one row per run):
+
+    - parts_committed / resumed_skipped: the resumed run must skip exactly
+      the crashed run's committed parts (deterministic wave arithmetic:
+      4 parts / 2 waves, crash after wave 1 -> 2 parts committed each side);
+    - total_rows / distinct_keys: the resumed output holds every (conv_id,
+      turn_idx) exactly once — no loss, no reprocessing duplicates;
+    - content_digest: order-insensitive md5-sum over (conv_id, turn_idx,
+      extracted_text) of the FINAL data table — per-turn text equality with
+      the pure-Python fixture oracle, straight through the crash/resume.
+
+    Result is materialized before the scratch dir is deleted.
+    """
+    import shutil
+    import tempfile
+
+    from docling_gfcr_spark import lineage
+
+    out_dir = tempfile.mkdtemp(prefix="resume_audit_")
+    try:
+        tdf = transcripts.make_transcripts(
+            spark, 40, mean_turns=5, seed=7, mega_every=25, skew_factor=8, parallelism=8
+        )
+        try:
+            lineage.run_extraction_job(
+                spark, tdf, out_dir, n_parts=4, n_waves=2, run_id="run1", fail_after_wave=1
+            )
+        except RuntimeError:
+            pass  # the injected crash
+        report2 = lineage.run_extraction_job(
+            spark, tdf, out_dir, n_parts=4, n_waves=2, run_id="run2"
+        )
+        lin = lineage.read_lineage(spark, out_dir).where(F.col("status") == "committed")
+        data = lineage.read_extracted(spark, out_dir)
+        row_hash = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.col("conv_id"), F.col("turn_idx"), F.col("extracted_text")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(10**12)
+        )
+        audit = (
+            data.agg(
+                F.count("*").alias("total_rows"),
+                F.count_distinct("conv_id", "turn_idx").alias("distinct_keys"),
+                F.sum(row_hash).alias("content_digest"),
+            )
+        )
+        per_run = lin.groupBy("run_id").agg(
+            F.count_distinct("part_id").alias("parts_committed")
+        )
+        result = (
+            per_run.crossJoin(audit)
+            .withColumn(
+                "resumed_skipped",
+                F.when(F.col("run_id") == "run1", F.lit(0)).otherwise(
+                    F.lit(len(report2["resumed_parts_skipped"]))
+                ).cast("long"),
+            )
+            .select(
+                "run_id", "parts_committed", "resumed_skipped",
+                "total_rows", "distinct_keys", "content_digest",
+            )
+            .orderBy("run_id")
+        )
+        pdf = result.toPandas()  # materialize before the scratch dir goes away
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf,
+        "run_id string, parts_committed long, resumed_skipped long, "
+        "total_rows long, distinct_keys long, content_digest long",
+    )
+
+
 def multimodal_features(spark, sf_dir):
     """Real container-header decode over binary media columns (PNG/JPEG/WAV/
     MP4 parsed with kernels/media.py); value-checked against a fixture
@@ -1423,6 +1511,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_with_late_shipments": orders_with_late_shipments,
     "q22_idle_rich_customers": q22_idle_rich_customers,
     "approx_distinct_stats": approx_distinct_stats,
+    "resume_extraction_job": resume_extraction_job,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_nation_revenue": q5_nation_revenue,
@@ -1530,6 +1619,7 @@ ORACLES: dict[str, str] = {
     # back so the driver's value-hash check is as hard as for the SQL twins.
     "extract_transcripts": _FIXTURE_SQL.format(name="extract_transcripts"),
     "extract_assembled_convs": _FIXTURE_SQL.format(name="extract_assembled_convs"),
+    "resume_extraction_job": _FIXTURE_SQL.format(name="resume_extraction_job"),
     "dedup_simhash": _FIXTURE_SQL.format(name="dedup_simhash"),
     "dedup_clusters": _FIXTURE_SQL.format(name="dedup_clusters"),
     "emb_neardup_lsh": _FIXTURE_SQL.format(name="emb_neardup_lsh"),

@@ -90,6 +90,37 @@ def compute_extract_assembled_convs() -> pd.DataFrame:
     return df
 
 
+def compute_resume_extraction_job() -> pd.DataFrame:
+    """Local oracle for queries.resume_extraction_job: the content digest is
+    recomputed from the generator + extract_one with no Spark and no lineage
+    machinery; parts/skip counts follow from the deterministic wave
+    arithmetic (4 parts / 2 waves, crash after wave 1 -> 2 + 2)."""
+    import hashlib
+
+    from docling_gfcr_spark import pipeline, transcripts
+
+    total = 0
+    digest = 0
+    for c in range(40):
+        for r in transcripts.gen_conv_rows(7, c, mean_turns=5, mega_every=25, skew_factor=8):
+            name = f"{r['conv_id']}-{r['turn_idx']:06d}".replace(" ", "_")
+            x = pipeline.extract_one(r["text"], r["tool"], name, "agent")
+            key = f"{r['conv_id']}|{r['turn_idx']}|{x['extracted_text']}"
+            digest += int(hashlib.md5(key.encode("utf-8")).hexdigest()[:15], 16) % 10**12
+            total += 1
+    rows = [
+        {"run_id": "run1", "parts_committed": 2, "resumed_skipped": 0},
+        {"run_id": "run2", "parts_committed": 2, "resumed_skipped": 2},
+    ]
+    df = pd.DataFrame(rows)
+    df["total_rows"] = total
+    df["distinct_keys"] = total
+    df["content_digest"] = digest
+    for c in ("parts_committed", "resumed_skipped", "total_rows", "distinct_keys", "content_digest"):
+        df[c] = df[c].astype(np.int64)
+    return df
+
+
 def compute_dedup_simhash() -> pd.DataFrame:
     """Local oracle for queries.dedup_simhash over the sf0.01 documents."""
     import duckdb
@@ -313,6 +344,7 @@ def compute_multimodal_transformed() -> pd.DataFrame:
 COMPUTE = {
     "extract_transcripts": compute_extract_transcripts,
     "extract_assembled_convs": compute_extract_assembled_convs,
+    "resume_extraction_job": compute_resume_extraction_job,
     "dedup_simhash": compute_dedup_simhash,
     "dedup_clusters": compute_dedup_clusters,
     "emb_neardup_lsh": compute_emb_neardup_lsh,
