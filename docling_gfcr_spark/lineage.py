@@ -22,11 +22,11 @@ output with a different ``n_parts`` raises instead of silently skipping
 wrong rows.
 
 Storage is injected through the small ``Storage`` interface below. The
-sandbox implementation is plain parquet (no Iceberg runtime jar here); a
-production deployment drops in an Iceberg-backed implementation with
-identical commit protocol — ``writeTo(table).overwritePartitions()`` for
-data waves and ``writeTo(lineage).append()`` for the atomic lineage commit —
-without touching the job logic.
+sandbox implementation is plain parquet (no Iceberg runtime jar here);
+``IcebergStorage`` is the production twin with the identical commit
+protocol — ``writeTo(table).overwritePartitions()`` for data waves and
+``writeTo(lineage).append()`` for the atomic lineage commit. The job logic
+is storage-agnostic (pinned by the conformance test in test_lineage.py).
 """
 
 from __future__ import annotations
@@ -89,6 +89,69 @@ class ParquetStorage:
         try:
             return self.spark.read.parquet(self.lineage_dir)
         except Exception:  # first run: lineage table does not exist yet
+            return None
+
+
+class IcebergStorage:
+    """Iceberg-backed Storage twin: the SAME three-write/two-read commit
+    protocol over catalog tables instead of parquet paths.
+
+    - data waves:   ``writeTo(data_table).overwritePartitions()`` — replaces
+      exactly the ``part_id`` partitions present in the frame, atomically per
+      Iceberg snapshot (the dynamic-overwrite semantics ParquetStorage gets
+      from ``partitionOverwriteMode=dynamic``);
+    - lineage rows: ``writeTo(lineage_table).append()`` — one atomic commit;
+    - reads go through the catalog, so time travel / snapshot isolation come
+      free.
+
+    Needs an Iceberg runtime jar + catalog config, which this sandbox does
+    not have — ``available()`` gates it, and the conformance test pins that
+    both implementations expose the identical interface and that the job
+    logic drives Storage ONLY through that interface (so swapping is a
+    constructor change, not a job change). Create the tables once with
+    ``create_tables(extracted_schema_ddl)`` (PARTITIONED BY part_id).
+    """
+
+    def __init__(self, spark: SparkSession, table_prefix: str) -> None:
+        self.spark = spark
+        self.data_table = f"{table_prefix}_data"
+        self.lineage_table = f"{table_prefix}_lineage"
+
+    @staticmethod
+    def available(spark: SparkSession) -> bool:
+        try:
+            spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+            return True
+        except Exception:
+            return False
+
+    def create_tables(self, data_schema_ddl: str) -> None:
+        self.spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {self.data_table} ({data_schema_ddl}) "
+            "USING iceberg PARTITIONED BY (part_id)"
+        )
+        self.spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {self.lineage_table} "
+            f"({LINEAGE_SCHEMA}) USING iceberg"
+        )
+
+    def overwrite_data_partitions(self, df: DataFrame) -> None:
+        df.writeTo(self.data_table).overwritePartitions()
+
+    def append_lineage(self, df: DataFrame) -> None:
+        df.coalesce(1).writeTo(self.lineage_table).append()
+
+    def read_data(self) -> DataFrame:
+        return self.spark.read.table(self.data_table)
+
+    def read_data_partition(self, part_id: int) -> DataFrame:
+        # catalog tables prune on the partition predicate; no path surgery
+        return self.read_data().where(F.col("part_id") == int(part_id)).drop("part_id")
+
+    def read_lineage(self) -> DataFrame | None:
+        try:
+            return self.spark.read.table(self.lineage_table)
+        except Exception:  # first run: table not created yet
             return None
 
 

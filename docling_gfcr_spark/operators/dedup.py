@@ -292,6 +292,98 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 50
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC 2014) — the
+    10^12-edge upgrade over plain min-label propagation: rounds are
+    O(log^2 n) in expectation regardless of component DIAMETER (propagation
+    is O(diameter)), and each round is two groupBy-min + join passes with no
+    per-node neighbor lists collected anywhere.
+
+    - large-star: every node u points each neighbor v > u at m = min of
+      u's neighborhood (incl. u);
+    - small-star: every node u points its smaller neighbors (and itself) at
+      the min of those.
+
+    At the fixpoint every edge is (component-min, node). Same API and same
+    output contract as ``connected_components``: (node, comp) with comp =
+    min node id in the component; property-tested equal on random graphs.
+    """
+    def canon(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    e = canon(edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))).localCheckpoint()
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def signature(df: DataFrame) -> tuple:
+        # decimal accumulator: summing raw xxhash64 longs overflows int64
+        # (ANSI mode turns that into a job-killing exception)
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    sig = signature(e)
+    converged = False
+    for _ in range(max_iter):
+        # ---- large-star ----
+        und = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = und.groupBy("a").agg(F.min("b").alias("m")).select(
+            "a", F.least("m", F.col("a")).alias("m")
+        )
+        ls = (
+            und.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        )
+        e1 = canon(ls).localCheckpoint()
+        _free_local_checkpoint(e)
+        # ---- small-star (edges directed high -> low) ----
+        d = e1.select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+        mins2 = d.groupBy("a").agg(F.min("b").alias("m"))
+        dj = d.join(mins2, "a")
+        ss = dj.select(F.col("b").alias("a"), F.col("m").alias("b")).unionByName(
+            dj.select("a", F.col("m").alias("b"))
+        )
+        e2 = canon(ss).localCheckpoint()
+        _free_local_checkpoint(e1)
+        new_sig = signature(e2)
+        e = e2
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if not converged:
+        _free_local_checkpoint(e)
+        _free_local_checkpoint(nodes)
+        raise RuntimeError(
+            f"connected_components_star did not converge within max_iter={max_iter}"
+        )
+    # fixpoint: every edge is (comp-min a, member b); roots + isolated input
+    # nodes (none survive canon, but keep the contract total) label themselves
+    labels = nodes.join(
+        e.select(F.col("b").alias("node"), F.col("a").alias("comp")), "node", "left"
+    ).select("node", F.coalesce("comp", F.col("node")).alias("comp"))
+    out = labels.localCheckpoint()
+    _free_local_checkpoint(e)
+    _free_local_checkpoint(nodes)
+    return out
+
+
 def dedup_cluster_members(
     df: DataFrame,
     text_col: str = "text",

@@ -64,6 +64,55 @@ def test_completed_job_is_noop_on_rerun(spark, tmp_path):
     assert set(lineage.read_lineage(spark, out).toPandas()["run_id"]) == {"a"}
 
 
+def test_storage_interface_conformance(spark, tmp_path):
+    """ParquetStorage and IcebergStorage satisfy the same commit-protocol
+    contract, and run_extraction_job drives storage ONLY through it — so the
+    Iceberg swap is a constructor change, never a job change. The Iceberg
+    write paths themselves need a runtime jar this sandbox lacks
+    (IcebergStorage.available gates them); what this test pins is the
+    contract both implementations promise."""
+    import inspect
+
+    contract = [
+        "overwrite_data_partitions",
+        "append_lineage",
+        "read_data",
+        "read_data_partition",
+        "read_lineage",
+    ]
+    for m in contract:
+        pq = inspect.signature(getattr(lineage.ParquetStorage, m))
+        ib = inspect.signature(getattr(lineage.IcebergStorage, m))
+        assert pq.parameters.keys() == ib.parameters.keys(), m
+
+    # a recording proxy proves the job touches nothing outside the contract
+    class RecordingStorage:
+        def __init__(self, inner):
+            self._inner = inner
+            self.calls = []
+
+        def __getattr__(self, name):
+            if name.startswith("_"):
+                raise AttributeError(name)
+            attr = getattr(self._inner, name)
+            if callable(attr):
+                def wrapped(*a, **kw):
+                    self.calls.append(name)
+                    return attr(*a, **kw)
+                return wrapped
+            return attr
+
+    out = str(tmp_path / "conformance")
+    tdf = transcripts.make_transcripts(spark, 6, mean_turns=3, seed=3, parallelism=2)
+    rec = RecordingStorage(lineage.ParquetStorage(spark, out))
+    lineage.run_extraction_job(spark, tdf, out, n_parts=4, n_waves=2, storage=rec)
+    used = set(rec.calls)
+    assert used <= set(contract), used - set(contract)
+    assert {"overwrite_data_partitions", "append_lineage", "read_data", "read_lineage"} <= used
+
+    assert not lineage.IcebergStorage.available(spark)  # sandbox: no jar
+
+
 def test_spans_roundtrip_through_parquet(spark, tmp_path):
     """Nested array<struct> spans must survive the durable sink byte-exactly."""
     out = str(tmp_path / "spansjob")

@@ -86,6 +86,30 @@ def test_connected_components_multi_hop_chains(spark):
     assert comp[20] == 20 and comp[21] == 20
 
 
+def test_cc_star_equals_propagation_on_random_graphs(spark):
+    """Property: large-star/small-star CC (the log-round 10^12-edge variant)
+    labels every random graph identically to min-label propagation."""
+    import random
+
+    for seed in (0, 1, 2):
+        rnd = random.Random(seed)
+        n = 50
+        edges = [(rnd.randrange(n), rnd.randrange(n)) for _ in range(65)]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        prop = {(r.node, r.comp) for r in dedup.connected_components(df).collect()}
+        star = {(r.node, r.comp) for r in dedup.connected_components_star(df).collect()}
+        assert prop == star, f"seed {seed}: {sorted(star ^ prop)}"
+
+
+def test_cc_star_closes_long_paths(spark):
+    """A 40-node path has diameter 39 — propagation needs 39 rounds, the
+    star variant closes it in O(log^2 n)."""
+    edges = spark.createDataFrame([(i, i + 1) for i in range(40)], "id_a long, id_b long")
+    comp = dedup.connected_components_star(edges, max_iter=12).toPandas()
+    assert set(comp["comp"]) == {0} and len(comp) == 41
+
+
 def test_dedup_cluster_members_on_planted_dups(spark, planted_docs):
     """Exact dups + near dups of the same base doc land in ONE cluster keyed
     by the min doc id."""
