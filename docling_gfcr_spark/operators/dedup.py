@@ -55,6 +55,26 @@ def word_shingles(text_col: str, k: int = 5) -> Column:
     return F.transform(F.sequence(F.lit(1), n), lambda i: F.concat_ws(" ", F.slice(w, i, k)))
 
 
+def ordered_pairs(arr: Column, a_name: str = "id_a", b_name: str = "id_b") -> Column:
+    """All i<j element pairs of a SORTED array, as array<struct<a,b>> —
+    worker-side candidate-pair enumeration shared by the dedup family.
+    Replaces the classic blocking self-join: the join materializes up to
+    C(group, 2) rows through the SMJ machinery and shuffles them; this
+    expression generates pairs after the single blocking-key shuffle, so the
+    only rows that move again are post-aggregation/filter survivors.
+    (The two-parameter transform lambda deliberately receives the index.)
+    """
+    return F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + F.lit(2), F.size(arr)),
+                lambda y: F.struct(x.alias(a_name), y.alias(b_name)),
+            ),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -85,24 +105,11 @@ def ngram_jaccard_pairs(
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
         .where(F.size("ids").between(2, hot_shingle_cap))
     )
-    # Enumerate ordered (id_a < id_b) pairs WORKER-SIDE with array exprs —
-    # never through a join. The old shingle self-join materialized up to
-    # C(cap, 2) joined rows per shingle through the SMJ machinery and
-    # shuffled them into the pair aggregation; here pairs are exploded after
-    # the shingle shuffle and partially aggregated map-side before the (much
-    # smaller) pair shuffle. Per-row memory is bounded by C(cap, 2) structs.
-    # (F.transform deliberately uses the two-parameter (element, index) form.)
-    pairs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + F.lit(2), F.size("ids")),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
+    # Worker-side pair enumeration (see ordered_pairs): pairs are exploded
+    # after the shingle shuffle and partially aggregated map-side before the
+    # (much smaller) pair shuffle. Per-row memory is bounded by C(cap, 2).
     common = (
-        groups.select(F.explode(pairs).alias("p"))
+        groups.select(F.explode(ordered_pairs(F.col("ids"))).alias("p"))
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count("*").alias("n_common"))
     )
@@ -202,15 +209,18 @@ def minhash_lsh_pairs(
             )
         ).alias("bh"),
     ).select("id", "bh.band", "bh.band_hash")
-    a, b = banded.alias("a"), banded.alias("b")
+    # one shuffle clusters each band bucket; colliding pairs are enumerated
+    # worker-side (ordered_pairs) instead of through a banded self-join —
+    # an exact-duplicate cluster of size B costs C(B,2) array structs in one
+    # task, never C(B,2) shuffled join rows
+    groups = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        groups.select(F.explode(ordered_pairs(F.col("ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -452,23 +462,19 @@ def simhash_pairs(
             )
         ).alias("b"),
     ).select("id", "sh", "b.chunk", "b.ck")
-    a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.ck") == F.col("b.ck"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
-        .distinct()
+    # one shuffle per-chunk-bucket; pairs (carrying both simhashes for the
+    # popcount verify) enumerated worker-side instead of via the chunk
+    # self-join, and the hamming filter runs BEFORE the dedup shuffle — only
+    # qualifying pairs leave the bucket task
+    groups = (
+        chunks.groupBy("chunk", "ck")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "sh"))).alias("ms"))
+        .where(F.size("ms") >= 2)
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.withColumn("hamming", hamming).where(F.col("hamming") <= max_hamming).select(
-        "id_a", "id_b", "hamming"
+    p = F.explode(ordered_pairs(F.col("ms"), "a", "b")).alias("p")
+    cand = groups.select(p).select(
+        F.col("p.a.id").alias("id_a"),
+        F.col("p.b.id").alias("id_b"),
+        F.bit_count(F.col("p.a.sh").bitwiseXOR(F.col("p.b.sh"))).alias("hamming"),
     )
+    return cand.where(F.col("hamming") <= max_hamming).distinct()
