@@ -97,6 +97,31 @@ def test_neardup_single_shuffle_no_candidate_join(spark):
     assert p.count("Exchange hashpartitioning") <= 2
 
 
+def test_dedup_pair_stages_have_no_self_join(spark):
+    """Candidate pairs in the dedup family are enumerated worker-side
+    (dedup.ordered_pairs) after ONE blocking-key shuffle — a regression back
+    to a blocking self-join would shuffle C(group,2) rows per bucket at
+    corpus scale."""
+    from docling_gfcr_spark.operators import dedup
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+
+    # minhash banding + simhash chunking: zero joins anywhere
+    for df in (
+        dedup.minhash_lsh_pairs(d, n_hashes=8, bands=4, k=3),
+        dedup.simhash_pairs(d, max_hamming=3),
+    ):
+        p = plan_of(df)
+        assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+        assert "BroadcastHashJoin" not in p and "CartesianProduct" not in p
+
+    # ngram jaccard: the only joins attach the two per-doc size columns to
+    # the already-aggregated pair table — never a shingle self-join
+    p = plan_of(dedup.ngram_jaccard_pairs(d, k=3, threshold=0.5))
+    assert p.count("Join") <= 2
+    assert "CartesianProduct" not in p
+
+
 def test_topk_probe_side_broadcast(spark):
     from pyspark.sql import functions as F
 
