@@ -93,32 +93,33 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(text_col, k)).alias("shs"),
     )
-    # |shingle set| per doc: one pass over the array — NO shuffle (the old
-    # plan recomputed this with a groupBy over the exploded shingles)
-    sizes = base.select("id", F.size("shs").alias("sz"))
-    sh = base.select("id", F.explode("shs").alias("shingle"))
+    # |shingle set| per doc comes straight off the array — no shuffle — and
+    # rides along as struct payload, so NO per-doc size table ever needs to
+    # be joined back (at corpus scale that's two 10^9-row joins avoided for
+    # +8 bytes per exploded row)
+    sh = base.select(F.struct("id", F.size("shs").alias("sz")).alias("m"), F.explode("shs").alias("shingle"))
     # ONE shuffle clusters co-occurring ids per shingle; the hot-shingle cap
     # (stop-shingle skew guard) and the can't-pair filter apply to the
     # aggregated lists, replacing the old frequency-agg + filter join
     groups = (
         sh.groupBy("shingle")
-        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
-        .where(F.size("ids").between(2, hot_shingle_cap))
+        .agg(F.array_sort(F.collect_list("m")).alias("ms"))
+        .where(F.size("ms").between(2, hot_shingle_cap))
     )
     # Worker-side pair enumeration (see ordered_pairs): pairs are exploded
     # after the shingle shuffle and partially aggregated map-side before the
     # (much smaller) pair shuffle. Per-row memory is bounded by C(cap, 2).
     common = (
-        groups.select(F.explode(ordered_pairs(F.col("ids"))).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .agg(F.count("*").alias("n_common"))
+        groups.select(F.explode(ordered_pairs(F.col("ms"), "a", "b")).alias("p"))
+        .groupBy(F.col("p.a.id").alias("id_a"), F.col("p.b.id").alias("id_b"))
+        .agg(
+            F.count("*").alias("n_common"),
+            F.first("p.a.sz").alias("sz_a"),
+            F.first("p.b.sz").alias("sz_b"),
+        )
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        common.withColumn(
             "jaccard",
             F.round(
                 F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")), 6

@@ -106,20 +106,15 @@ def test_dedup_pair_stages_have_no_self_join(spark):
 
     d = spark.read.parquet(f"{SF}/documents.parquet")
 
-    # minhash banding + simhash chunking: zero joins anywhere
+    # zero joins anywhere: ngram carries per-doc sizes as struct payload,
+    # minhash/simhash enumerate inside band/chunk buckets
     for df in (
+        dedup.ngram_jaccard_pairs(d, k=3, threshold=0.5),
         dedup.minhash_lsh_pairs(d, n_hashes=8, bands=4, k=3),
         dedup.simhash_pairs(d, max_hamming=3),
     ):
         p = plan_of(df)
-        assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
-        assert "BroadcastHashJoin" not in p and "CartesianProduct" not in p
-
-    # ngram jaccard: the only joins attach the two per-doc size columns to
-    # the already-aggregated pair table — never a shingle self-join
-    p = plan_of(dedup.ngram_jaccard_pairs(d, k=3, threshold=0.5))
-    assert p.count("Join") <= 2
-    assert "CartesianProduct" not in p
+        assert "Join" not in p and "CartesianProduct" not in p
 
 
 def test_topk_probe_side_broadcast(spark):
