@@ -115,3 +115,34 @@ def fingerprint(text_col: str = "text") -> Column:
     """Content fingerprint: md5 of casefolded, alnum-only text — robust to
     whitespace/punct/case edits; the cheap first stage before MinHash."""
     return F.md5(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", ""))
+
+
+# PII redaction — the standard pre-training scrub pass. Patterns are kept to
+# constructs with identical semantics in Java regex (Spark) and RE2 (DuckDB):
+# character classes, bounded/unbounded greedy quantifiers, \b — no backrefs,
+# no lookaround — so the oracle value-checks the scrubbed output itself.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+\d{2} \d{3}-\d{4}"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc PII counts + md5 of the redacted text (emails -> [EMAIL],
+    IPv4 -> [IP], phone -> [PHONE]; replacement order is load-bearing —
+    emails first, so their host part is never half-eaten by the IP rule).
+    Pure Catalyst: codegen'd regexp ops, zero Python."""
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "[EMAIL]"), PII_IPV4_RE, "[IP]"
+        ),
+        PII_PHONE_RE,
+        "[PHONE]",
+    )
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4_RE)).cast("long").alias("n_ips"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )

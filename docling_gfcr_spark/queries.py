@@ -611,6 +611,46 @@ FROM documents
 """
 
 
+def pii_redaction(spark, sf_dir):
+    """PII scrub pass (emails/IPv4/phones -> placeholders). The corpus has no
+    organic PII, so deterministic PII is planted per doc_id with IDENTICAL
+    expressions in both engines; the oracle value-checks the counts AND the
+    md5 of the scrubbed text itself."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), did.cast("string"),
+            F.lit("@mail"), (did % 7).cast("string"), F.lit(".com from 10."),
+            (did % 200).cast("string"), F.lit(".0."), (did % 250).cast("string"),
+            F.when(did % 3 == 0, F.lit(" tel +55 123-4567")).otherwise(F.lit("")),
+        ),
+    )
+    return text_analysis.pii_scrub(planted)
+
+
+PII_SQL = r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@mail' || (doc_id % 7)
+              || '.com from 10.' || (doc_id % 200) || '.0.' || (doc_id % 250)
+              || CASE WHEN doc_id % 3 = 0 THEN ' tel +55 123-4567' ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+       len(regexp_extract_all(text, '\+\d{2} \d{3}-\d{4}')) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+             '\+\d{2} \d{3}-\d{4}', '[PHONE]', 'g')) AS scrubbed_md5
+FROM planted
+"""
+
+
 def doc_fingerprint(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", text_analysis.fingerprint("text").alias("fp"))
@@ -1512,6 +1552,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q22_idle_rich_customers": q22_idle_rich_customers,
     "approx_distinct_stats": approx_distinct_stats,
     "resume_extraction_job": resume_extraction_job,
+    "pii_redaction": pii_redaction,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_nation_revenue": q5_nation_revenue,
@@ -1603,6 +1644,7 @@ ORACLES: dict[str, str] = {
     "text_quality": QUALITY_SQL,
     "token_counts": TOKEN_SQL,
     "doc_fingerprint": FP_SQL,
+    "pii_redaction": PII_SQL,
     "doc_chunks": DOC_CHUNKS_SQL,
     "repetition_signals": REPETITION_SQL,
     "corpus_token_budget": TOKEN_BUDGET_SQL,
