@@ -363,6 +363,81 @@ def ivf_topk(
     )
 
 
+def write_ivf_corpus(
+    corpus: DataFrame,
+    path: str,
+    centroids: np.ndarray | None = None,
+    n_centroids: int = 16,
+    seed: int = 42,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """The IVF twin of ``write_bucketed_embeddings``: nearest-centroid
+    assignment computed ONCE at write time, data physically partitioned by
+    cluster. Returns the centroids — the caller persists them next to the
+    table (a (n_centroids x dim) float array is metadata, not data).
+    Downstream probes (``ivf_topk_bucketed``) then scan only their n_probe
+    cluster directories: ~n_probe/n_centroids of the corpus."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_centroids, seed, iters, id_col=id_col, vec_col=vec_col
+        )
+    assign1 = make_ivf_assign_udf(centroids, n_probe=1)
+    (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            assign1(F.col(vec_col))[0].alias("cluster"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(path)
+    )
+    return centroids
+
+
+def ivf_topk_bucketed(
+    spark,
+    path: str,
+    probes: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN against a ``write_ivf_corpus`` layout with PARTITION PRUNING:
+    only the probes' n_probe nearest cluster directories are scanned, then
+    exact re-rank inside them — identical results to ``ivf_topk`` with the
+    same centroids (pinned by test)."""
+    from pyspark.sql import Window
+
+    assignp = make_ivf_assign_udf(centroids, n_probe=n_probe)
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).cast("array<double>").alias("pv"),
+        F.explode(assignp(F.col(vec_col))).alias("cluster"),
+    )
+    probe_clusters = sorted({int(r["cluster"]) for r in p.select("cluster").distinct().collect()})
+    corpus = spark.read.parquet(path)
+    # static cluster IN-list -> partition pruning at the scan
+    pruned = corpus.where(F.col("cluster").isin(probe_clusters))
+    cand = (
+        pruned.join(F.broadcast(p), "cluster")
+        .where(F.col("probe_id") != F.col("id"))
+        .select("probe_id", "pv", F.col("id").alias("neighbor_id"), F.col("v").alias("cv"))
+        .withColumn("cos", cosine_batch_udf(F.col("pv"), F.col("cv")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.where(F.col("cos").isNotNull() & ~F.isnan("cos"))  # see cosine_topk
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos"))
+    )
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

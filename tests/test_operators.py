@@ -297,6 +297,32 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     )
 
 
+def test_ivf_bucketed_layout_equals_inline(spark, tmp_path):
+    """write_ivf_corpus + ivf_topk_bucketed must (a) prune the scan to the
+    probes' cluster partitions and (b) return exactly what inline ivf_topk
+    computes with the same centroids."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "ivf_corpus")
+    cent = similarity.write_ivf_corpus(e, path, n_centroids=16)
+    probes = e.where(F.col("vec_id") % 200 == 0)
+    got = similarity.ivf_topk_bucketed(spark, path, probes, cent, k=3, n_probe=4)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [
+        l for l in plan.splitlines() if "PartitionFilters: [" in l and "cluster#" in l
+    ]
+    assert any("cluster" in l and " IN " in l.replace("in(", " IN ") or "in(cluster" in l for l in scan_lines), (
+        f"no partition-pruned cluster scan:\n{plan[:2000]}"
+    )
+    want = similarity.ivf_topk(e, probes, k=3, n_probe=4, centroids=cent).toPandas()
+    import pandas as pd
+
+    key = ["probe_id", "rank"]
+    pd.testing.assert_frame_equal(
+        got.toPandas().sort_values(key).reset_index(drop=True),
+        want.sort_values(key).reset_index(drop=True),
+    )
+
+
 def test_neardup_bucketed_layout_equals_inline(spark, tmp_path):
     """write_bucketed_embeddings (the 100 TB write-time layout) must yield
     byte-identical near-dup pairs to the inline bucketing path."""
