@@ -73,3 +73,49 @@ def deterministic_split(
     salt: str = "split",
 ) -> DataFrame:
     return df.withColumn("split", split_column(id_col, weights, names, salt))
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    bucket_size: int = 10_000,
+) -> DataFrame:
+    """Greedy sequential packing: assign each doc (in ``id_col`` order) to
+    training-sequence bin ``floor(tokens_before / budget)`` — the standard
+    approximate pack-by-running-total used when batching documents into
+    fixed-token training sequences.
+
+    The running total is a DISTRIBUTED PREFIX SUM, not a global window: a
+    single ``sum() OVER (ORDER BY id)`` collapses the whole table into one
+    sort partition (the classic scale-killer). Instead ids are bucketed into
+    coarse ranges; per-bucket totals (a tiny table — n/bucket_size rows) get
+    the only global window, and the per-doc running sum is a window
+    partitioned BY bucket plus the broadcast bucket offset. Semantics are
+    identical to the global window (the DuckDB oracle computes exactly that).
+    Output: input columns + ``tokens_before`` + ``seq_bin``.
+    """
+    from pyspark.sql import Window
+
+    bkt = F.floor(F.col(id_col) / bucket_size).alias("_bkt")
+    base = df.select(F.col(id_col), F.col(token_col), bkt)
+    bucket_tot = base.groupBy("_bkt").agg(F.sum(token_col).alias("_btot"))
+    w_b = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bucket_tot.select(
+        "_bkt", F.coalesce(F.sum("_btot").over(w_b), F.lit(0)).alias("_boff")
+    )
+    w_in = (
+        Window.partitionBy("_bkt")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        base.join(F.broadcast(offsets), "_bkt")
+        .withColumn(
+            "tokens_before",
+            (F.col("_boff") + F.coalesce(F.sum(token_col).over(w_in), F.lit(0))).cast("long"),
+        )
+        .withColumn("seq_bin", F.floor(F.col("tokens_before") / budget).cast("long"))
+        .drop("_bkt", "_boff")
+    )

@@ -611,6 +611,40 @@ FROM documents
 """
 
 
+def pack_training_sequences(spark, sf_dir):
+    """Greedy sequence packing under a 4096-token budget via a DISTRIBUTED
+    prefix sum (coarse id buckets + one tiny global window over bucket
+    totals + per-bucket windows — never a single-partition global sort;
+    bucket_size=100 so the sf0.01 table actually exercises the two-phase
+    path). The DuckDB twin computes the semantically-identical single-node
+    global window."""
+    from docling_gfcr_spark.operators.sampling import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", text_analysis.token_count_ws("text").cast("long").alias("n_tokens")
+    )
+    return pack_sequences(d, budget=4096, token_col="n_tokens", bucket_size=100).select(
+        "doc_id", "n_tokens", "tokens_before", "seq_bin"
+    )
+
+
+PACK_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(coalesce(sum(n_tokens) OVER
+            (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS tokens_before,
+       CAST(floor(coalesce(sum(n_tokens) OVER
+            (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / 4096.0) AS BIGINT) AS seq_bin
+FROM t
+"""
+
+
 def pii_redaction(spark, sf_dir):
     """PII scrub pass (emails/IPv4/phones -> placeholders). The corpus has no
     organic PII, so deterministic PII is planted per doc_id with IDENTICAL
@@ -1553,6 +1587,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct_stats": approx_distinct_stats,
     "resume_extraction_job": resume_extraction_job,
     "pii_redaction": pii_redaction,
+    "pack_training_sequences": pack_training_sequences,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_nation_revenue": q5_nation_revenue,
@@ -1645,6 +1680,7 @@ ORACLES: dict[str, str] = {
     "token_counts": TOKEN_SQL,
     "doc_fingerprint": FP_SQL,
     "pii_redaction": PII_SQL,
+    "pack_training_sequences": PACK_SQL,
     "doc_chunks": DOC_CHUNKS_SQL,
     "repetition_signals": REPETITION_SQL,
     "corpus_token_budget": TOKEN_BUDGET_SQL,

@@ -297,6 +297,30 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     )
 
 
+def test_pack_sequences_two_phase_equals_global(spark):
+    """The distributed prefix sum (coarse buckets + per-bucket windows) must
+    equal the single-window semantics for any bucket_size and any input
+    partitioning."""
+    from docling_gfcr_spark.operators.sampling import pack_sequences
+
+    d = spark.range(0, 337).select(
+        F.col("id").alias("doc_id"), (F.pmod(F.col("id") * 37, F.lit(211)) + 1).alias("n_tokens")
+    )
+    key = ["doc_id"]
+    want = (
+        pack_sequences(d, budget=500, bucket_size=10**9)  # one bucket == global window
+        .toPandas().sort_values(key).reset_index(drop=True)
+    )
+    import pandas as pd
+
+    for bs, df in ((7, d), (50, d.repartition(13)), (337, d.repartition(3))):
+        got = (
+            pack_sequences(df, budget=500, bucket_size=bs)
+            .toPandas().sort_values(key).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+
 def test_ivf_bucketed_layout_equals_inline(spark, tmp_path):
     """write_ivf_corpus + ivf_topk_bucketed must (a) prune the scan to the
     probes' cluster partitions and (b) return exactly what inline ivf_topk
