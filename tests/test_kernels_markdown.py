@@ -129,3 +129,31 @@ def test_series_kernels_match_scalar(contents, filename):
         assert v["valid"][i] == want["valid"]
         for metric, value in want["metrics"].items():
             assert v[metric][i] == value, (metric, text)
+
+
+@settings(max_examples=200, deadline=None)
+@given(text=st.text(alphabet=st.characters(codec="utf-8"), max_size=400))
+def test_adoc_kernel_total_and_balanced(text):
+    """AsciiDoc kernel totality: any string converts without raising, fences
+    stay balanced (an odd number of '----' delimiters gets a closing fence),
+    and the pure-markdown constructs it emits are parseable by the validator."""
+    from docling_gfcr_spark.kernels.asciidoc import adoc_to_markdown
+
+    out = adoc_to_markdown(text)
+    assert isinstance(out, str)
+    fences = sum(1 for line in out.split("\n") if line == "```")
+    assert fences % 2 == 0
+    mk.validate_markdown(out)  # must not raise either
+
+
+def test_adoc_kernel_structural_rules():
+    from docling_gfcr_spark.kernels.asciidoc import adoc_to_markdown
+
+    src = (
+        "= Top\n:toc: left\n// note\n== Sub\nplain\n* a\n** b\n. one\n.. two\n"
+        "----\n= raw inside\n----\ntail"
+    )
+    assert adoc_to_markdown(src) == (
+        "# Top\n## Sub\nplain\n- a\n  - b\n1. one\n  1. two\n"
+        "```\n= raw inside\n```\ntail"
+    )
