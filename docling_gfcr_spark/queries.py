@@ -971,6 +971,34 @@ def extract_transcripts(spark, sf_dir):
     )
 
 
+def extract_transcripts_streamed(spark, sf_dir):
+    """STRUCTURED STREAMING twin of extract_transcripts, value-checked by the
+    driver against the SAME fixture: the micro-batch stream reader replays
+    the identical bounded corpus (sources/transcripts_source.py stream path),
+    extraction runs per micro-batch through the same fused UDF, and the
+    drained memory-sink table must hash-match the batch pipeline's oracle —
+    stream == batch, enforced by the correctness gate, not just pytest."""
+    import uuid
+
+    from docling_gfcr_spark.sources import register_transcripts_source
+    from docling_gfcr_spark.streaming import run_stream_to_memory
+
+    register_transcripts_source(spark)
+    stream = (
+        spark.readStream.format("transcripts")
+        .option("n_conv", 200).option("mean_turns", 6).option("seed", 42)
+        .option("mega_every", 50).option("skew_factor", 10)
+        .option("convs_per_batch", 50)
+        .load()
+    )
+    ex = pipeline.extract_turns(stream, mode="agent")
+    name = f"ext_stream_{uuid.uuid4().hex[:8]}"
+    out = run_stream_to_memory(spark, ex, name)
+    return out.select(
+        "conv_id", "turn_idx", "method", "success", "quality_score", "n_spans", "word_count"
+    )
+
+
 def extract_assembled_convs(spark, sf_dir):
     tdf = transcripts.make_transcripts(spark, 100, mean_turns=6, seed=42)
     ex = pipeline.extract_turns(tdf, mode="agent")
@@ -1579,6 +1607,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # 57). The flagship fixture/subquery entries therefore lead the registry;
     # entries pushed past the cap this round were all hash-green in r2.
     "extract_transcripts": extract_transcripts,
+    "extract_transcripts_streamed": extract_transcripts_streamed,
     "extract_assembled_convs": extract_assembled_convs,
     "multimodal_features": multimodal_features,
     "multimodal_transformed": multimodal_transformed,
@@ -1696,6 +1725,8 @@ ORACLES: dict[str, str] = {
     # (tools/make_fixtures.py) and stored as typed parquet; DuckDB reads it
     # back so the driver's value-hash check is as hard as for the SQL twins.
     "extract_transcripts": _FIXTURE_SQL.format(name="extract_transcripts"),
+    # the streaming twin must equal the SAME batch fixture: stream == batch
+    "extract_transcripts_streamed": _FIXTURE_SQL.format(name="extract_transcripts"),
     "extract_assembled_convs": _FIXTURE_SQL.format(name="extract_assembled_convs"),
     "resume_extraction_job": _FIXTURE_SQL.format(name="resume_extraction_job"),
     "dedup_simhash": _FIXTURE_SQL.format(name="dedup_simhash"),
