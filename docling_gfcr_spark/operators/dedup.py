@@ -63,6 +63,10 @@ def ordered_pairs(arr: Column, a_name: str = "id_a", b_name: str = "id_b") -> Co
     expression generates pairs after the single blocking-key shuffle, so the
     only rows that move again are post-aggregation/filter survivors.
     (The two-parameter transform lambda deliberately receives the index.)
+
+    MEMORY: the whole C(|arr|, 2) pair array materializes in one row — use
+    only where group size is bounded (e.g. under a hot-key cap); unbounded
+    groups go through ``explode_ordered_pairs``.
     """
     return F.flatten(
         F.transform(
@@ -73,6 +77,42 @@ def ordered_pairs(arr: Column, a_name: str = "id_a", b_name: str = "id_b") -> Co
             ),
         )
     )
+
+
+def explode_ordered_pairs(
+    df: DataFrame,
+    arr_col: str,
+    a_name: str = "a",
+    b_name: str = "b",
+    small_cutoff: int = 256,
+) -> DataFrame:
+    """All i<j pairs of each row's SORTED ``arr_col``, safe for UNBOUNDED
+    group sizes. Hybrid of two worker-side strategies:
+
+    - groups <= ``small_cutoff``: one flatten of the whole pair array
+      (``ordered_pairs``) — fastest, bounded at C(cutoff, 2) elements;
+    - larger groups: TWO streaming generates (posexplode picks the left
+      element, a second explode over the array's tail slice picks the
+      right) — emits the same C(B, 2) pairs with O(B) peak memory per row,
+      so a degenerate 10^6-doc exact-duplicate bucket streams instead of
+      materializing a 5*10^11-element array.
+
+    Returns a DataFrame with exactly (a_name, b_name)."""
+    small = df.where(F.size(arr_col) <= small_cutoff)
+    large = df.where(F.size(arr_col) > small_cutoff)
+    p_small = small.select(
+        F.explode(ordered_pairs(F.col(arr_col), a_name, b_name)).alias("_p")
+    ).select(f"_p.{a_name}", f"_p.{b_name}")
+    p_large = (
+        large.select(F.posexplode(arr_col).alias("_i", a_name), F.col(arr_col).alias("_arr"))
+        .select(
+            a_name,
+            F.explode(
+                F.slice(F.col("_arr"), F.col("_i") + F.lit(2), F.size("_arr"))
+            ).alias(b_name),
+        )
+    )
+    return p_small.unionByName(p_large)
 
 
 def ngram_jaccard_pairs(
@@ -211,19 +251,16 @@ def minhash_lsh_pairs(
         ).alias("bh"),
     ).select("id", "bh.band", "bh.band_hash")
     # one shuffle clusters each band bucket; colliding pairs are enumerated
-    # worker-side (ordered_pairs) instead of through a banded self-join —
-    # an exact-duplicate cluster of size B costs C(B,2) array structs in one
-    # task, never C(B,2) shuffled join rows
+    # worker-side via two streaming generates (explode_ordered_pairs) instead
+    # of a banded self-join — no shuffled candidate rows, and bucket size is
+    # unbounded here (an exact-dup cluster collides in EVERY band), so the
+    # O(B)-per-row streaming form is load-bearing, not a nicety
     groups = (
         banded.groupBy("band", "band_hash")
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
         .where(F.size("ids") >= 2)
     )
-    return (
-        groups.select(F.explode(ordered_pairs(F.col("ids"))).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct()
-    )
+    return explode_ordered_pairs(groups, "ids", "id_a", "id_b").distinct()
 
 
 def _free_local_checkpoint(df: DataFrame) -> None:
@@ -464,18 +501,18 @@ def simhash_pairs(
         ).alias("b"),
     ).select("id", "sh", "b.chunk", "b.ck")
     # one shuffle per-chunk-bucket; pairs (carrying both simhashes for the
-    # popcount verify) enumerated worker-side instead of via the chunk
-    # self-join, and the hamming filter runs BEFORE the dedup shuffle — only
-    # qualifying pairs leave the bucket task
+    # popcount verify) enumerated worker-side via two streaming generates
+    # (unbounded bucket sizes — exact dups agree on all 4 chunks), and the
+    # hamming filter runs BEFORE the dedup shuffle — only qualifying pairs
+    # leave the bucket task
     groups = (
         chunks.groupBy("chunk", "ck")
         .agg(F.array_sort(F.collect_list(F.struct("id", "sh"))).alias("ms"))
         .where(F.size("ms") >= 2)
     )
-    p = F.explode(ordered_pairs(F.col("ms"), "a", "b")).alias("p")
-    cand = groups.select(p).select(
-        F.col("p.a.id").alias("id_a"),
-        F.col("p.b.id").alias("id_b"),
-        F.bit_count(F.col("p.a.sh").bitwiseXOR(F.col("p.b.sh"))).alias("hamming"),
+    cand = explode_ordered_pairs(groups, "ms", "a", "b").select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
     )
     return cand.where(F.col("hamming") <= max_hamming).distinct()
