@@ -440,12 +440,17 @@ def dedup_cluster_members(
     bands: int = 8,
     k: int = 5,
     hash_fn: str = "md5",
+    algo: str = "propagation",
 ) -> DataFrame:
     """MinHash-LSH pairs -> connected components -> full membership table
     (every doc in a >=2-member near-dup cluster, labeled by its cluster's
-    min doc id — the keeper under keep-first policy)."""
+    min doc id — the keeper under keep-first policy). ``algo``:
+    'propagation' (O(diameter) rounds) or 'star' (large-star/small-star,
+    O(log^2 n) rounds — the high-diameter/10^12-edge path); identical
+    output either way."""
     pairs = minhash_lsh_pairs(df, text_col, id_col, n_hashes, bands, k, hash_fn=hash_fn)
-    comp = connected_components(pairs)
+    cc = {"propagation": connected_components, "star": connected_components_star}[algo]
+    comp = cc(pairs)
     return comp.select(F.col("node").alias(id_col), F.col("comp").alias("cluster_id"))
 
 

@@ -543,6 +543,14 @@ def dedup_clusters(spark, sf_dir):
     return dedup.dedup_cluster_members(d, n_hashes=32, bands=8, k=5, hash_fn="md5")
 
 
+def dedup_clusters_star(spark, sf_dir):
+    """Same clusters via the large-star/small-star CC variant (O(log^2 n)
+    rounds regardless of component diameter — the 10^12-edge path); must
+    hash-match the SAME fixture as the propagation variant."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.dedup_cluster_members(d, n_hashes=32, bands=8, k=5, hash_fn="md5", algo="star")
+
+
 def dedup_simhash(spark, sf_dir):
     """SimHash fingerprints (pandas UDF; pure-Python oracle in pytest)."""
     d = _t(spark, sf_dir, "documents")
@@ -1617,6 +1625,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "resume_extraction_job": resume_extraction_job,
     "pii_redaction": pii_redaction,
     "pack_training_sequences": pack_training_sequences,
+    "dedup_clusters_star": dedup_clusters_star,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_nation_revenue": q5_nation_revenue,
@@ -1731,6 +1740,8 @@ ORACLES: dict[str, str] = {
     "resume_extraction_job": _FIXTURE_SQL.format(name="resume_extraction_job"),
     "dedup_simhash": _FIXTURE_SQL.format(name="dedup_simhash"),
     "dedup_clusters": _FIXTURE_SQL.format(name="dedup_clusters"),
+    # star CC must produce the identical membership table
+    "dedup_clusters_star": _FIXTURE_SQL.format(name="dedup_clusters"),
     "emb_neardup_lsh": _FIXTURE_SQL.format(name="emb_neardup_lsh"),
     "ann_ivf_topk": _FIXTURE_SQL.format(name="ann_ivf_topk"),
     "multimodal_features": _FIXTURE_SQL.format(name="multimodal_features"),
