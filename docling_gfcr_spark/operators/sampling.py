@@ -75,6 +75,34 @@ def deterministic_split(
     return df.withColumn("split", split_column(id_col, weights, names, salt))
 
 
+def ngram_decontaminate(
+    train: DataFrame,
+    heldout: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """GPT-3-style n-gram decontamination: flag training docs sharing any
+    word k-gram with a heldout/benchmark set. The heldout shingle set is
+    tiny relative to the corpus (benchmarks are KBs, corpora are TBs), so it
+    broadcasts and the training side is one scan + map-side semi-join-style
+    hash probe — no corpus shuffle. Returns (id, n_shared_shingles) for
+    every contaminated training doc."""
+    from docling_gfcr_spark.operators.dedup import word_shingles
+
+    held_sh = heldout.select(
+        F.explode(F.array_distinct(word_shingles(text_col, k))).alias("shingle")
+    ).distinct()
+    tr_sh = train.select(
+        F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, k))).alias("shingle")
+    )
+    return (
+        tr_sh.join(F.broadcast(held_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared_shingles"))
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

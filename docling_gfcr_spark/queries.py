@@ -866,6 +866,38 @@ FROM d WHERE split != 'train' GROUP BY split
 """
 
 
+def ngram_decontamination(spark, sf_dir):
+    """GPT-3-style n-gram decontamination: training docs sharing any word
+    trigram with the (deterministic-hash) test split, with the heldout
+    shingle set broadcast — no corpus shuffle."""
+    from docling_gfcr_spark.operators import sampling
+
+    d = sampling.deterministic_split(_t(spark, sf_dir, "documents"))
+    train = d.where(F.col("split") == "train")
+    heldout = d.where(F.col("split") == "test")
+    return sampling.ngram_decontaminate(train, heldout, k=3)
+
+
+NGRAM_DECON_SQL = f"""
+WITH w AS (
+  SELECT doc_id, text,
+         CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < '{format(int(0.8 * 2**32), "08x")}' THEN 'train'
+              WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < '{format(int(0.9 * 2**32), "08x")}' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+), sh AS (
+  SELECT doc_id, split, unnest(list_distinct(list_transform(
+           range(1, greatest(2, len(string_split(text,' ')) - 1)),
+           i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))) AS shingle
+  FROM w
+)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared_shingles
+FROM (SELECT doc_id, shingle FROM sh WHERE split = 'train') t
+JOIN (SELECT DISTINCT shingle FROM sh WHERE split = 'test') h USING (shingle)
+GROUP BY t.doc_id
+"""
+
+
 def assemble_by_source(spark, sf_dir):
     """Ordered string aggregation per group (the conversation-assembly shape
     on oracle-checkable data)."""
@@ -1626,6 +1658,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redaction": pii_redaction,
     "pack_training_sequences": pack_training_sequences,
     "dedup_clusters_star": dedup_clusters_star,
+    "ngram_decontamination": ngram_decontamination,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_nation_revenue": q5_nation_revenue,
@@ -1719,6 +1752,7 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint": FP_SQL,
     "pii_redaction": PII_SQL,
     "pack_training_sequences": PACK_SQL,
+    "ngram_decontamination": NGRAM_DECON_SQL,
     "doc_chunks": DOC_CHUNKS_SQL,
     "repetition_signals": REPETITION_SQL,
     "corpus_token_budget": TOKEN_BUDGET_SQL,
