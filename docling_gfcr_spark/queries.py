@@ -1028,7 +1028,7 @@ def extract_transcripts_streamed(spark, sf_dir):
         spark.readStream.format("transcripts")
         .option("n_conv", 200).option("mean_turns", 6).option("seed", 42)
         .option("mega_every", 50).option("skew_factor", 10)
-        .option("convs_per_batch", 50)
+        .option("convs_per_batch", 100)
         .load()
     )
     ex = pipeline.extract_turns(stream, mode="agent")
