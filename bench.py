@@ -38,6 +38,10 @@ HEADLINE = [
     "ann_ivf_topk",
     "emb_neardup_lsh",
     "asof_error_after_click",
+    # round-3 training-data ops
+    "pii_redaction",
+    "pack_training_sequences",
+    "ngram_decontamination",
 ]
 
 N_CONV_BENCH = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
