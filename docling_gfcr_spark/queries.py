@@ -898,6 +898,35 @@ GROUP BY t.doc_id
 """
 
 
+def enhanced_docs(spark, sf_dir):
+    """The optional LLM-enhancement stage (reference E1/B2) driven through
+    the gate with the injected deterministic fake client: mapInPandas with
+    per-partition client init, graceful per-row fallback — the exact
+    production shape, minus the network. The fake's 'enhance' op (uppercase
+    the first line) is SQL-expressible, so DuckDB value-checks the enhanced
+    text md5 directly."""
+    from docling_gfcr_spark.operators import enhancer
+
+    d = _t(spark, sf_dir, "documents")
+    out = enhancer.enhance_documents(
+        d, text_col="text", operation="enhance",
+        client_factory=enhancer.fake_client_factory,
+    )
+    return out.select(
+        "doc_id", "enhance_applied", F.md5("enhanced_text").alias("enhanced_md5")
+    )
+
+
+ENHANCED_SQL = """
+SELECT doc_id, true AS enhance_applied,
+       md5(CASE WHEN strpos(text, chr(10)) > 0
+                THEN upper(substr(text, 1, strpos(text, chr(10)) - 1))
+                     || substr(text, strpos(text, chr(10)))
+                ELSE upper(text) END) AS enhanced_md5
+FROM documents
+"""
+
+
 def assemble_by_source(spark, sf_dir):
     """Ordered string aggregation per group (the conversation-assembly shape
     on oracle-checkable data)."""
@@ -1663,10 +1692,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_training_sequences": pack_training_sequences,
     "dedup_clusters_star": dedup_clusters_star,
     "ngram_decontamination": ngram_decontamination,
+    "enhanced_docs": enhanced_docs,
     # -- tier 2: one per operator family ------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
-    "q5_nation_revenue": q5_nation_revenue,
     "top_customer_per_nation": top_customer_per_nation,
     "customers_without_orders": customers_without_orders,
     "customers_with_urgent_orders": customers_with_urgent_orders,
@@ -1702,6 +1731,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_neardup_lsh": emb_neardup_lsh,
     "asof_error_after_click": asof_error_after_click,
     # -- tier 3: redundant family members, all hash-green in r2 -------------
+    "q5_nation_revenue": q5_nation_revenue,
     "latest_order_per_customer": latest_order_per_customer,
     "events_json_extract": events_json_extract,
     "minhash_signature_digest": minhash_signature_digest,
@@ -1759,6 +1789,7 @@ ORACLES: dict[str, str] = {
     "pii_redaction": PII_SQL,
     "pack_training_sequences": PACK_SQL,
     "ngram_decontamination": NGRAM_DECON_SQL,
+    "enhanced_docs": ENHANCED_SQL,
     "doc_chunks": DOC_CHUNKS_SQL,
     "repetition_signals": REPETITION_SQL,
     "corpus_token_budget": TOKEN_BUDGET_SQL,
