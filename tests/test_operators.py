@@ -588,3 +588,51 @@ def test_approx_distinct_within_hll_tolerance(spark):
     # GK sketch with accuracy 10000 on ~60k rows: the approx median must sit
     # within 2% of the exact interpolated median's value
     assert abs(row.a_p50 - exact_p50) / exact_p50 < 0.02
+
+
+def test_pii_scrub_cross_engine_on_adversarial_strings(spark):
+    """The PII regexes promise identical semantics in Java regex (Spark) and
+    RE2 (DuckDB). The gate checks them on the corpus + planted PII; this
+    fuzz covers the organic edge cases — half-matches, boundary digits,
+    adjacent matches, dots/dashes in local parts — on both engines at once.
+    """
+    import random
+
+    import duckdb
+
+    from docling_gfcr_spark.operators import text_analysis as ta
+
+    crafted = [
+        "a.b-c+d_e%f@sub.domain.co.uk tail",
+        "not@an@email @nope x@y.z a@b.c.",
+        "1.2.3.4 10.200.0.250 999.999.999.999 1.2.3.4.5 a1.2.3.4b",
+        "+55 123-4567 ++55 123-4567 +5 123-4567 +55 1234-567",
+        "edge@case.io+55 999-0000 10.0.0.1@host.net",
+        "<a@b.cd> (1.1.1.1) [+12 345-6789]",
+        "trailing dot 1.2.3.4. and email a@b.co.",
+        "", " ", "@", ".", "+", "127.0.0.1",
+    ]
+    rng = random.Random(7)
+    alphabet = "aZ0.@+- \n%_"
+    fuzz = ["".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 60))) for _ in range(120)]
+    rows = [(i, s) for i, s in enumerate(crafted + fuzz)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        ta.pii_scrub(df).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("docs", __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]))
+    want = con.execute(r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+               len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+               len(regexp_extract_all(text, '\+\d{2} \d{3}-\d{4}')) AS n_phones,
+               md5(regexp_replace(regexp_replace(regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+                     '\+\d{2} \d{3}-\d{4}', '[PHONE]', 'g')) AS scrubbed_md5
+        FROM docs ORDER BY doc_id
+    """).fetchdf().reset_index(drop=True)
+    for col in ("n_emails", "n_ips", "n_phones"):
+        assert got[col].astype(int).tolist() == want[col].astype(int).tolist(), col
+    assert got["scrubbed_md5"].tolist() == want["scrubbed_md5"].tolist()
