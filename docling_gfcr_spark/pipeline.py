@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from docling_gfcr_spark.kernels import asciidoc, encodings, markdown_ops, media, office
+from docling_gfcr_spark.kernels import asciidoc, docx_binary, encodings, markdown_ops, media, office
 from docling_gfcr_spark.kernels.html_extract import extract_html
 from docling_gfcr_spark.kernels.pdf_layout import assemble_pages, assemble_pdf
 
@@ -42,7 +42,7 @@ from docling_gfcr_spark.kernels.pdf_layout import assemble_pages, assemble_pdf
 # (kernels/encodings.py <- reference convert.py:131-152).
 SUPPORTED_KINDS = frozenset(
     "html xhtml pdf pdf_text markdown md plain text txt json csv xml adoc asciidoc "
-    "doc docx xlsx pptx png jpeg jpg tiff tif bmp webp text_b64".split()
+    "doc docx xlsx pptx png jpeg jpg tiff tif bmp webp text_b64 docx_b64".split()
 )
 IMAGE_KINDS = frozenset("png jpeg jpg tiff tif bmp webp".split())
 _UNSUPPORTED_FMT = (
@@ -188,6 +188,19 @@ def route_one(text: str | None, tool: str | None, name: str, mode: str) -> dict:
                 extracted, method = assemble(text), kind
             except (ValueError, TypeError, AttributeError):
                 extracted, method, parse_failed = "", kind, True
+        elif kind == "docx_b64":
+            # REAL binary office route: actual PK-zip WordprocessingML bytes
+            # parsed with stdlib zipfile+xml.etree (kernels/docx_binary.py),
+            # matching the reference's real-binary docling conversion
+            # (convert.py:76-110). Unparseable bytes get the same
+            # generic-fallback apology as the image route (convert.py:152).
+            try:
+                blob = base64.b64decode(text, validate=True)
+                extracted = docx_binary.docx_bytes_to_markdown(blob)
+                method = "docx_bytes"
+            except (ValueError, binascii.Error):
+                extracted = encodings.APOLOGY_FMT.format(name=name, ext=".docx")
+                method, parse_failed = "generic", True
         elif kind in IMAGE_KINDS:
             # metadata-only image route: parse the real container header
             # (PNG IHDR / JPEG SOF / TIFF IFD / ...); emit the reference's

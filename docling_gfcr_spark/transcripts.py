@@ -51,9 +51,9 @@ FOOTER_MARKER = "footerboilerplate"
 KINDS = (
     "html", "pdf_text", "pdf", "markdown", "plain", "json", "binary_stub",
     "unsupported_ext", "docx", "xlsx", "pptx", "image", "text_b64", "csv", "xml",
-    "adoc", "doc",
+    "adoc", "doc", "docx_b64",
 )
-_KIND_P = (0.20, 0.08, 0.08, 0.10, 0.10, 0.08, 0.02, 0.02, 0.06, 0.05, 0.05, 0.04, 0.02, 0.03, 0.02, 0.03, 0.02)
+_KIND_P = (0.18, 0.08, 0.08, 0.10, 0.10, 0.08, 0.02, 0.02, 0.06, 0.05, 0.05, 0.04, 0.02, 0.03, 0.02, 0.03, 0.02, 0.02)
 _IMAGE_SUBKINDS = ("png", "jpeg", "bmp", "webp", "tiff")
 
 
@@ -133,6 +133,12 @@ def build_pdf_text_payload(rng: np.random.RandomState) -> str:
 
 
 def build_docx_payload(rng: np.random.RandomState) -> str:
+    return json.dumps(_docx_spec(rng), ensure_ascii=False, sort_keys=True)
+
+
+def _docx_spec(rng: np.random.RandomState) -> dict:
+    """Shared structure generator for the docx sidecar AND the real-binary
+    docx payloads (same distribution of styles/tables)."""
     paras: list[dict] = [{"style": "Title", "text": _sentence(rng, 3).rstrip(".")}]
     for si in range(int(rng.randint(1, 4))):
         paras.append({"style": f"Heading{1 + si % 3}", "text": _sentence(rng, 4).rstrip(".")})
@@ -146,7 +152,20 @@ def build_docx_payload(rng: np.random.RandomState) -> str:
         doc["tables"] = [
             [[str(rng.choice(_VOCAB)) for _ in range(3)] for _ in range(int(rng.randint(2, 5)))]
         ]
-    return json.dumps(doc, ensure_ascii=False, sort_keys=True)
+    return doc
+
+
+def build_docx_b64_payload(rng: np.random.RandomState) -> str:
+    """REAL PK-zip DOCX bytes, base64'd (kernels/docx_binary.py builds and
+    parses actual WordprocessingML). ~8% junk bytes exercise the
+    generic-fallback apology path, like the image generator."""
+    from docling_gfcr_spark.kernels import docx_binary
+
+    if rng.rand() < 0.08:
+        blob = b"PK\x03\x04" + rng.bytes(44)  # zip magic, corrupt body
+    else:
+        blob = docx_binary.build_docx(_docx_spec(rng))
+    return base64.b64encode(blob).decode("ascii")
 
 
 def build_xlsx_payload(rng: np.random.RandomState) -> str:
@@ -271,6 +290,8 @@ def gen_turn(seed: int, conv_idx: int, turn_idx: int) -> tuple[str, str, str]:
         text = _sentence(rng, 12)
     elif kind in ("docx", "doc"):
         text = build_docx_payload(rng)
+    elif kind == "docx_b64":
+        text = build_docx_b64_payload(rng)
     elif kind == "adoc":
         text = build_adoc_payload(rng)
     elif kind == "xlsx":
@@ -291,7 +312,7 @@ def gen_turn(seed: int, conv_idx: int, turn_idx: int) -> tuple[str, str, str]:
     # ~1% adversarial payloads: truncated/garbled, to exercise error routing
     # (base64 kinds excluded: truncation there just tests b64 padding, not
     # parser robustness — the image generator plants its own junk payloads)
-    if rng.rand() < 0.01 and kind not in _IMAGE_SUBKINDS and kind != "text_b64":
+    if rng.rand() < 0.01 and kind not in _IMAGE_SUBKINDS and kind not in ("text_b64", "docx_b64"):
         text = text[: max(1, len(text) // 3)] + "\x00<unclosed"
     return role, text, kind
 

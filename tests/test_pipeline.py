@@ -329,8 +329,13 @@ def test_new_kinds_flow_through_generator(spark):
     tdf = transcripts.make_transcripts(spark, 60, mean_turns=8, seed=21, parallelism=8)
     out = pipeline.extract_turns(tdf, mode="agent").toPandas()
     kinds = set(out["tool"])
-    assert {"docx", "xlsx", "pptx", "text_b64", "adoc", "doc"} <= kinds
+    assert {"docx", "xlsx", "pptx", "text_b64", "adoc", "doc", "docx_b64"} <= kinds
     assert kinds & {"png", "jpeg", "bmp", "webp", "tiff"}
+    # real-binary DOCX payloads: most parse via the bytes kernel, the planted
+    # ~8% junk rides the generic-fallback apology — all rows succeed
+    b64docx = out[out.tool == "docx_b64"]
+    assert b64docx["success"].all()
+    assert (b64docx["method"] == "docx_bytes").mean() >= 0.7
     office_ok = out[out.tool.isin(["docx", "xlsx", "pptx"])]
     # ~1% of payloads are adversarially garbled by the generator — those
     # parse-fail into the raw fallback (still success); the rest must parse
