@@ -12,14 +12,28 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# stopword sets per language, deliberately tiny + engine-portable: the lang-ID
-# heuristic counts whole-word regex hits of each set and argmaxes.
+# stopword sets per language, engine-portable (ASCII only — Java and RE2
+# \b are both ASCII word boundaries): the lang-ID heuristic counts whole-word
+# regex hits of each set and argmaxes. 18 words per language keep short
+# non-English docs off the 'und'/misclassify path while staying a cheap,
+# honest heuristic (overlapping function words across languages are fine —
+# argmax + margin absorb them).
 LANG_STOPWORDS: dict[str, list[str]] = {
-    "en": ["the", "and", "of", "to", "is", "in"],
-    "es": ["el", "la", "de", "que", "los", "es"],
-    "de": ["der", "die", "und", "das", "ist", "ein"],
-    "fr": ["le", "la", "les", "et", "est", "une"],
-    "pt": ["o", "que", "do", "da", "em", "um"],
+    "en": ["the", "and", "of", "to", "is", "in",
+           "that", "it", "for", "was", "with", "are",
+           "this", "not", "have", "from", "they", "his"],
+    "es": ["el", "la", "de", "que", "los", "es",
+           "las", "por", "con", "para", "una", "del",
+           "se", "como", "mas", "pero", "sus", "le"],
+    "de": ["der", "die", "und", "das", "ist", "ein",
+           "nicht", "mit", "auf", "sich", "dem", "den",
+           "von", "zu", "eine", "als", "auch", "werden"],
+    "fr": ["le", "la", "les", "et", "est", "une",
+           "des", "dans", "pour", "pas", "sur", "vous",
+           "par", "avec", "son", "mais", "nous", "qui"],
+    "pt": ["o", "que", "do", "da", "em", "um",
+           "para", "com", "uma", "os", "no", "se",
+           "na", "por", "mais", "dos", "ao", "como"],
 }
 
 _WORD_RE = "[A-Za-z0-9]+"
@@ -42,6 +56,15 @@ def lang_id(text_col: str = "text") -> Column:
     for lang, s in reversed(scores):  # earlier langs win ties -> apply last
         expr = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(expr)
     return expr
+
+
+def lang_margin(text_col: str = "text") -> Column:
+    """Confidence margin: best hit count minus runner-up hit count (0 on a
+    tie or an all-zero row) — the cheap signal curation sweeps threshold on.
+    Pure Catalyst: one sorted array of the per-language counts."""
+    hits = [lang_hits(text_col, ws) for _, ws in sorted(LANG_STOPWORDS.items())]
+    ranked = F.sort_array(F.array(*hits), asc=False)
+    return (ranked[0] - ranked[1]).cast("long")
 
 
 def token_count_ws(text_col: str = "text") -> Column:
@@ -123,26 +146,51 @@ def fingerprint(text_col: str = "text") -> Column:
 # no lookaround — so the oracle value-checks the scrubbed output itself.
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_CARD_RE = r"\b\d{13,19}\b"
+PII_SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+PII_US_PHONE_RE = r"\(\d{3}\) \d{3}-\d{4}"
 PII_PHONE_RE = r"\+\d{2} \d{3}-\d{4}"
+
+# (count-column suffix, pattern, placeholder) — ONE source of truth for the
+# Spark expression tree, the generated DuckDB twin (pii_scrub_sql) and the
+# cross-engine fuzz test. Order is load-bearing: emails first (so a host part
+# is never half-eaten by the IP rule), dotted/ dashed shapes before bare-digit
+# runs they could otherwise feed.
+PII_FAMILIES: tuple[tuple[str, str, str], ...] = (
+    ("emails", PII_EMAIL_RE, "[EMAIL]"),
+    ("ips", PII_IPV4_RE, "[IP]"),
+    ("cards", PII_CARD_RE, "[CARD]"),
+    ("ssns", PII_SSN_RE, "[SSN]"),
+    ("us_phones", PII_US_PHONE_RE, "[PHONE]"),
+    ("phones", PII_PHONE_RE, "[PHONE]"),
+)
 
 
 def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-doc PII counts + md5 of the redacted text (emails -> [EMAIL],
-    IPv4 -> [IP], phone -> [PHONE]; replacement order is load-bearing —
-    emails first, so their host part is never half-eaten by the IP rule).
-    Pure Catalyst: codegen'd regexp ops, zero Python."""
-    t = F.col(text_col)
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, PII_EMAIL_RE, "[EMAIL]"), PII_IPV4_RE, "[IP]"
-        ),
-        PII_PHONE_RE,
-        "[PHONE]",
-    )
-    return df.select(
-        F.col(id_col),
-        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
-        F.regexp_count(t, F.lit(PII_IPV4_RE)).cast("long").alias("n_ips"),
-        F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
-        F.md5(scrubbed).alias("scrubbed_md5"),
-    )
+    """Per-doc PII counts + md5 of the redacted text.
+
+    Counts are PROGRESSIVE — each family is counted on the text with all
+    earlier families already replaced, then replaced itself — so the counts
+    describe exactly what was redacted (an email containing an IP-shaped host
+    counts as 1 email, 0 ips). Pure Catalyst: codegen'd regexp ops, zero
+    Python; the DuckDB twin is generated from the same PII_FAMILIES table.
+    """
+    cur = F.col(text_col)
+    cols: list[Column] = [F.col(id_col)]
+    for name, pat, placeholder in PII_FAMILIES:
+        cols.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, placeholder)
+    cols.append(F.md5(cur).alias("scrubbed_md5"))
+    return df.select(*cols)
+
+
+def pii_scrub_sql(table: str, text_expr: str = "text", id_col: str = "doc_id") -> str:
+    """The exact DuckDB twin of :func:`pii_scrub`, generated from the same
+    family table so the patterns can never drift between engines."""
+    cur = text_expr
+    cols = [id_col]
+    for name, pat, placeholder in PII_FAMILIES:
+        cols.append(f"len(regexp_extract_all({cur}, '{pat}')) AS n_{name}")
+        cur = f"regexp_replace({cur}, '{pat}', '{placeholder}', 'g')"
+    cols.append(f"md5({cur}) AS scrubbed_md5")
+    return "SELECT " + ",\n       ".join(cols) + f"\nFROM {table}"

@@ -559,7 +559,12 @@ def dedup_simhash(spark, sf_dir):
 
 def lang_id_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", "lang", text_analysis.lang_id("text").alias("lang_pred"))
+    return d.select(
+        "doc_id",
+        "lang",
+        text_analysis.lang_id("text").alias("lang_pred"),
+        text_analysis.lang_margin("text").alias("margin"),
+    )
 
 
 def _lang_sql() -> str:
@@ -572,7 +577,11 @@ def _lang_sql() -> str:
     for lang in sorted(hits):  # first matching lang wins ties (same as Spark impl)
         case += f"WHEN {hits[lang]} = {best} AND {best} > 0 THEN '{lang}' "
     case += "ELSE 'und' END"
-    return f"SELECT doc_id, lang, {case} AS lang_pred FROM documents"
+    # margin = best - runner-up over the sorted count list (DuckDB lists are
+    # 1-indexed); mirrors text_analysis.lang_margin's sort_array expression
+    ranked = "list_sort([" + ", ".join(hits.values()) + "], 'DESC')"
+    margin = f"CAST({ranked}[1] - {ranked}[2] AS BIGINT)"
+    return f"SELECT doc_id, lang, {case} AS lang_pred, {margin} AS margin FROM documents"
 
 
 def text_quality(spark, sf_dir):
@@ -654,10 +663,11 @@ FROM t
 
 
 def pii_redaction(spark, sf_dir):
-    """PII scrub pass (emails/IPv4/phones -> placeholders). The corpus has no
-    organic PII, so deterministic PII is planted per doc_id with IDENTICAL
-    expressions in both engines; the oracle value-checks the counts AND the
-    md5 of the scrubbed text itself."""
+    """PII scrub pass over all 6 families (email / IPv4 / 13-19-digit card /
+    SSN / US phone / intl phone -> placeholders, progressive counts). The
+    corpus has no organic PII, so deterministic PII is planted per doc_id
+    with IDENTICAL expressions in both engines; the oracle value-checks the
+    counts AND the md5 of the scrubbed text itself."""
     d = _t(spark, sf_dir, "documents")
     did = F.col("doc_id")
     planted = d.withColumn(
@@ -668,6 +678,18 @@ def pii_redaction(spark, sf_dir):
             F.lit("@mail"), (did % 7).cast("string"), F.lit(".com from 10."),
             (did % 200).cast("string"), F.lit(".0."), (did % 250).cast("string"),
             F.when(did % 3 == 0, F.lit(" tel +55 123-4567")).otherwise(F.lit("")),
+            F.when(
+                did % 4 == 0,
+                F.concat(F.lit(" call (555) 123-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(F.lit(" ssn 123-45-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 6 == 0,
+                F.concat(F.lit(" card 41111111"), F.lpad((did % 100000000).cast("string"), 8, "0")),
+            ).otherwise(F.lit("")),
         ),
     )
     return text_analysis.pii_scrub(planted)
@@ -678,19 +700,19 @@ WITH planted AS (
   SELECT doc_id,
          text || ' contact user' || doc_id || '@mail' || (doc_id % 7)
               || '.com from 10.' || (doc_id % 200) || '.0.' || (doc_id % 250)
-              || CASE WHEN doc_id % 3 = 0 THEN ' tel +55 123-4567' ELSE '' END AS text
+              || CASE WHEN doc_id % 3 = 0 THEN ' tel +55 123-4567' ELSE '' END
+              || CASE WHEN doc_id % 4 = 0
+                      THEN ' call (555) 123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      ELSE '' END
+              || CASE WHEN doc_id % 5 = 0
+                      THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      ELSE '' END
+              || CASE WHEN doc_id % 6 = 0
+                      THEN ' card 41111111' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0')
+                      ELSE '' END AS text
   FROM documents
 )
-SELECT doc_id,
-       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-       len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
-       len(regexp_extract_all(text, '\+\d{2} \d{3}-\d{4}')) AS n_phones,
-       md5(regexp_replace(regexp_replace(regexp_replace(text,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
-             '\+\d{2} \d{3}-\d{4}', '[PHONE]', 'g')) AS scrubbed_md5
-FROM planted
-"""
+""" + text_analysis.pii_scrub_sql("planted")
 
 
 def doc_fingerprint(spark, sf_dir):

@@ -611,28 +611,60 @@ def test_pii_scrub_cross_engine_on_adversarial_strings(spark):
         "<a@b.cd> (1.1.1.1) [+12 345-6789]",
         "trailing dot 1.2.3.4. and email a@b.co.",
         "", " ", "@", ".", "+", "127.0.0.1",
+        # new families: SSN / US phone / card, with boundary traps
+        "123-45-6789 x123-45-6789 123-45-67890 1234-45-6789",
+        "(555) 123-4567 (55) 123-4567 ((555) 123-4567) (555)123-4567",
+        "4111111111111111 411111111111 41111111111111111111 a4111111111111111",
+        "ssn inside phone +55 123-45-6789 and card 1234567890123.",
+        "overlap 4111111111111111@host.com 123-45-6789.12",
+        "(555) 123-4567 123-45-6789 4111111111111111 1.2.3.4 a@b.co +12 345-6789",
     ]
     rng = random.Random(7)
-    alphabet = "aZ0.@+- \n%_"
-    fuzz = ["".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 60))) for _ in range(120)]
-    rows = [(i, s) for i, s in enumerate(crafted + fuzz)]
+    alphabet = "aZ0.@+-() \n%_"
+    fuzz = ["".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 60))) for _ in range(160)]
+    digit_fuzz = [
+        "".join(rng.choice("0123456789-() .") for _ in range(rng.randrange(0, 40)))
+        for _ in range(80)
+    ]
+    rows = [(i, s) for i, s in enumerate(crafted + fuzz + digit_fuzz)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = (
         ta.pii_scrub(df).toPandas().sort_values("doc_id").reset_index(drop=True)
     )
     con = duckdb.connect()
     con.register("docs", __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]))
-    want = con.execute(r"""
-        SELECT doc_id,
-               len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-               len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
-               len(regexp_extract_all(text, '\+\d{2} \d{3}-\d{4}')) AS n_phones,
-               md5(regexp_replace(regexp_replace(regexp_replace(text,
-                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
-                     '\+\d{2} \d{3}-\d{4}', '[PHONE]', 'g')) AS scrubbed_md5
-        FROM docs ORDER BY doc_id
-    """).fetchdf().reset_index(drop=True)
-    for col in ("n_emails", "n_ips", "n_phones"):
+    # the DuckDB side is GENERATED from the same PII_FAMILIES table the Spark
+    # expression uses — the fuzz automatically tracks new families
+    want = (
+        con.execute(ta.pii_scrub_sql("docs") + " ORDER BY doc_id")
+        .fetchdf()
+        .reset_index(drop=True)
+    )
+    for name, _, _ in ta.PII_FAMILIES:
+        col = f"n_{name}"
         assert got[col].astype(int).tolist() == want[col].astype(int).tolist(), col
     assert got["scrubbed_md5"].tolist() == want["scrubbed_md5"].tolist()
+
+
+def test_lang_id_classifies_real_sentences(spark):
+    """Expanded 18-word vocab: short real sentences in each supported
+    language classify correctly with positive margin; gibberish is 'und'."""
+    from docling_gfcr_spark.operators import text_analysis as ta
+
+    rows = [
+        (0, "en", "the cat sat on the mat and it was not from this house"),
+        (1, "es", "el perro corre por la calle con una pelota para los ninos"),
+        (2, "de", "der hund lauft auf der strasse und das ist ein gutes zeichen"),
+        (3, "fr", "le chien court dans les rues avec une balle pour nous tous"),
+        (4, "pt", "o cachorro corre na rua com uma bola para os meninos do bairro"),
+        (5, "und", "zxqj vwpk rrgh mmtt aabb ccdd"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, want string, text string")
+    out = (
+        df.select("doc_id", "want", ta.lang_id("text").alias("got"),
+                  ta.lang_margin("text").alias("margin"))
+        .toPandas().sort_values("doc_id")
+    )
+    assert out["got"].tolist() == out["want"].tolist()
+    assert (out[out.want != "und"]["margin"] > 0).all()
+    assert out[out.want == "und"]["margin"].iloc[0] == 0
