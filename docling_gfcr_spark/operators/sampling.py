@@ -81,26 +81,42 @@ def ngram_decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 8,
+    strategy: str = "auto",
+    broadcast_max_docs: int = 100_000,
 ) -> DataFrame:
     """GPT-3-style n-gram decontamination: flag training docs sharing any
-    word k-gram with a heldout/benchmark set. The heldout shingle set is
-    tiny relative to the corpus (benchmarks are KBs, corpora are TBs), so it
-    broadcasts and the training side is one scan + map-side semi-join-style
-    hash probe — no corpus shuffle. Returns (id, n_shared_shingles) for
-    every contaminated training doc."""
+    word k-gram with a heldout/benchmark set.
+
+    The heldout shingle set is usually tiny relative to the corpus
+    (benchmarks are KBs, corpora are TBs), so the default path broadcasts it
+    and the training side is one scan + map-side hash probe — no corpus
+    shuffle. For heldout sets past the broadcast threshold there is a
+    shuffle-hash fallback with identical semantics (same oracle covers both).
+
+    ``strategy``: ``"broadcast"`` | ``"shuffle"`` | ``"auto"`` (count the
+    heldout DOCS — a cheap control-plane aggregate on the small side, never
+    the corpus — and broadcast iff under ``broadcast_max_docs``).
+    Returns (id, n_shared_shingles) for every contaminated training doc.
+    """
     from docling_gfcr_spark.operators.dedup import word_shingles
 
+    if strategy not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "auto":
+        strategy = "broadcast" if heldout.count() <= broadcast_max_docs else "shuffle"
     held_sh = heldout.select(
         F.explode(F.array_distinct(word_shingles(text_col, k))).alias("shingle")
     ).distinct()
     tr_sh = train.select(
         F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, k))).alias("shingle")
     )
-    return (
-        tr_sh.join(F.broadcast(held_sh), "shingle")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_shared_shingles"))
-    )
+    if strategy == "broadcast":
+        joined = tr_sh.join(F.broadcast(held_sh), "shingle")
+    else:
+        # both sides hash-partition on shingle; hint avoids a sort-merge of
+        # the exploded corpus (hash build on the smaller heldout side)
+        joined = tr_sh.join(held_sh.hint("shuffle_hash"), "shingle")
+    return joined.groupBy(id_col).agg(F.count("*").alias("n_shared_shingles"))
 
 
 def pack_sequences(
@@ -109,25 +125,45 @@ def pack_sequences(
     id_col: str = "doc_id",
     token_col: str = "n_tokens",
     bucket_size: int = 10_000,
+    order_by: str = "id",
 ) -> DataFrame:
-    """Greedy sequential packing: assign each doc (in ``id_col`` order) to
+    """Greedy sequential packing: assign each doc (in canonical order) to
     training-sequence bin ``floor(tokens_before / budget)`` — the standard
     approximate pack-by-running-total used when batching documents into
     fixed-token training sequences.
 
     The running total is a DISTRIBUTED PREFIX SUM, not a global window: a
     single ``sum() OVER (ORDER BY id)`` collapses the whole table into one
-    sort partition (the classic scale-killer). Instead ids are bucketed into
-    coarse ranges; per-bucket totals (a tiny table — n/bucket_size rows) get
-    the only global window, and the per-doc running sum is a window
-    partitioned BY bucket plus the broadcast bucket offset. Semantics are
-    identical to the global window (the DuckDB oracle computes exactly that).
-    Output: input columns + ``tokens_before`` + ``seq_bin``.
+    sort partition (the classic scale-killer). Instead rows are bucketed so
+    the bucket key is a PREFIX of the sort order; per-bucket totals (a tiny
+    table) get the only global window, and the per-doc running sum is a
+    window partitioned BY bucket plus the broadcast bucket offset. Semantics
+    are identical to the corresponding global window (the DuckDB oracle
+    computes exactly that). Output: input columns + ``tokens_before`` +
+    ``seq_bin``.
+
+    ``order_by``:
+
+    - ``"id"`` — pack in numeric ``id_col`` order; buckets are the coarse
+      ranges ``floor(id / bucket_size)``. Requires a NUMERIC, roughly-dense
+      id (sparse ids skew bucket sizes; string ids are an analysis error).
+    - ``"hash"`` — pack in ``(md5('pack:'||id), id)`` order; works for ANY
+      id type (string / sparse / composite-cast) and load-balances buckets
+      by construction, because the bucket key — the first 2 hex chars of the
+      same md5 — is a prefix of the sort key, so bucket order IS sort order.
     """
     from pyspark.sql import Window
 
-    bkt = F.floor(F.col(id_col) / bucket_size).alias("_bkt")
-    base = df.select(F.col(id_col), F.col(token_col), bkt)
+    base_cols = [F.col(id_col), F.col(token_col)]
+    if order_by == "id":
+        base = df.select(*base_cols, F.floor(F.col(id_col) / bucket_size).alias("_bkt"))
+        in_bucket_order = [F.col(id_col)]
+    elif order_by == "hash":
+        h = F.md5(F.concat(F.lit("pack:"), F.col(id_col).cast("string")))
+        base = df.select(*base_cols, h.alias("_h"), F.substring(h, 1, 2).alias("_bkt"))
+        in_bucket_order = [F.col("_h"), F.col(id_col)]
+    else:
+        raise ValueError(f"unknown order_by {order_by!r}")
     bucket_tot = base.groupBy("_bkt").agg(F.sum(token_col).alias("_btot"))
     w_b = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
     offsets = bucket_tot.select(
@@ -135,10 +171,10 @@ def pack_sequences(
     )
     w_in = (
         Window.partitionBy("_bkt")
-        .orderBy(id_col)
+        .orderBy(*in_bucket_order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return (
+    out = (
         base.join(F.broadcast(offsets), "_bkt")
         .withColumn(
             "tokens_before",
@@ -147,3 +183,4 @@ def pack_sequences(
         .withColumn("seq_bin", F.floor(F.col("tokens_before") / budget).cast("long"))
         .drop("_bkt", "_boff")
     )
+    return out.drop("_h") if order_by == "hash" else out

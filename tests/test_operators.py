@@ -668,3 +668,84 @@ def test_lang_id_classifies_real_sentences(spark):
     assert out["got"].tolist() == out["want"].tolist()
     assert (out[out.want != "und"]["margin"] > 0).all()
     assert out[out.want == "und"]["margin"].iloc[0] == 0
+
+
+def test_pack_sequences_hash_order_arbitrary_ids(spark):
+    """order_by='hash' packs ANY id type (strings, sparse bigints) in
+    (md5, id) canonical order — equal to a local pandas global-prefix-sum
+    oracle under any partitioning (the numeric-floor path would skew or
+    break on these ids)."""
+    import hashlib
+
+    import pandas as pd
+
+    from docling_gfcr_spark.operators.sampling import pack_sequences
+
+    rng = np.random.RandomState(11)
+
+    def local_oracle(rows):  # [(id, n_tokens)] -> DataFrame in (md5,id) order
+        ordered = sorted(rows, key=lambda r: (hashlib.md5(f"pack:{r[0]}".encode()).hexdigest(), r[0]))
+        out, acc = [], 0
+        for rid, nt in ordered:
+            out.append({"doc_id": rid, "n_tokens": nt, "tokens_before": acc, "seq_bin": acc // 500})
+            acc += nt
+        return pd.DataFrame(out).sort_values("doc_id").reset_index(drop=True)
+
+    # string ids
+    srows = [(f"doc/{rng.randint(0, 10**9):x}-{i}", int(rng.randint(1, 300))) for i in range(173)]
+    # sparse numeric ids (would make floor(id/bucket) pathological)
+    nrows = [(int(rng.randint(0, 2**62)), int(rng.randint(1, 300))) for i in range(151)]
+    for rows, schema in ((srows, "doc_id string, n_tokens long"),
+                         (nrows, "doc_id long, n_tokens long")):
+        df = spark.createDataFrame(rows, schema).repartition(7)
+        got = (
+            pack_sequences(df, budget=500, order_by="hash")
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        want = local_oracle(rows)
+        got["tokens_before"] = got["tokens_before"].astype("int64")
+        got["seq_bin"] = got["seq_bin"].astype("int64")
+        want["tokens_before"] = want["tokens_before"].astype("int64")
+        want["seq_bin"] = want["seq_bin"].astype("int64")
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_pack_sequences_rejects_unknown_order():
+    from docling_gfcr_spark.operators.sampling import pack_sequences
+
+    with pytest.raises(ValueError):
+        pack_sequences(None, budget=10, order_by="nope")
+
+
+def test_ngram_decontaminate_shuffle_equals_broadcast(spark):
+    """The non-broadcast fallback (heldout too big to ship to every executor)
+    must produce exactly the broadcast path's output; 'auto' picks broadcast
+    under the doc threshold and shuffle above it."""
+    from docling_gfcr_spark.operators.sampling import ngram_decontaminate
+
+    rng = np.random.RandomState(5)
+    vocab = "aa bb cc dd ee ff gg hh ii jj kk ll".split()
+    train = spark.createDataFrame(
+        [(i, " ".join(rng.choice(vocab, size=30))) for i in range(150)],
+        "doc_id long, text string",
+    )
+    heldout = spark.createDataFrame(
+        [(i, " ".join(rng.choice(vocab, size=25))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    kw = dict(k=4)
+    b = ngram_decontaminate(train, heldout, strategy="broadcast", **kw).toPandas()
+    s = ngram_decontaminate(train, heldout, strategy="shuffle", **kw).toPandas()
+    a_small = ngram_decontaminate(train, heldout, strategy="auto", **kw).toPandas()
+    a_big = ngram_decontaminate(train, heldout, strategy="auto", broadcast_max_docs=5, **kw).toPandas()
+    key = "doc_id"
+    import pandas as pd
+
+    for got in (s, a_small, a_big):
+        pd.testing.assert_frame_equal(
+            got.sort_values(key).reset_index(drop=True),
+            b.sort_values(key).reset_index(drop=True),
+        )
+    assert len(b) > 0  # the tiny vocab guarantees shared 4-grams
+    with pytest.raises(ValueError):
+        ngram_decontaminate(train, heldout, strategy="bogus")

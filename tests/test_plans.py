@@ -126,3 +126,38 @@ def test_topk_probe_side_broadcast(spark):
     probes = e.where(F.col("vec_id") % 100 == 0)
     p = plan_of(similarity.cosine_topk(e, probes, k=3))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_decontamination_default_broadcasts_heldout(spark):
+    """Default/auto path: the heldout shingle set broadcasts (map-side probe,
+    zero corpus shuffle before the count agg); the explicit shuffle fallback
+    must NOT broadcast — it hash-partitions both sides."""
+    from pyspark.sql import functions as F
+
+    from docling_gfcr_spark.operators.sampling import ngram_decontaminate
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    held = d.where(F.col("doc_id") % 50 == 0)
+    p_b = plan_of(ngram_decontaminate(d, held, k=8, strategy="broadcast"))
+    assert "BroadcastHashJoin" in p_b
+    p_s = plan_of(ngram_decontaminate(d, held, k=8, strategy="shuffle"))
+    assert "BroadcastHashJoin" not in p_s
+    assert "ShuffledHashJoin" in p_s or "SortMergeJoin" in p_s
+
+
+def test_pack_sequences_hash_mode_no_global_sort(spark):
+    """Both pack_sequences modes: the only Window over a global ORDER BY is
+    the tiny bucket-totals one; the per-doc window is partitioned by bucket
+    (no single-partition sort of the corpus)."""
+    from pyspark.sql import functions as F
+
+    from docling_gfcr_spark.operators.sampling import pack_sequences
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.length("text").alias("n_tokens")
+    )
+    for mode in ("id", "hash"):
+        p = plan_of(pack_sequences(d, budget=4096, order_by=mode))
+        # exactly one SinglePartition exchange: the bucket-totals window
+        assert p.count("Exchange SinglePartition") == 1, mode
+        assert "Window" in p
