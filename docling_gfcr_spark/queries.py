@@ -427,6 +427,86 @@ FROM per_sess GROUP BY user_id
 """
 
 
+def events_session_window(spark, sf_dir):
+    """Native session_window aggregation (the streaming module's operator run
+    on the batch table — stream==batch by shared plan; the streamed twin is
+    equality-tested in tests/test_streaming.py). Oracle: DuckDB gap-islands
+    over integer microseconds, session end = last event + gap."""
+    from docling_gfcr_spark import streaming as streaming_mod
+
+    e = _t(spark, sf_dir, "events")
+    return streaming_mod.sessionized_user_activity(e, gap="20 minutes")
+
+
+SESSION_WINDOW_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1200000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessions AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 1200 SECOND, '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+def skewed_hot_key_join(spark, sf_dir):
+    """Planted-skew fact/dim join — the AQE skew-split gate shape. 90% of
+    orders collapse onto one hot key; the merge hint forces a sort-merge join
+    (no broadcast escape hatch), which is exactly the plan AQE's skew-join
+    splits at scale (skew=true pinned with tuned thresholds in
+    tests/test_plans.py; result identical under any strategy — that's what
+    this oracle row checks). Revenue summed in DECIMAL(18,2) per the
+    cross-engine tie rule."""
+    o = _t(spark, sf_dir, "orders")
+    fact = o.select(
+        F.when(F.col("o_orderkey") % 100 < 90, F.lit(0).cast("long"))
+        .otherwise(F.col("o_orderkey") % 97)
+        .alias("hot_k"),
+        "o_totalprice",
+    )
+    dim = spark.range(0, 97).select(
+        F.col("id").alias("hot_k"),
+        F.concat(F.lit("seg-"), (F.col("id") % 7).cast("string")).alias("segment"),
+    )
+    return (
+        fact.hint("merge")
+        .join(dim, "hot_k")
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            # exact decimal accumulation (order-independent), surfaced as
+            # DOUBLE in both engines for a drift-free value hash
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+    )
+
+
+SKEW_JOIN_SQL = """
+WITH fact AS (
+  SELECT CASE WHEN o_orderkey % 100 < 90 THEN 0 ELSE o_orderkey % 97 END AS hot_k,
+         o_totalprice
+  FROM orders
+), dim AS (
+  SELECT r.range AS hot_k, 'seg-' || (r.range % 7) AS segment FROM range(0, 97) r
+)
+SELECT segment, count(*) AS n_rows,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM fact JOIN dim USING (hot_k)
+GROUP BY segment
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents: dedup / text analysis
 # ---------------------------------------------------------------------------
@@ -1700,59 +1780,26 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # every operator FAMILY, so each family keeps a green row in THIS
     # round's artifact; tier 3 (past the cap) = redundant family members,
     # every one already hash-green in CORRECTNESS_r02.json.
-    # -- tier 1: flagship fixtures + round-3 queries ------------------------
+    # -- tier 1: new/changed this round + fixture-backed flagships ----------
     "extract_transcripts": extract_transcripts,
     "extract_transcripts_streamed": extract_transcripts_streamed,
     "extract_assembled_convs": extract_assembled_convs,
+    "resume_extraction_job": resume_extraction_job,
     "multimodal_features": multimodal_features,
     "multimodal_transformed": multimodal_transformed,
-    "orders_with_late_shipments": orders_with_late_shipments,
-    "q22_idle_rich_customers": q22_idle_rich_customers,
-    "approx_distinct_stats": approx_distinct_stats,
-    "resume_extraction_job": resume_extraction_job,
     "pii_redaction": pii_redaction,
-    "pack_training_sequences": pack_training_sequences,
-    "dedup_clusters_star": dedup_clusters_star,
-    "ngram_decontamination": ngram_decontamination,
-    "enhanced_docs": enhanced_docs,
-    # -- tier 2: one per operator family ------------------------------------
-    "q1_pricing_summary": q1_pricing_summary,
-    "q3_shipping_priority": q3_shipping_priority,
-    "top_customer_per_nation": top_customer_per_nation,
-    "customers_without_orders": customers_without_orders,
-    "customers_with_urgent_orders": customers_with_urgent_orders,
-    "rollup_order_stats": rollup_order_stats,
-    "grouping_sets_sql": grouping_sets_sql,
-    "status_priority_pivot": status_priority_pivot,
-    "union_active_parties": union_active_parties,
-    "intersect_segments": intersect_segments,
-    "part_name_normalize": part_name_normalize,
-    "events_hourly": events_hourly,
-    "events_variant_stats": events_variant_stats,
-    "events_sessionize": events_sessionize,
-    "running_revenue": running_revenue,
-    "order_value_percentiles": order_value_percentiles,
-    "suppliers_above_avg_balance": suppliers_above_avg_balance,
-    "q19_disjunctive_revenue": q19_disjunctive_revenue,
-    "dedup_exact": dedup_exact,
-    "dedup_ngram_topk": dedup_ngram_topk,
-    "dedup_minhash_pairs": dedup_minhash_pairs,
-    "dedup_clusters": dedup_clusters,
-    "dedup_simhash": dedup_simhash,
     "lang_id_docs": lang_id_docs,
-    "text_quality": text_quality,
-    "token_counts": token_counts,
-    "doc_chunks": doc_chunks,
-    "repetition_signals": repetition_signals,
-    "split_train_val_test": split_train_val_test,
-    "split_contamination": split_contamination,
-    "assemble_by_source": assemble_by_source,
-    "ann_cosine_topk": ann_cosine_topk,
-    "ann_ivf_topk": ann_ivf_topk,
-    "emb_neardup_exact": emb_neardup_exact,
-    "emb_neardup_lsh": emb_neardup_lsh,
-    "asof_error_after_click": asof_error_after_click,
-    # -- tier 3: redundant family members, all hash-green in r2 -------------
+    "pack_training_sequences": pack_training_sequences,
+    "ngram_decontamination": ngram_decontamination,
+    "events_session_window": events_session_window,
+    "skewed_hot_key_join": skewed_hot_key_join,
+    "dedup_clusters": dedup_clusters,
+    "dedup_clusters_star": dedup_clusters_star,
+    "enhanced_docs": enhanced_docs,
+    "approx_distinct_stats": approx_distinct_stats,
+    # -- rotated IN from the r3 tail (tier-3 membership rotates every round
+    # so each query is periodically re-gated by the driver, not just by the
+    # mandatory full tools/check_oracle.py pre-commit run) -------------------
     "q5_nation_revenue": q5_nation_revenue,
     "latest_order_per_customer": latest_order_per_customer,
     "events_json_extract": events_json_extract,
@@ -1767,6 +1814,46 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_orders": q18_large_orders,
     "q14_promo_revenue": q14_promo_revenue,
+    # -- tier 2: one per remaining operator family ---------------------------
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "customers_without_orders": customers_without_orders,
+    "status_priority_pivot": status_priority_pivot,
+    "intersect_segments": intersect_segments,
+    "part_name_normalize": part_name_normalize,
+    "events_variant_stats": events_variant_stats,
+    "events_sessionize": events_sessionize,
+    "running_revenue": running_revenue,
+    "order_value_percentiles": order_value_percentiles,
+    "suppliers_above_avg_balance": suppliers_above_avg_balance,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_topk": dedup_ngram_topk,
+    "dedup_minhash_pairs": dedup_minhash_pairs,
+    "ann_ivf_topk": ann_ivf_topk,
+    "text_quality": text_quality,
+    "token_counts": token_counts,
+    "doc_chunks": doc_chunks,
+    "asof_error_after_click": asof_error_after_click,
+    # -- tier 3 (past the driver's ~50-entry cap this round; every entry was
+    # driver-gated green in r3 and is re-verified by the full check_oracle
+    # run each session; membership rotates back in next round) ---------------
+    "top_customer_per_nation": top_customer_per_nation,
+    "customers_with_urgent_orders": customers_with_urgent_orders,
+    "rollup_order_stats": rollup_order_stats,
+    "grouping_sets_sql": grouping_sets_sql,
+    "union_active_parties": union_active_parties,
+    "events_hourly": events_hourly,
+    "orders_with_late_shipments": orders_with_late_shipments,
+    "q22_idle_rich_customers": q22_idle_rich_customers,
+    "repetition_signals": repetition_signals,
+    "split_train_val_test": split_train_val_test,
+    "split_contamination": split_contamination,
+    "assemble_by_source": assemble_by_source,
+    "ann_cosine_topk": ann_cosine_topk,
+    "dedup_simhash": dedup_simhash,
+    "emb_neardup_exact": emb_neardup_exact,
+    "emb_neardup_lsh": emb_neardup_lsh,
 }
 
 ORACLES: dict[str, str] = {
@@ -1785,6 +1872,8 @@ ORACLES: dict[str, str] = {
     "events_json_extract": EVENTS_JSON_SQL,
     "events_variant_stats": EVENTS_VARIANT_SQL,
     "events_sessionize": SESSIONIZE_SQL,
+    "events_session_window": SESSION_WINDOW_SQL,
+    "skewed_hot_key_join": SKEW_JOIN_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_topk": DEDUP_NGRAM_SQL,
     "minhash_signature_digest": MINHASH_SQL,

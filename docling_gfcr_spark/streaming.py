@@ -58,6 +58,63 @@ def windowed_event_counts(
     )
 
 
+def sessionized_user_activity(
+    events: DataFrame, gap: str = "20 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Session-window aggregation per user (merge events closer than ``gap``).
+
+    One declarative plan serves BOTH engines of the stream==batch invariant:
+    on a streaming DF the watermark bounds session state and append mode
+    emits each session once it can no longer grow; on a batch DF the
+    watermark is a no-op and the result is the full session table. Session
+    semantics: [first_ts, last_ts + gap) with merge-on-overlap — a new
+    session starts iff the inter-event gap is >= ``gap``.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def clicks_with_error_within(
+    clicks: DataFrame, errors: DataFrame, horizon_s: int = 600, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream INNER join: for every click, the error events by the
+    same user within ``horizon_s`` seconds after it.
+
+    On two streaming DFs this is Spark's watermarked stream-stream join —
+    the time-range condition plus both watermarks bound the join state
+    (clicks held ~horizon+watermark, errors ~watermark); inner joins emit
+    eagerly, so the drained result equals the same plan on batch inputs
+    (pinned by tests). On batch DFs the watermarks are no-ops.
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    e = errors.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("error_ts"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("error_ts") > F.col("click_ts"))
+        & (F.col("error_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon_s} SECOND"))
+    )
+    return c.join(e, cond, "inner").select(
+        "click_id", F.col("c_user").alias("user_id"), "click_ts", "error_id", "error_ts"
+    )
+
+
 def run_stream_to_memory(spark: SparkSession, stream_df: DataFrame, name: str) -> DataFrame:
     """Drive a streaming DF to completion over the currently-available files
     and return the materialized result (memory sink)."""

@@ -161,3 +161,54 @@ def test_pack_sequences_hash_mode_no_global_sort(spark):
         # exactly one SinglePartition exchange: the bucket-totals window
         assert p.count("Exchange SinglePartition") == 1, mode
         assert "Window" in p
+
+
+def test_aqe_splits_planted_skew_join(spark):
+    """The AQE skew-join path actually fires on the planted-skew shape the
+    skewed_hot_key_join gate query uses: with cluster-realistic thresholds
+    scaled to test data, the final adaptive plan must mark the sort-merge
+    join skew=true (the hot partition gets split into parallel subtasks
+    instead of one straggler). Correctness under the split is what the gate
+    query's oracle row checks."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32768",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 100 < 90, F.lit(0))
+            .otherwise(F.col("id") % 97)
+            .alias("hot_k"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string"),
+                     F.lit("x" * 48)).alias("payload"),
+        )
+        dim = spark.range(0, 97).select(
+            F.col("id").alias("hot_k"), (F.col("id") % 7).alias("seg")
+        )
+        # the skew split applies where it matters: the join stage itself
+        # (AQE declines to split when a downstream stage depends on the
+        # join's partitioning — a groupBy right after would mask the split)
+        j = fact.hint("merge").join(dim, "hot_k").select(
+            "seg", F.length("payload").alias("l")
+        )
+        rows = j.collect()
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in p, "AQE did not split the planted skewed partition"
+        assert "isFinalPlan=true" in p
+        # values survive the split: 90% of 200k rows carry hot_k=0 -> seg 0
+        assert sum(1 for r in rows if r.seg == 0) > 150_000
+        assert len(rows) == 200_000
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

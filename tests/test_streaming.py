@@ -155,3 +155,61 @@ def test_stateful_turn_progress_across_batches(spark, tmp_path):
     for conv_id, row in final.iterrows():
         assert row.n_turns == want[conv_id], conv_id
         assert row.n_batches >= 2  # state genuinely crossed micro-batches
+
+
+def test_session_window_stream_equals_batch(spark, tmp_path):
+    """sessionized_user_activity is ONE plan for both engines: the drained
+    append-mode stream (file source) must equal the batch run on the same
+    data. A far-future sentinel event pushes the watermark past every real
+    session so append mode flushes them all."""
+    src = str(tmp_path / "sess_src")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    sentinel = spark.sql(
+        "SELECT CAST(999999999 AS LONG) event_id, timestamp'2030-01-01 00:00:00' ts, "
+        "CAST(-1 AS LONG) user_id, 'click' event_type, 0.0 value, '{}' props"
+    )
+    ev.unionByName(sentinel).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(streaming.EVENTS_SCHEMA).format("parquet").load(src)
+    agg = streaming.sessionized_user_activity(stream, gap="20 minutes", watermark="10 minutes")
+    q = agg.writeStream.outputMode("append").format("memory").queryName("sess_eq_t").start()
+    q.processAllAvailable()
+    q.stop()
+    key = ["user_id", "session_start"]
+    got = (
+        spark.table("sess_eq_t").where("user_id != -1").toPandas()
+        .sort_values(key).reset_index(drop=True)
+    )
+    want = (
+        streaming.sessionized_user_activity(ev, gap="20 minutes").toPandas()
+        .sort_values(key).reset_index(drop=True)
+    )
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_stream_stream_join_equals_batch(spark, tmp_path):
+    """Watermarked stream-stream inner join (clicks x errors, 10-min range
+    condition): the drained streaming result must equal the identical plan
+    on batch inputs."""
+    src = str(tmp_path / "ssj_src")
+    spark.read.parquet(f"{SF}/events.parquet").write.mode("overwrite").parquet(src)
+
+    s = spark.readStream.schema(streaming.EVENTS_SCHEMA).format("parquet").load(src)
+    j = streaming.clicks_with_error_within(
+        s.where("event_type = 'click'"), s.where("event_type = 'error'"), horizon_s=600
+    )
+    q = j.writeStream.outputMode("append").format("memory").queryName("ssj_eq_t").start()
+    q.processAllAvailable()
+    q.stop()
+    key = ["click_id", "error_id"]
+    got = spark.table("ssj_eq_t").toPandas().sort_values(key).reset_index(drop=True)
+    b = spark.read.parquet(src)
+    want = (
+        streaming.clicks_with_error_within(
+            b.where("event_type = 'click'"), b.where("event_type = 'error'"), horizon_s=600
+        )
+        .toPandas().sort_values(key).reset_index(drop=True)
+    )
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want)
