@@ -42,6 +42,9 @@ HEADLINE = [
     "pii_redaction",
     "pack_training_sequences",
     "ngram_decontamination",
+    # round-4 ops
+    "events_session_window",
+    "skewed_hot_key_join",
 ]
 
 N_CONV_BENCH = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
@@ -81,24 +84,28 @@ def main() -> None:
         },
     )
     results: dict[str, float] = {}
+    # per-entry timing samples (both passes): median + spread in the JSON let
+    # round-over-round deltas separate code changes from host noise
+    samples: dict[str, list[float]] = {}
 
     # warmup: JVM/codegen/Arrow path
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
-    def timed(fn) -> tuple[float, int]:
+    def timed(fn, name: str) -> tuple[float, int]:
         """Best of two runs: this shared VM shows 10-20x single-run variance
         under noisy neighbors; min-of-2 keeps the per-round record from
-        being hostage to one bad window."""
-        best, n = 1e9, 0
+        being hostage to one bad window. Raw samples are kept for the JSON."""
+        times, n = [], 0
         for _ in range(2):
             t0 = time.time()
             n = fn()
-            best = min(best, time.time() - t0)
-        return round(best, 3), n
+            times.append(round(time.time() - t0, 3))
+        samples[name] = times
+        return min(times), n
 
     for name in HEADLINE:
         q = Q.QUERIES[name]
-        results[name], n = timed(lambda: q(spark, SF_DIR).count())
+        results[name], n = timed(lambda: q(spark, SF_DIR).count(), name)
         print(f"# {name}: {results[name]}s ({n} rows)", file=sys.stderr)
 
     from docling_gfcr_spark.operators import dedup as _dedup
@@ -109,14 +116,16 @@ def main() -> None:
     # md5 band keys only because DuckDB must reproduce them; at scale you run
     # this variant — same plan, no hex-string materialization)
     results["dedup_minhash_pairs"], n = timed(
-        lambda: _dedup.minhash_lsh_pairs(docs, n_hashes=32, bands=8, k=5, hash_fn="xxhash64").count()
+        lambda: _dedup.minhash_lsh_pairs(docs, n_hashes=32, bands=8, k=5, hash_fn="xxhash64").count(),
+        "dedup_minhash_pairs",
     )
     print(f"# dedup_minhash_pairs: {results['dedup_minhash_pairs']}s ({n} rows)", file=sys.stderr)
 
     # scale-shaped n-gram jaccard (hot-shingle cap on): the uncapped oracle
     # variant is quadratic by design on this shared-vocab synthetic corpus
     results["dedup_ngram_capped"], n = timed(
-        lambda: _dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5, hot_shingle_cap=100).count()
+        lambda: _dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5, hot_shingle_cap=100).count(),
+        "dedup_ngram_capped",
     )
     print(f"# dedup_ngram_capped: {results['dedup_ngram_capped']}s ({n} rows)", file=sys.stderr)
 
@@ -137,7 +146,8 @@ def main() -> None:
     # the same rule as every query above — so round-over-round deltas are
     # apples-to-apples. (r2 used an adaptive up-to-6-pass min here, which
     # inflated the apparent r1->r2 win; do not drift again.)
-    extract_sec = min(extract_pass(), extract_pass())
+    samples["extract_pipeline"] = [round(extract_pass(), 3), round(extract_pass(), 3)]
+    extract_sec = min(samples["extract_pipeline"])
 
     # ordering + skew-safe two-phase conversation assembly (the shuffle path)
     def assemble_pass() -> int:
@@ -145,13 +155,20 @@ def main() -> None:
         pipeline.assemble_conversations(ex).write.mode("overwrite").format("noop").save()
         return 0
 
-    results["assemble_conversations"], _n = timed(assemble_pass)
+    results["assemble_conversations"], _n = timed(assemble_pass, "assemble_conversations")
     print(f"# assemble_conversations: {results['assemble_conversations']}s", file=sys.stderr)
     results["extract_pipeline"] = round(extract_sec, 3)
     turns_per_sec = round(n_turns / extract_sec, 1)
     print(f"# extraction: {n_turns} turns in {extract_sec:.1f}s = {turns_per_sec}/s", file=sys.stderr)
 
     total = round(sum(results.values()), 3)
+    stats = {
+        name: {
+            "med": round(sorted(ts)[len(ts) // 2] if len(ts) % 2 else sum(sorted(ts)[len(ts) // 2 - 1 : len(ts) // 2 + 1]) / 2, 3),
+            "spread": round(max(ts) - min(ts), 3),
+        }
+        for name, ts in samples.items()
+    }
     print(
         json.dumps(
             {
@@ -160,6 +177,7 @@ def main() -> None:
                 "unit": "sec",
                 "passes": 2,  # pinned: min-of-2 for every entry incl. extraction
                 "queries": results,
+                "stats": stats,  # per-entry median + spread of the raw passes
                 "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
                 "throughput": {
                     "extracted_turns_per_sec": turns_per_sec,

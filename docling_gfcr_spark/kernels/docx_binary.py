@@ -142,9 +142,10 @@ def _table_block(tbl: ET.Element) -> str | None:
     for tr in tbl.findall(f"{_W}tr"):
         cells = []
         for tc in tr.findall(f"{_W}tc"):
-            # a cell may hold several paragraphs; docling joins them with a space
-            texts = [t for t in (_run_text(p).strip() for p in tc.findall(f"{_W}p")) if t]
-            cells.append(" ".join(texts))
+            # a cell may hold several paragraphs (joined with a space); cell
+            # text itself is NOT stripped — the sidecar assembler renders
+            # cells verbatim, and the parity test holds the two routes equal
+            cells.append(" ".join(_run_text(p) for p in tc.findall(f"{_W}p")))
         rows.append(cells)
     lines = pipe_table(rows)
     return "\n".join(lines) if lines else None

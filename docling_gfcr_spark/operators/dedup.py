@@ -366,10 +366,14 @@ def connected_components_star(
             .distinct()
         )
 
-    e = canon(edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))).localCheckpoint()
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = canon(raw).localCheckpoint()
+    # nodes come from the RAW edge list, BEFORE canon drops self-loops: a
+    # node whose only incident edge is (x, x) must still be labeled (comp=x),
+    # exactly as connected_components labels it — contract parity on any input
     nodes = (
-        e.select(F.col("a").alias("node"))
-        .unionByName(e.select(F.col("b").alias("node")))
+        raw.select(F.col("a").alias("node"))
+        .unionByName(raw.select(F.col("b").alias("node")))
         .distinct()
         .localCheckpoint()
     )
@@ -421,8 +425,9 @@ def connected_components_star(
         raise RuntimeError(
             f"connected_components_star did not converge within max_iter={max_iter}"
         )
-    # fixpoint: every edge is (comp-min a, member b); roots + isolated input
-    # nodes (none survive canon, but keep the contract total) label themselves
+    # fixpoint: every edge is (comp-min a, member b); roots + self-loop-only
+    # input nodes (dropped by canon, re-introduced via raw nodes) label
+    # themselves
     labels = nodes.join(
         e.select(F.col("b").alias("node"), F.col("a").alias("comp")), "node", "left"
     ).select("node", F.coalesce("comp", F.col("node")).alias("comp"))

@@ -274,6 +274,11 @@ def train_ivf_centroids(
         .collect()
     )
     rows.sort(key=lambda r: r[0])
+    # hard cap: the binomial sample is ~1.2x sample_limit in EXPECTATION but
+    # unbounded in the tail — truncate (in id order, deterministic) so driver
+    # memory is bounded by construction, not probabilistically. The fixture
+    # oracle (tools/make_fixtures.py) mirrors the same truncation.
+    rows = rows[:sample_limit]
     m = np.asarray([r[1] for r in rows], dtype=np.float64)
     return spherical_kmeans(m, n_centroids, seed, iters)
 

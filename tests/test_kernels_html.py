@@ -76,7 +76,7 @@ def test_fast_engine_matches_parser_engine():
     from docling_gfcr_spark import transcripts
 
     checked = 0
-    for c in range(120):
+    for c in range(150):
         for r in transcripts.gen_conv_rows(42, c, mean_turns=8):
             if r["tool"] != "html" or "\x00" in r["text"]:
                 continue

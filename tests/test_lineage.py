@@ -127,3 +127,39 @@ def test_spans_roundtrip_through_parquet(spark, tmp_path):
     stored = stored.sort_values(key).reset_index(drop=True)
     for a, b in zip(direct.spans, stored.spans):
         assert [tuple(x) for x in a] == [tuple(x) for x in b]
+
+
+def test_iceberg_storage_end_to_end(spark, tmp_path):
+    """REAL IcebergStorage integration: the full wave-committed job contract
+    (create tables, overwrite a part_id partition twice, append lineage,
+    read both back) through the catalog. Skipped in environments without the
+    Iceberg runtime jar + a configured catalog — wherever it runs, it
+    upgrades IcebergStorage from signature-checked scaffolding to verified.
+    """
+    from docling_gfcr_spark import lineage
+
+    if not lineage.IcebergStorage.available(spark):
+        pytest.skip("Iceberg runtime jar not on the classpath")
+    if "iceberg" not in spark.conf.get("spark.sql.catalog.spark_catalog", ""):
+        pytest.skip("no Iceberg catalog configured for spark_catalog")
+
+    st = lineage.IcebergStorage(spark, f"default.it_{abs(hash(str(tmp_path))) % 10**8}")
+    st.create_tables("conv_id string, turn_idx int, extracted_text string, "
+                     "n_nodes int, n_spans int, parse_failed boolean, "
+                     "success boolean, part_id int")
+    rows = [("c1", 0, "t0", 1, 0, False, True, 0), ("c2", 0, "t1", 1, 0, False, True, 1)]
+    schema = ("conv_id string, turn_idx int, extracted_text string, n_nodes int, "
+              "n_spans int, parse_failed boolean, success boolean, part_id int")
+    df = spark.createDataFrame(rows, schema)
+    st.overwrite_data_partitions(df)
+    # dynamic overwrite: rewriting part 0 must not touch part 1
+    df0b = spark.createDataFrame([("c1", 0, "t0-v2", 1, 0, False, True, 0)], schema)
+    st.overwrite_data_partitions(df0b)
+    got = {(r.conv_id, r.extracted_text) for r in st.read_data().collect()}
+    assert got == {("c1", "t0-v2"), ("c2", "t1")}
+    assert st.read_data_partition(1).count() == 1
+    lin = spark.createDataFrame(
+        [("r1", 0, 2, "committed", 2, 1, 0, 0, 0, 0.0)], lineage.LINEAGE_SCHEMA
+    )
+    st.append_lineage(lin)
+    assert st.read_lineage().count() == 1

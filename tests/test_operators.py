@@ -749,3 +749,52 @@ def test_ngram_decontaminate_shuffle_equals_broadcast(spark):
     assert len(b) > 0  # the tiny vocab guarantees shared 4-grams
     with pytest.raises(ValueError):
         ngram_decontaminate(train, heldout, strategy="bogus")
+
+
+def test_cc_both_variants_label_self_loop_only_nodes(spark):
+    """A node whose ONLY incident edge is (x, x) must appear in the output of
+    BOTH CC variants with comp=x — the public contracts may not diverge on
+    degenerate inputs (star builds its node set from the raw edge list,
+    before canonicalization drops self-loops)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (7, 7), (3, 3), (3, 4)], "id_a long, id_b long"
+    )
+    want = {(1, 1), (2, 1), (7, 7), (3, 3), (4, 3)}
+    prop = {(r.node, r.comp) for r in dedup.connected_components(edges).collect()}
+    star = {(r.node, r.comp) for r in dedup.connected_components_star(edges).collect()}
+    assert prop == want
+    assert star == want
+
+
+def test_hll_sketch_mergeable_and_partition_stable(spark):
+    """Sketch hardening for the rows-only approx_distinct_stats entry:
+    (a) the union of per-partition HLL sketches estimates EXACTLY what the
+    whole-table sketch estimates, under any partitioning (mergeability — the
+    property that makes sketches valid at 1000-executor scale), and
+    (b) approx_count_distinct is partition-invariant too, and within
+    tolerance of the exact count."""
+    df = spark.read.parquet(f"{SF}/orders.parquet").select("o_custkey")
+    whole = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("e")
+    ).collect()[0]["e"]
+    for parts in (1, 7, 32):
+        merged = (
+            df.repartition(parts)
+            .withColumn("p", F.spark_partition_id())
+            .groupBy("p")
+            .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+            .collect()[0]["e"]
+        )
+        assert merged == whole, f"HLL union drifted at {parts} partitions"
+    acd = df.agg(F.approx_count_distinct("o_custkey").alias("e")).collect()[0]["e"]
+    for parts in (1, 7, 32):
+        got = (
+            df.repartition(parts)
+            .agg(F.approx_count_distinct("o_custkey").alias("e"))
+            .collect()[0]["e"]
+        )
+        assert got == acd, f"approx_count_distinct drifted at {parts} partitions"
+    exact = df.distinct().count()
+    assert abs(whole - exact) / exact < 0.05
+    assert abs(acd - exact) / exact < 0.05

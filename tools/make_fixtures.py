@@ -238,9 +238,11 @@ def compute_ann_ivf_topk() -> pd.DataFrame:
         keep = np.array(
             [_hashlib.md5(f"ivf:{int(i)}".encode()).hexdigest()[:8] < thr for i in ids]
         )
-        sample = m[keep]
+        # trainer truncates the id-sorted sample to sample_limit (hard cap on
+        # driver memory); ids are already sorted here — mirror exactly
+        sample = m[keep][:sample_limit]
     else:
-        sample = m
+        sample = m[:sample_limit]
     cent = spherical_kmeans(sample, n_centroids, seed, iters)
     mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
     sims = mn @ cent.T
