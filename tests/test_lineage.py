@@ -163,3 +163,50 @@ def test_iceberg_storage_end_to_end(spark, tmp_path):
     )
     st.append_lineage(lin)
     assert st.read_lineage().count() == 1
+
+
+def test_tool_entry_envelope(spark, tmp_path):
+    """EP2 tool envelope (jobs/tool_entry.py <- reference claude_tool.py):
+    schema shape, required-param errors, success envelope with aliasing and
+    return_content inlining — driven through run_tool (the stdin main() is a
+    thin JSON wrapper over it)."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent / "jobs"))
+    import tool_entry
+
+    s = tool_entry.TOOL_SCHEMA
+    assert s["input_schema"]["required"] == ["input", "output_dir"]
+    assert "return_content" in s["input_schema"]["properties"]
+
+    assert tool_entry.run_tool({})["success"] is False
+    assert "input" in tool_entry.run_tool({})["error"]
+    assert tool_entry.run_tool({"input": "/x"})["success"] is False
+
+    src = str(tmp_path / "tool_src")
+    out = str(tmp_path / "tool_out")
+    transcripts.make_transcripts(spark, 5, mean_turns=3, seed=9, parallelism=2).write.parquet(src)
+    # run_tool owns its own session lifecycle; the module-scoped fixture
+    # session survives because get_spark returns the active one and .stop()
+    # ends it -- so run in a subprocess to keep the fixture session alive
+    import json as _json
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, str(__import__("pathlib").Path(__file__).parent.parent / "jobs" / "tool_entry.py")],
+        input=_json.dumps({"input": src, "output_dir": out, "return_content": True,
+                           "content_limit": 5, "n_parts": 4, "local_cores": 2}),
+        capture_output=True, text=True, timeout=600,
+    )
+    resp = _json.loads(proc.stdout.strip().splitlines()[-1])
+    assert resp["success"] is True, resp
+    assert resp["conversion_method"] == "spark_pipeline"
+    assert resp["n_turns"] > 0 and len(resp["content"]) == 5
+    assert {"conv_id", "turn_idx", "method", "extracted_text"} <= set(resp["content"][0])
+    # bad stdin JSON -> error envelope, not a traceback
+    proc2 = subprocess.run(
+        [sys.executable, str(__import__("pathlib").Path(__file__).parent.parent / "jobs" / "tool_entry.py")],
+        input="{not json", capture_output=True, text=True, timeout=120,
+    )
+    resp2 = _json.loads(proc2.stdout.strip().splitlines()[-1])
+    assert resp2["success"] is False and "invalid JSON" in resp2["error"]

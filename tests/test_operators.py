@@ -798,3 +798,26 @@ def test_hll_sketch_mergeable_and_partition_stable(spark):
     exact = df.distinct().count()
     assert abs(whole - exact) / exact < 0.05
     assert abs(acd - exact) / exact < 0.05
+
+
+def test_enhancer_env_factory_contract(monkeypatch):
+    """client_factory_from_env mirrors the reference's env contract: missing
+    OPENAI_API_KEY -> ValueError at driver time; with a key but no openai
+    package -> ImportError at driver time (fail fast, not 10k tasks in).
+    build_messages is the pure prompt-envelope builder."""
+    from docling_gfcr_spark.operators import enhancer
+
+    monkeypatch.delenv("OPENAI_API_KEY", raising=False)
+    with pytest.raises(ValueError):
+        enhancer.client_factory_from_env()
+    monkeypatch.setenv("OPENAI_API_KEY", "sk-test")
+    import importlib.util
+
+    if importlib.util.find_spec("openai") is None:
+        with pytest.raises(ImportError):
+            enhancer.client_factory_from_env()
+    msgs = enhancer.build_messages("enhance", "hello doc")
+    assert [m["role"] for m in msgs] == ["system", "user"]
+    assert msgs[1]["content"] == "hello doc"
+    with pytest.raises(ValueError):
+        enhancer.build_messages("bogus", "x")
