@@ -86,6 +86,43 @@ def main() -> None:
             "last(ignorenulls); zero Python workers anywhere.",
             queries.asof_error_after_click(spark, SF),
         ),
+        (
+            "Session-window aggregation (streaming==batch operator)",
+            "Native SessionWindow aggregation: one hashpartitioning exchange "
+            "on (session_window, user_id) with partial merge before it; on a "
+            "stream the same plan gains watermark-bounded state. Equality "
+            "with the drained stream pinned by "
+            "test_streaming::test_session_window_stream_equals_batch.",
+            queries.events_session_window(spark, SF),
+        ),
+        (
+            "n-gram decontamination (default broadcast path)",
+            "Heldout shingles arrive via BroadcastHashJoin (map-side probe): "
+            "the corpus side is ONE scan with no shuffle before the count "
+            "agg. The shuffle-hash fallback for oversized heldout sets is "
+            "pinned (no broadcast) in test_plans::"
+            "test_decontamination_default_broadcasts_heldout.",
+            __import__(
+                "docling_gfcr_spark.operators.sampling", fromlist=["ngram_decontaminate"]
+            ).ngram_decontaminate(
+                docs, docs.where(F.col("doc_id") % 50 == 0), k=8, strategy="broadcast"
+            ),
+        ),
+        (
+            "Sequence packing, hash-order mode (arbitrary id types)",
+            "Distributed prefix sum: the ONLY SinglePartition exchange feeds "
+            "the tiny bucket-totals window (256 rows); the per-doc running "
+            "sum is a window partitioned by the 2-hex-char md5 bucket that "
+            "prefixes the sort key. Pinned by "
+            "test_plans::test_pack_sequences_hash_mode_no_global_sort.",
+            __import__(
+                "docling_gfcr_spark.operators.sampling", fromlist=["pack_sequences"]
+            ).pack_sequences(
+                docs.select("doc_id", F.length("text").alias("n_tokens")),
+                budget=4096,
+                order_by="hash",
+            ),
+        ),
     ]
 
     out = [
@@ -104,6 +141,50 @@ def main() -> None:
         out.append(formatted(df).rstrip())
         out.append("```")
         out.append("")
+
+    # AQE skew split needs an EXECUTED adaptive plan (runtime re-plan, not
+    # static explain): run the planted-skew join with thresholds scaled to
+    # the audit data and dump the final plan — the SortMergeJoin must carry
+    # skew=true. Same shape as queries.skewed_hot_key_join; pinned by
+    # test_plans::test_aqe_splits_planted_skew_join.
+    skew_confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32768",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    for k, v in skew_confs.items():
+        spark.conf.set(k, v)
+    fact = spark.range(0, 200_000).select(
+        F.when(F.col("id") % 100 < 90, F.lit(0)).otherwise(F.col("id") % 97).alias("hot_k"),
+        F.concat(F.lit("payload-"), F.col("id").cast("string"), F.lit("x" * 48)).alias("payload"),
+    )
+    dim = spark.range(0, 97).select(
+        F.col("id").alias("hot_k"), (F.col("id") % 7).alias("seg")
+    )
+    j = fact.hint("merge").join(dim, "hot_k").select("seg", F.length("payload").alias("l"))
+    j.write.format("noop").mode("overwrite").save()
+    j.collect()
+    final_plan = j._jdf.queryExecution().executedPlan().toString()
+    for k in skew_confs:
+        spark.conf.unset(k)
+    out += [
+        "## Planted-skew join under AQE (final adaptive plan, EXECUTED)",
+        "",
+        "90% of 200k fact rows share one key; merge hint forces SMJ. The final",
+        "plan must mark the join skew=true — AQE split the hot partition into",
+        "parallel subtasks instead of one straggler. The oracle row",
+        "`skewed_hot_key_join` value-checks correctness under the split.",
+        "",
+        "```",
+        "\n".join(
+            l for l in final_plan.splitlines()
+            if any(t in l for t in ("SortMergeJoin", "AQEShuffleRead", "ShuffleQueryStage", "skew"))
+        ).rstrip(),
+        "```",
+        "",
+        f"`skew=true` present: {'skew=true' in final_plan}",
+        "",
+    ]
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print(f"wrote PLANS.md ({len(sections)} sections)")
