@@ -29,7 +29,9 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from docling_gfcr_spark.kernels import asciidoc, docx_binary, encodings, markdown_ops, media, office
+from docling_gfcr_spark.kernels import (
+    asciidoc, docx_binary, encodings, markdown_ops, media, office, office_binary,
+)
 from docling_gfcr_spark.kernels.html_extract import extract_html
 from docling_gfcr_spark.kernels.pdf_layout import assemble_pages, assemble_pdf
 
@@ -42,7 +44,8 @@ from docling_gfcr_spark.kernels.pdf_layout import assemble_pages, assemble_pdf
 # (kernels/encodings.py <- reference convert.py:131-152).
 SUPPORTED_KINDS = frozenset(
     "html xhtml pdf pdf_text markdown md plain text txt json csv xml adoc asciidoc "
-    "doc docx xlsx pptx png jpeg jpg tiff tif bmp webp text_b64 docx_b64".split()
+    "doc docx xlsx pptx png jpeg jpg tiff tif bmp webp text_b64 "
+    "docx_b64 xlsx_b64 pptx_b64".split()
 )
 IMAGE_KINDS = frozenset("png jpeg jpg tiff tif bmp webp".split())
 _UNSUPPORTED_FMT = (
@@ -188,18 +191,25 @@ def route_one(text: str | None, tool: str | None, name: str, mode: str) -> dict:
                 extracted, method = assemble(text), kind
             except (ValueError, TypeError, AttributeError):
                 extracted, method, parse_failed = "", kind, True
-        elif kind == "docx_b64":
-            # REAL binary office route: actual PK-zip WordprocessingML bytes
-            # parsed with stdlib zipfile+xml.etree (kernels/docx_binary.py),
-            # matching the reference's real-binary docling conversion
-            # (convert.py:76-110). Unparseable bytes get the same
-            # generic-fallback apology as the image route (convert.py:152).
+        elif kind in ("docx_b64", "xlsx_b64", "pptx_b64"):
+            # REAL binary office route: actual PK-zip OOXML bytes parsed with
+            # stdlib zipfile+xml.etree (kernels/docx_binary.py WordprocessingML,
+            # kernels/office_binary.py SpreadsheetML/PresentationML), matching
+            # the reference's real-binary docling conversion (convert.py:76-110).
+            # Unparseable bytes get the same generic-fallback apology as the
+            # image route (convert.py:152).
+            base_kind = kind[:-4]
+            parse = {
+                "docx": docx_binary.docx_bytes_to_markdown,
+                "xlsx": office_binary.xlsx_bytes_to_markdown,
+                "pptx": office_binary.pptx_bytes_to_markdown,
+            }[base_kind]
             try:
                 blob = base64.b64decode(text, validate=True)
-                extracted = docx_binary.docx_bytes_to_markdown(blob)
-                method = "docx_bytes"
+                extracted = parse(blob)
+                method = f"{base_kind}_bytes"
             except (ValueError, binascii.Error):
-                extracted = encodings.APOLOGY_FMT.format(name=name, ext=".docx")
+                extracted = encodings.APOLOGY_FMT.format(name=name, ext=f".{base_kind}")
                 method, parse_failed = "generic", True
         elif kind in IMAGE_KINDS:
             # metadata-only image route: parse the real container header

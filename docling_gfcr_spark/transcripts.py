@@ -51,9 +51,12 @@ FOOTER_MARKER = "footerboilerplate"
 KINDS = (
     "html", "pdf_text", "pdf", "markdown", "plain", "json", "binary_stub",
     "unsupported_ext", "docx", "xlsx", "pptx", "image", "text_b64", "csv", "xml",
-    "adoc", "doc", "docx_b64",
+    "adoc", "doc", "docx_b64", "xlsx_b64", "pptx_b64",
 )
-_KIND_P = (0.18, 0.08, 0.08, 0.10, 0.10, 0.08, 0.02, 0.02, 0.06, 0.05, 0.05, 0.04, 0.02, 0.03, 0.02, 0.03, 0.02, 0.02)
+_KIND_P = (
+    0.18, 0.08, 0.08, 0.09, 0.10, 0.08, 0.02, 0.02, 0.06, 0.04, 0.04, 0.04,
+    0.02, 0.03, 0.02, 0.03, 0.02, 0.02, 0.015, 0.015,
+)
 _IMAGE_SUBKINDS = ("png", "jpeg", "bmp", "webp", "tiff")
 
 
@@ -168,7 +171,7 @@ def build_docx_b64_payload(rng: np.random.RandomState) -> str:
     return base64.b64encode(blob).decode("ascii")
 
 
-def build_xlsx_payload(rng: np.random.RandomState) -> str:
+def _xlsx_spec(rng: np.random.RandomState) -> dict:
     sheets = {}
     for si in range(int(rng.randint(1, 3))):
         n_cols = int(rng.randint(2, 5))
@@ -176,10 +179,36 @@ def build_xlsx_payload(rng: np.random.RandomState) -> str:
         for _ in range(int(rng.randint(1, 6))):
             rows.append([int(rng.randint(0, 1000)) for _ in range(n_cols)])
         sheets[f"Sheet{si + 1}"] = rows
-    return json.dumps({"sheets": sheets}, ensure_ascii=False, sort_keys=True)
+    return {"sheets": sheets}
 
 
-def build_pptx_payload(rng: np.random.RandomState) -> str:
+def build_xlsx_payload(rng: np.random.RandomState) -> str:
+    return json.dumps(_xlsx_spec(rng), ensure_ascii=False, sort_keys=True)
+
+
+def build_xlsx_b64_payload(rng: np.random.RandomState) -> str:
+    """REAL PK-zip XLSX bytes, base64'd (kernels/office_binary.py); ~8% junk."""
+    from docling_gfcr_spark.kernels import office_binary
+
+    if rng.rand() < 0.08:
+        blob = b"PK\x03\x04" + rng.bytes(44)
+    else:
+        blob = office_binary.build_xlsx(_xlsx_spec(rng))
+    return base64.b64encode(blob).decode("ascii")
+
+
+def build_pptx_b64_payload(rng: np.random.RandomState) -> str:
+    """REAL PK-zip PPTX bytes, base64'd (kernels/office_binary.py); ~8% junk."""
+    from docling_gfcr_spark.kernels import office_binary
+
+    if rng.rand() < 0.08:
+        blob = b"PK\x03\x04" + rng.bytes(44)
+    else:
+        blob = office_binary.build_pptx(_pptx_spec(rng))
+    return base64.b64encode(blob).decode("ascii")
+
+
+def _pptx_spec(rng: np.random.RandomState) -> dict:
     slides = [
         {
             "title": _sentence(rng, 3).rstrip("."),
@@ -187,7 +216,11 @@ def build_pptx_payload(rng: np.random.RandomState) -> str:
         }
         for _ in range(int(rng.randint(1, 4)))
     ]
-    return json.dumps({"slides": slides}, ensure_ascii=False, sort_keys=True)
+    return {"slides": slides}
+
+
+def build_pptx_payload(rng: np.random.RandomState) -> str:
+    return json.dumps(_pptx_spec(rng), ensure_ascii=False, sort_keys=True)
 
 
 def build_image_payload(rng: np.random.RandomState) -> tuple[str, str]:
@@ -292,6 +325,10 @@ def gen_turn(seed: int, conv_idx: int, turn_idx: int) -> tuple[str, str, str]:
         text = build_docx_payload(rng)
     elif kind == "docx_b64":
         text = build_docx_b64_payload(rng)
+    elif kind == "xlsx_b64":
+        text = build_xlsx_b64_payload(rng)
+    elif kind == "pptx_b64":
+        text = build_pptx_b64_payload(rng)
     elif kind == "adoc":
         text = build_adoc_payload(rng)
     elif kind == "xlsx":
@@ -312,7 +349,7 @@ def gen_turn(seed: int, conv_idx: int, turn_idx: int) -> tuple[str, str, str]:
     # ~1% adversarial payloads: truncated/garbled, to exercise error routing
     # (base64 kinds excluded: truncation there just tests b64 padding, not
     # parser robustness — the image generator plants its own junk payloads)
-    if rng.rand() < 0.01 and kind not in _IMAGE_SUBKINDS and kind not in ("text_b64", "docx_b64"):
+    if rng.rand() < 0.01 and kind not in _IMAGE_SUBKINDS and not kind.endswith("_b64"):
         text = text[: max(1, len(text) // 3)] + "\x00<unclosed"
     return role, text, kind
 

@@ -331,10 +331,17 @@ def test_new_kinds_flow_through_generator(spark):
     kinds = set(out["tool"])
     assert {"docx", "xlsx", "pptx", "text_b64", "adoc", "doc", "docx_b64"} <= kinds
     assert kinds & {"png", "jpeg", "bmp", "webp", "tiff"}
-    # real-binary DOCX payloads: most parse via the bytes kernel, the planted
-    # ~8% junk rides the generic-fallback apology — all rows succeed
+    assert kinds & {"xlsx_b64", "pptx_b64"}
+    # real-binary OOXML payloads: most parse via the bytes kernels, the
+    # planted ~8% junk rides the generic-fallback apology — all rows succeed
+    for b64kind in ("docx_b64", "xlsx_b64", "pptx_b64"):
+        sub = out[out.tool == b64kind]
+        if len(sub) == 0:
+            continue
+        assert sub["success"].all(), b64kind
+        methods = set(sub["method"])
+        assert methods <= {f"{b64kind[:-4]}_bytes", "generic"}, b64kind
     b64docx = out[out.tool == "docx_b64"]
-    assert b64docx["success"].all()
     assert (b64docx["method"] == "docx_bytes").mean() >= 0.7
     office_ok = out[out.tool.isin(["docx", "xlsx", "pptx"])]
     # ~1% of payloads are adversarially garbled by the generator — those
