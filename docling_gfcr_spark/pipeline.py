@@ -31,6 +31,7 @@ from pyspark.sql import types as T
 
 from docling_gfcr_spark.kernels import (
     asciidoc, docx_binary, encodings, markdown_ops, media, office, office_binary,
+    pdf_binary,
 )
 from docling_gfcr_spark.kernels.html_extract import extract_html
 from docling_gfcr_spark.kernels.pdf_layout import assemble_pages, assemble_pdf
@@ -45,7 +46,7 @@ from docling_gfcr_spark.kernels.pdf_layout import assemble_pages, assemble_pdf
 SUPPORTED_KINDS = frozenset(
     "html xhtml pdf pdf_text markdown md plain text txt json csv xml adoc asciidoc "
     "doc docx xlsx pptx png jpeg jpg tiff tif bmp webp text_b64 "
-    "docx_b64 xlsx_b64 pptx_b64".split()
+    "docx_b64 xlsx_b64 pptx_b64 pdf_b64".split()
 )
 IMAGE_KINDS = frozenset("png jpeg jpg tiff tif bmp webp".split())
 _UNSUPPORTED_FMT = (
@@ -191,6 +192,20 @@ def route_one(text: str | None, tool: str | None, name: str, mode: str) -> dict:
                 extracted, method = assemble(text), kind
             except (ValueError, TypeError, AttributeError):
                 extracted, method, parse_failed = "", kind, True
+        elif kind == "pdf_b64":
+            # REAL binary PDF route (kernels/pdf_binary.py): parse the object
+            # graph + uncompressed content streams, then the SAME S3 page
+            # assembly as pdf_text. Unparseable/compressed bytes become the
+            # reference's PDF-failure error record (convert.py:243-248) —
+            # row preserved, success=false.
+            try:
+                blob = base64.b64decode(text, validate=True)
+                pages = pdf_binary.pdf_bytes_to_pages(blob)
+                extracted = assemble_pages(pages)
+                n_nodes = n_kept = len(pages)
+                method = "pdf_bytes"
+            except (ValueError, binascii.Error):
+                return {**_EMPTY, "error": "payload binário não pôde ser processado (sem fallback nativo)"}
         elif kind in ("docx_b64", "xlsx_b64", "pptx_b64"):
             # REAL binary office route: actual PK-zip OOXML bytes parsed with
             # stdlib zipfile+xml.etree (kernels/docx_binary.py WordprocessingML,

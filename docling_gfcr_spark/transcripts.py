@@ -51,11 +51,11 @@ FOOTER_MARKER = "footerboilerplate"
 KINDS = (
     "html", "pdf_text", "pdf", "markdown", "plain", "json", "binary_stub",
     "unsupported_ext", "docx", "xlsx", "pptx", "image", "text_b64", "csv", "xml",
-    "adoc", "doc", "docx_b64", "xlsx_b64", "pptx_b64",
+    "adoc", "doc", "docx_b64", "xlsx_b64", "pptx_b64", "pdf_b64",
 )
 _KIND_P = (
-    0.18, 0.08, 0.08, 0.09, 0.10, 0.08, 0.02, 0.02, 0.06, 0.04, 0.04, 0.04,
-    0.02, 0.03, 0.02, 0.03, 0.02, 0.02, 0.015, 0.015,
+    0.18, 0.08, 0.08, 0.09, 0.085, 0.08, 0.02, 0.02, 0.06, 0.04, 0.04, 0.04,
+    0.02, 0.03, 0.02, 0.03, 0.02, 0.02, 0.015, 0.015, 0.015,
 )
 _IMAGE_SUBKINDS = ("png", "jpeg", "bmp", "webp", "tiff")
 
@@ -197,6 +197,23 @@ def build_xlsx_b64_payload(rng: np.random.RandomState) -> str:
     return base64.b64encode(blob).decode("ascii")
 
 
+def build_pdf_b64_payload(rng: np.random.RandomState) -> str:
+    """REAL PDF bytes (uncompressed content streams), base64'd
+    (kernels/pdf_binary.py); ~8% junk — half with a valid %PDF header but a
+    broken object graph — exercises the error-envelope route."""
+    from docling_gfcr_spark.kernels import pdf_binary
+
+    if rng.rand() < 0.08:
+        blob = (b"%PDF-1.4\n" if rng.rand() < 0.5 else b"") + rng.bytes(60)
+    else:
+        pages = [
+            [_sentence(rng, int(rng.randint(4, 10))) for _ in range(int(rng.randint(1, 5)))]
+            for _ in range(int(rng.randint(1, 4)))
+        ]
+        blob = pdf_binary.build_pdf(pages)
+    return base64.b64encode(blob).decode("ascii")
+
+
 def build_pptx_b64_payload(rng: np.random.RandomState) -> str:
     """REAL PK-zip PPTX bytes, base64'd (kernels/office_binary.py); ~8% junk."""
     from docling_gfcr_spark.kernels import office_binary
@@ -329,6 +346,8 @@ def gen_turn(seed: int, conv_idx: int, turn_idx: int) -> tuple[str, str, str]:
         text = build_xlsx_b64_payload(rng)
     elif kind == "pptx_b64":
         text = build_pptx_b64_payload(rng)
+    elif kind == "pdf_b64":
+        text = build_pdf_b64_payload(rng)
     elif kind == "adoc":
         text = build_adoc_payload(rng)
     elif kind == "xlsx":

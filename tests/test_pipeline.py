@@ -332,6 +332,11 @@ def test_new_kinds_flow_through_generator(spark):
     assert {"docx", "xlsx", "pptx", "text_b64", "adoc", "doc", "docx_b64"} <= kinds
     assert kinds & {"png", "jpeg", "bmp", "webp", "tiff"}
     assert kinds & {"xlsx_b64", "pptx_b64"}
+    assert "pdf_b64" in kinds
+    # real-PDF payloads: parse via the bytes kernel or (planted junk) the
+    # reference's PDF-failure error record — never dropped, never a crash
+    pdfb = out[out.tool == "pdf_b64"]
+    assert set(pdfb["method"]) <= {"pdf_bytes", "error"}
     # real-binary OOXML payloads: most parse via the bytes kernels, the
     # planted ~8% junk rides the generic-fallback apology — all rows succeed
     for b64kind in ("docx_b64", "xlsx_b64", "pptx_b64"):
