@@ -5,11 +5,11 @@ The reference converts actual ``.pdf`` binaries via docling
 ``manual-de-redacao.pdf`` -> md). Full PDF needs codec libraries, but the
 format's skeleton is plain text: objects, an object graph (Catalog -> Pages
 -> Page -> Contents), and text-showing operators inside content streams.
-This kernel handles the real-bytes case that needs no native libs —
-uncompressed (no ``/Filter``) content streams — which covers
-generator-produced and many tool-produced PDFs, and raises a clear
-``ValueError`` for compressed ones (the pipeline's error envelope, matching
-the reference's behavior when conversion fails).
+This kernel handles the real-bytes cases that need no native libs —
+uncompressed content streams AND ``/FlateDecode`` ones (stdlib ``zlib``),
+which together cover the overwhelming majority of text PDFs in the wild.
+Other filters (DCT, LZW, ...) raise a clear ``ValueError`` (the pipeline's
+error envelope, matching the reference's behavior when conversion fails).
 
 - :func:`build_pdf` — deterministic minimal-but-real PDF writer (correct
   xref byte offsets, one content stream per page, Helvetica Type1 font).
@@ -104,12 +104,20 @@ def pdf_bytes_to_pages(blob: bytes) -> list[str]:
             cobj = objects.get(cid)
             if cobj is None:
                 raise ValueError(f"missing content object {cid}")
-            if b"/Filter" in cobj.split(b"stream", 1)[0]:
-                raise ValueError("compressed content stream (/Filter) unsupported")
+            head = cobj.split(b"stream", 1)[0]
             sm = _STREAM_RE.search(cobj)
             if sm is None:
                 raise ValueError(f"content object {cid} has no stream")
             data = sm.group(1)
+            if b"/Filter" in head:
+                if b"/FlateDecode" not in head:
+                    raise ValueError("unsupported content-stream /Filter (only FlateDecode)")
+                import zlib
+
+                try:
+                    data = zlib.decompress(data)
+                except zlib.error as e:
+                    raise ValueError(f"bad FlateDecode stream: {e}") from e
             # interleave Tj and TJ in stream order
             events: list[tuple[int, str]] = []
             for tm in _TJ_RE.finditer(data):
@@ -125,10 +133,11 @@ def pdf_bytes_to_pages(blob: bytes) -> list[str]:
     return pages
 
 
-def build_pdf(pages: list[list[str]]) -> bytes:
+def build_pdf(pages: list[list[str]], compress: bool = False) -> bytes:
     """Deterministic minimal-but-real PDF: header, Catalog -> Pages -> one
-    Page + uncompressed Contents stream per page, Helvetica font, valid xref
-    table and trailer. ``pages`` is a list of text-line lists."""
+    Page + Contents stream per page (``compress=True`` -> FlateDecode via
+    zlib level 9, still deterministic), Helvetica font, valid xref table and
+    trailer. ``pages`` is a list of text-line lists."""
     n = len(pages)
     font_id = 3 + 2 * n
     objs: list[bytes] = []
@@ -151,9 +160,19 @@ def build_pdf(pages: list[list[str]]) -> bytes:
             ops.append(b"(" + _escape(line) + b") Tj")
         ops.append(b"ET")
         stream = b"\n".join(ops)
-        objs.append(
-            b"<< /Length %d >>\nstream\n" % len(stream) + stream + b"\nendstream"
-        )
+        if compress:
+            import zlib
+
+            stream = zlib.compress(stream, 9)
+            objs.append(
+                b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(stream)
+                + stream
+                + b"\nendstream"
+            )
+        else:
+            objs.append(
+                b"<< /Length %d >>\nstream\n" % len(stream) + stream + b"\nendstream"
+            )
     objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")  # font
 
     out = bytearray(b"%PDF-1.4\n")

@@ -210,7 +210,8 @@ def build_pdf_b64_payload(rng: np.random.RandomState) -> str:
             [_sentence(rng, int(rng.randint(4, 10))) for _ in range(int(rng.randint(1, 5)))]
             for _ in range(int(rng.randint(1, 4)))
         ]
-        blob = pdf_binary.build_pdf(pages)
+        # ~40% FlateDecode content streams (the common real-world case)
+        blob = pdf_binary.build_pdf(pages, compress=bool(rng.rand() < 0.4))
     return base64.b64encode(blob).decode("ascii")
 
 

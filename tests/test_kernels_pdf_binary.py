@@ -53,11 +53,21 @@ def test_malformed_raises(blob):
         pdf_binary.pdf_bytes_to_pages(blob)
 
 
-def test_compressed_stream_rejected():
-    blob = pdf_binary.build_pdf([["x"]])
-    blob = blob.replace(b"<< /Length", b"<< /Filter /FlateDecode /Length", 1)
+def test_flate_streams_parse_other_filters_rejected():
+    """FlateDecode (stdlib zlib) round-trips; exotic filters raise."""
+    pages = [["alpha beta gamma", "second line"], ["page two"]]
+    flate = pdf_binary.build_pdf(pages, compress=True)
+    assert b"/FlateDecode" in flate
+    assert pdf_binary.pdf_bytes_to_pages(flate) == ["\n".join(p) for p in pages]
+    lzw = pdf_binary.build_pdf([["x"]])
+    lzw = lzw.replace(b"<< /Length", b"<< /Filter /LZWDecode /Length", 1)
     with pytest.raises(ValueError, match="Filter"):
-        pdf_binary.pdf_bytes_to_pages(blob)
+        pdf_binary.pdf_bytes_to_pages(lzw)
+    # corrupted flate payload -> clear error, not a zlib traceback
+    bad = pdf_binary.build_pdf([["y"]])
+    bad = bad.replace(b"<< /Length", b"<< /Filter /FlateDecode /Length", 1)
+    with pytest.raises(ValueError, match="FlateDecode"):
+        pdf_binary.pdf_bytes_to_pages(bad)
 
 
 def test_route_through_pipeline_matches_pdf_text_assembly(spark):
