@@ -268,18 +268,18 @@ def train_ivf_centroids(
 
     n = corpus.count()
     fraction = min(1.0, 1.2 * sample_limit / max(n, 1))
-    rows = (
+    pdf = (
         corpus.where(sample_predicate(fraction, id_col=id_col, salt="ivf"))
         .select(F.col(id_col), F.col(vec_col).cast("array<double>"))
-        .collect()
+        .toPandas()  # Arrow transfer: ~10x faster than row collect() here
+        .sort_values(id_col, kind="stable")
     )
-    rows.sort(key=lambda r: r[0])
     # hard cap: the binomial sample is ~1.2x sample_limit in EXPECTATION but
     # unbounded in the tail — truncate (in id order, deterministic) so driver
     # memory is bounded by construction, not probabilistically. The fixture
     # oracle (tools/make_fixtures.py) mirrors the same truncation.
-    rows = rows[:sample_limit]
-    m = np.asarray([r[1] for r in rows], dtype=np.float64)
+    pdf = pdf.iloc[:sample_limit]
+    m = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]], dtype=np.float64)
     return spherical_kmeans(m, n_centroids, seed, iters)
 
 

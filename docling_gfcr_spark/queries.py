@@ -977,7 +977,10 @@ def ngram_decontamination(spark, sf_dir):
     d = sampling.deterministic_split(_t(spark, sf_dir, "documents"))
     train = d.where(F.col("split") == "train")
     heldout = d.where(F.col("split") == "test")
-    return sampling.ngram_decontaminate(train, heldout, k=3)
+    # explicit broadcast: the test split is ~10% by construction — skip the
+    # auto strategy's heldout count job (the fallback has its own oracle-
+    # equality + plan tests)
+    return sampling.ngram_decontaminate(train, heldout, k=3, strategy="broadcast")
 
 
 NGRAM_DECON_SQL = f"""
