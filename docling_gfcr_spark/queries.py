@@ -1056,6 +1056,65 @@ FROM documents GROUP BY source
 """
 
 
+def _binary_roundtrip_row(i: int) -> dict:
+    """One deterministic build->parse round trip through ALL FOUR real-binary
+    kernels (DOCX/XLSX/PPTX WordprocessingML-family zips + PDF with a 50/50
+    Flate mix). Shared verbatim by the Spark gate query and the fixture
+    oracle (tools/make_fixtures.py) — the digests must match bit-exactly."""
+    import hashlib
+
+    import numpy as np
+
+    from docling_gfcr_spark import transcripts
+    from docling_gfcr_spark.kernels import docx_binary, office_binary, pdf_binary
+
+    def h(s: str) -> str:
+        return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+    rng = np.random.RandomState(1000 + i)
+    docx_md = docx_binary.docx_bytes_to_markdown(
+        docx_binary.build_docx(transcripts._docx_spec(rng))
+    )
+    xlsx_md = office_binary.xlsx_bytes_to_markdown(
+        office_binary.build_xlsx(transcripts._xlsx_spec(rng))
+    )
+    pptx_md = office_binary.pptx_bytes_to_markdown(
+        office_binary.build_pptx(transcripts._pptx_spec(rng))
+    )
+    pages = [
+        [transcripts._sentence(rng, int(rng.randint(4, 10))) for _ in range(int(rng.randint(1, 5)))]
+        for _ in range(int(rng.randint(1, 4)))
+    ]
+    compress = bool(rng.rand() < 0.5)
+    pdf_pages = pdf_binary.pdf_bytes_to_pages(pdf_binary.build_pdf(pages, compress=compress))
+    return {
+        "doc_id": i,
+        "docx_md5": h(docx_md),
+        "xlsx_md5": h(xlsx_md),
+        "pptx_md5": h(pptx_md),
+        "pdf_md5": h("\x0c".join(pdf_pages)),
+    }
+
+
+def office_bytes_roundtrip(spark, sf_dir):
+    """Distributed REAL-binary kernel gate: every task builds actual
+    DOCX/XLSX/PPTX/PDF containers from seeded specs, parses them back with
+    the byte kernels, and emits markdown digests — value-checked against a
+    fixture computed by the identical single-threaded loop with no Spark.
+    Zero shuffle: spark.range fans out, one mapInPandas stage."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf_batch in batches:
+            yield pd.DataFrame(
+                [_binary_roundtrip_row(int(i)) for i in pdf_batch["id"].tolist()]
+            )
+
+    return spark.range(0, 240, numPartitions=8).mapInPandas(
+        gen, "doc_id long, docx_md5 string, xlsx_md5 string, pptx_md5 string, pdf_md5 string"
+    )
+
+
 # ---------------------------------------------------------------------------
 # embeddings: similarity search
 # ---------------------------------------------------------------------------
@@ -1799,7 +1858,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_star": dedup_clusters_star,
     "enhanced_docs": enhanced_docs,
-    "approx_distinct_stats": approx_distinct_stats,
+    "office_bytes_roundtrip": office_bytes_roundtrip,
     # -- rotated IN from the r3 tail (tier-3 membership rotates every round
     # so each query is periodically re-gated by the driver, not just by the
     # mandatory full tools/check_oracle.py pre-commit run) -------------------
@@ -1840,7 +1899,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_error_after_click": asof_error_after_click,
     # -- tier 3 (past the driver's ~50-entry cap this round; every entry was
     # driver-gated green in r3 and is re-verified by the full check_oracle
-    # run each session; membership rotates back in next round) ---------------
+    # run each session; membership rotates back in next round). The rows-only
+    # approx_distinct_stats leads the tail: its driver row carries no hash
+    # either way (sketch internals engine-specific; pytest tolerance +
+    # mergeability checks are its gate) -------------------------------------
+    "approx_distinct_stats": approx_distinct_stats,
     "top_customer_per_nation": top_customer_per_nation,
     "customers_with_urgent_orders": customers_with_urgent_orders,
     "rollup_order_stats": rollup_order_stats,
@@ -1931,6 +1994,7 @@ ORACLES: dict[str, str] = {
     "ann_ivf_topk": _FIXTURE_SQL.format(name="ann_ivf_topk"),
     "multimodal_features": _FIXTURE_SQL.format(name="multimodal_features"),
     "multimodal_transformed": _FIXTURE_SQL.format(name="multimodal_transformed"),
+    "office_bytes_roundtrip": _FIXTURE_SQL.format(name="office_bytes_roundtrip"),
     # no oracle (rows-only): approx_distinct_stats — HLL++/GK sketch
     # internals are engine-specific; exact twins are value-checked in
     # q1_pricing_summary / order_value_percentiles.

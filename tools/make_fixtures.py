@@ -343,6 +343,16 @@ def compute_multimodal_transformed() -> pd.DataFrame:
     return df
 
 
+def compute_office_bytes_roundtrip() -> pd.DataFrame:
+    """Local oracle for queries.office_bytes_roundtrip: the identical
+    single-threaded build->parse loop over all four real-binary kernels."""
+    from docling_gfcr_spark.queries import _binary_roundtrip_row
+
+    df = pd.DataFrame([_binary_roundtrip_row(i) for i in range(240)])
+    df["doc_id"] = df["doc_id"].astype(np.int64)
+    return df
+
+
 COMPUTE = {
     "extract_transcripts": compute_extract_transcripts,
     "extract_assembled_convs": compute_extract_assembled_convs,
@@ -353,6 +363,7 @@ COMPUTE = {
     "ann_ivf_topk": compute_ann_ivf_topk,
     "multimodal_features": compute_multimodal_features,
     "multimodal_transformed": compute_multimodal_transformed,
+    "office_bytes_roundtrip": compute_office_bytes_roundtrip,
 }
 
 
