@@ -75,6 +75,53 @@ def deterministic_split(
     return df.withColumn("split", split_column(id_col, weights, names, salt))
 
 
+def source_mixing_predicate(
+    weights: dict[str, float],
+    default: float,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> Column:
+    """Deterministic DATA-MIXING keep predicate: per-source sampling rates
+    (the DoReMi/temperature-resampling shape — upweight curated sources,
+    downsample the crawl) applied via the same md5-threshold rule as
+    hash_sample, so the mix is reproducible across runs, partitionings and
+    engines. Rates >= 1.0 keep everything (no hex-clamp leak)."""
+    h = _hex8(id_col, salt)
+
+    def keep(frac: float) -> Column:
+        return F.lit(True) if frac >= 1.0 else h < _threshold_hex(frac)
+
+    expr = None
+    for src, frac in sorted(weights.items()):
+        cond = F.col(source_col) == src
+        expr = F.when(cond, keep(frac)) if expr is None else expr.when(cond, keep(frac))
+    tail = keep(default)
+    return tail if expr is None else expr.otherwise(tail)
+
+
+def source_mixing_sql(
+    table: str,
+    weights: dict[str, float],
+    default: float,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> str:
+    """DuckDB twin of :func:`source_mixing_predicate` as a WHERE clause body
+    (generated from the same weights table — zero drift)."""
+    h = f"substr(md5('{salt}:' || CAST({id_col} AS VARCHAR)), 1, 8)"
+
+    def keep(frac: float) -> str:
+        return "TRUE" if frac >= 1.0 else f"{h} < '{_threshold_hex(frac)}'"
+
+    cases = " ".join(
+        f"WHEN {source_col} = '{src}' THEN {keep(frac)}"
+        for src, frac in sorted(weights.items())
+    )
+    return f"CASE {cases} ELSE {keep(default)} END"
+
+
 def ngram_decontaminate(
     train: DataFrame,
     heldout: DataFrame,

@@ -134,6 +134,55 @@ def repetition_features(df: DataFrame, text_col: str = "text", id_col: str = "do
     )
 
 
+def quality_model_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", salt: str = "qm"
+) -> DataFrame:
+    """Hashing-trick LINEAR MODEL INFERENCE, pure Catalyst — the shape of a
+    fasttext-style quality classifier scoring a 100 TB corpus: each token
+    maps to a weight via a hash (here md5-derived, engine-portable; a real
+    deployment swaps in trained weights via a broadcast lookup with the same
+    plan), the document score is the mean token weight. Weights are INTEGERS
+    in [-1000, 1000] summed exactly (order-independent, no float-accumulation
+    drift), divided once at the end — the DuckDB twin is bit-identical.
+    Zero shuffle, zero Python: one scan through whole-stage codegen.
+    """
+    tokens = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+
+    def w(t: Column) -> Column:
+        h = F.conv(F.substring(F.md5(F.concat(F.lit(f"{salt}:"), t)), 1, 8), 16, 10)
+        return F.pmod(h.cast("long"), F.lit(2001)) - F.lit(1000)
+
+    n = F.size(tokens)
+    w_sum = F.aggregate(tokens, F.lit(0).cast("long"), lambda acc, t: acc + w(t))
+    score = F.round(w_sum / (F.lit(1000.0) * F.greatest(n, F.lit(1))), 6)
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        w_sum.alias("w_sum"),
+        score.alias("model_score"),
+    )
+
+
+def quality_model_sql(table: str, text_expr: str = "text", id_col: str = "doc_id",
+                      salt: str = "qm") -> str:
+    """DuckDB twin of :func:`quality_model_scores` (generated, zero drift)."""
+    toks = f"list_filter(string_split_regex(lower({text_expr}), '\\s+'), t -> t != '')"
+    wexpr = (
+        f"(CAST(concat('0x', substr(md5('{salt}:' || t), 1, 8)) AS BIGINT) % 2001) - 1000"
+    )
+    return f"""
+WITH t AS (SELECT {id_col}, {toks} AS toks FROM {table})
+SELECT {id_col},
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(list_sum(list_transform(toks, t -> {wexpr})), 0) AS BIGINT) AS w_sum,
+       round(CAST(coalesce(list_sum(list_transform(toks, t -> {wexpr})), 0) AS BIGINT)
+             / (1000.0 * greatest(len(toks), 1)), 6) AS model_score
+FROM t
+"""
+
+
 def fingerprint(text_col: str = "text") -> Column:
     """Content fingerprint: md5 of casefolded, alnum-only text — robust to
     whitespace/punct/case edits; the cheap first stage before MinHash."""

@@ -795,6 +795,41 @@ WITH planted AS (
 """ + text_analysis.pii_scrub_sql("planted")
 
 
+def quality_model_scores(spark, sf_dir):
+    """Hashing-trick linear-model inference over the corpus (pure Catalyst;
+    exact integer weight sums so the DuckDB twin is bit-identical)."""
+    return text_analysis.quality_model_scores(_t(spark, sf_dir, "documents"))
+
+
+QUALITY_MODEL_SQL = text_analysis.quality_model_sql("documents")
+
+# per-source sampling rates for the mixing gate: curated sources kept whole,
+# mid sources thinned, everything else (the "crawl") heavily downsampled
+_MIX_WEIGHTS = {"src0": 1.0, "src1": 0.8, "src2": 0.5, "src3": 0.25}
+_MIX_DEFAULT = 0.1
+
+
+def source_mixed_sample(spark, sf_dir):
+    """Deterministic data mixing (temperature-resampling shape): per-source
+    md5-threshold keep rates; the kept (doc_id, source) set is value-checked
+    row-for-row against the generated DuckDB CASE twin."""
+    from docling_gfcr_spark.operators.sampling import source_mixing_predicate
+
+    d = _t(spark, sf_dir, "documents")
+    return d.where(source_mixing_predicate(_MIX_WEIGHTS, _MIX_DEFAULT)).select(
+        "doc_id", "source"
+    )
+
+
+def _source_mixing_sql() -> str:
+    from docling_gfcr_spark.operators.sampling import source_mixing_sql
+
+    return (
+        "SELECT doc_id, source FROM documents WHERE "
+        + source_mixing_sql("documents", _MIX_WEIGHTS, _MIX_DEFAULT)
+    )
+
+
 def doc_fingerprint(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", text_analysis.fingerprint("text").alias("fp"))
@@ -1859,6 +1894,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters_star": dedup_clusters_star,
     "enhanced_docs": enhanced_docs,
     "office_bytes_roundtrip": office_bytes_roundtrip,
+    "quality_model_scores": quality_model_scores,
+    "source_mixed_sample": source_mixed_sample,
     # -- rotated IN from the r3 tail (tier-3 membership rotates every round
     # so each query is periodically re-gated by the driver, not just by the
     # mandatory full tools/check_oracle.py pre-commit run) -------------------
@@ -1889,12 +1926,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_value_percentiles": order_value_percentiles,
     "suppliers_above_avg_balance": suppliers_above_avg_balance,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
-    "dedup_exact": dedup_exact,
     "dedup_ngram_topk": dedup_ngram_topk,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "ann_ivf_topk": ann_ivf_topk,
     "text_quality": text_quality,
-    "token_counts": token_counts,
     "doc_chunks": doc_chunks,
     "asof_error_after_click": asof_error_after_click,
     # -- tier 3 (past the driver's ~50-entry cap this round; every entry was
@@ -1904,6 +1939,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # either way (sketch internals engine-specific; pytest tolerance +
     # mergeability checks are its gate) -------------------------------------
     "approx_distinct_stats": approx_distinct_stats,
+    "dedup_exact": dedup_exact,
+    "token_counts": token_counts,
     "top_customer_per_nation": top_customer_per_nation,
     "customers_with_urgent_orders": customers_with_urgent_orders,
     "rollup_order_stats": rollup_order_stats,
@@ -1963,6 +2000,8 @@ ORACLES: dict[str, str] = {
     "text_quality": QUALITY_SQL,
     "token_counts": TOKEN_SQL,
     "doc_fingerprint": FP_SQL,
+    "quality_model_scores": QUALITY_MODEL_SQL,
+    "source_mixed_sample": _source_mixing_sql(),
     "pii_redaction": PII_SQL,
     "pack_training_sequences": PACK_SQL,
     "ngram_decontamination": NGRAM_DECON_SQL,

@@ -821,3 +821,38 @@ def test_enhancer_env_factory_contract(monkeypatch):
     assert msgs[1]["content"] == "hello doc"
     with pytest.raises(ValueError):
         enhancer.build_messages("bogus", "x")
+
+
+def test_source_mixing_deterministic_and_rate_correct(spark):
+    """Data mixing: keep decisions are per-row deterministic (partition-
+    invariant) and per-source rates land near their targets; rate>=1.0 keeps
+    EVERY row including hex 'ffffffff' edge ids."""
+    from docling_gfcr_spark.operators.sampling import source_mixing_predicate
+
+    rows = [(i, f"s{i % 4}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    weights = {"s0": 1.0, "s1": 0.5, "s2": 0.25}
+    pred = source_mixing_predicate(weights, 0.05)
+    a = {r.doc_id for r in df.where(pred).collect()}
+    b = {r.doc_id for r in df.repartition(13).where(pred).collect()}
+    assert a == b
+    kept = df.where(pred).groupBy("source").count().toPandas().set_index("source")["count"]
+    assert kept["s0"] == 1000  # rate 1.0: everything
+    assert abs(kept["s1"] - 500) < 80
+    assert abs(kept["s2"] - 250) < 60
+    assert kept.get("s3", 0) < 110
+
+
+def test_quality_model_score_no_python_no_shuffle(spark):
+    """The hashed-linear scorer is one codegen'd scan: no Python workers, no
+    Exchange; scores are bounded means of [-1, 1] weights."""
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    from docling_gfcr_spark.operators.text_analysis import quality_model_scores
+
+    out = quality_model_scores(d)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "Exchange" not in p
+    pdf = out.toPandas()
+    assert (pdf["model_score"].abs() <= 1.0).all()
+    assert (pdf["n_tokens"] > 0).all()
