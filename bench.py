@@ -45,6 +45,8 @@ HEADLINE = [
     # round-4 ops
     "events_session_window",
     "skewed_hot_key_join",
+    "quality_model_scores",
+    "source_mixed_sample",
 ]
 
 N_CONV_BENCH = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))

@@ -109,6 +109,14 @@ def main() -> None:
             ),
         ),
         (
+            "Quality-model inference (hashing-trick linear scorer)",
+            "Classifier inference over the corpus as ONE codegen'd scan: no "
+            "Exchange, no Python worker — token weights are md5-derived "
+            "integer expressions folded inside higher-order functions. "
+            "Pinned by test_operators::test_quality_model_score_no_python_no_shuffle.",
+            queries.quality_model_scores(spark, SF),
+        ),
+        (
             "Sequence packing, hash-order mode (arbitrary id types)",
             "Distributed prefix sum: the ONLY SinglePartition exchange feeds "
             "the tiny bucket-totals window (256 rows); the per-doc running "
