@@ -416,3 +416,11 @@ def test_mega_conversation_assembly(spark):
     body = conv.iloc[0]["conv_text"].splitlines()
     assert body[0] == "turn 0 body" and body[-1] == f"turn {n - 1} body"
     assert body == [f"turn {i} body" for i in range(n)]
+
+
+def test_kind_distribution_well_formed():
+    """KINDS and _KIND_P must stay aligned and sum to 1 (a silent drift here
+    would skew every fixture regeneration)."""
+    assert len(transcripts.KINDS) == len(transcripts._KIND_P)
+    assert abs(sum(transcripts._KIND_P) - 1.0) < 1e-9
+    assert len(set(transcripts.KINDS)) == len(transcripts.KINDS)
