@@ -226,7 +226,10 @@ def tws_available() -> bool:
     """
     import importlib.util
 
-    return importlib.util.find_spec("google.protobuf") is not None
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no 'google' namespace package at all
+        return False
 
 
 def stateful_turn_progress_tws(stream: DataFrame) -> DataFrame:
