@@ -166,3 +166,41 @@ def test_datasource_partition_count_and_pipeline_compose(spark):
 
     out = pipeline.extract_turns(df, mode="agent")
     assert out.where("success").count() > 0
+
+
+def test_digest_sink_writer(spark, tmp_path):
+    """Custom Python DataSource WRITER: order-insensitive corpus digest,
+    atomic driver-side manifest commit, identical under any partitioning."""
+    import json
+
+    from docling_gfcr_spark import transcripts
+    from docling_gfcr_spark.sources.digest_sink import local_manifest, register_digest_sink
+
+    register_digest_sink(spark)
+    df = transcripts.make_transcripts(spark, 20, mean_turns=5, seed=13, parallelism=4)
+    out = str(tmp_path / "audit")
+    df.repartition(7).write.format("digestsink").mode("overwrite").option("path", out).save()
+    manifest = json.load(open(out + "/manifest.json"))
+    want = local_manifest(df.collect())
+    assert manifest["n_rows"] == want["n_rows"]
+    assert manifest["digest"] == want["digest"]
+    assert manifest["n_tasks"] == 7
+
+    # partition-invariant: a different layout publishes the same facts
+    df.repartition(3).write.format("digestsink").mode("overwrite").option("path", out).save()
+    m2 = json.load(open(out + "/manifest.json"))
+    assert (m2["n_rows"], m2["digest"]) == (manifest["n_rows"], manifest["digest"])
+    assert m2["n_tasks"] == 3
+
+    # append mode refuses to clobber an existing manifest
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="exists"):
+        df.write.format("digestsink").mode("append").option("path", out).save()
+
+    # a one-row difference changes the digest (the audit actually audits)
+    df.limit(manifest["n_rows"] - 1).write.format("digestsink").mode("overwrite").option(
+        "path", out
+    ).save()
+    m3 = json.load(open(out + "/manifest.json"))
+    assert m3["digest"] != manifest["digest"]
