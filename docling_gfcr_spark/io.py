@@ -49,6 +49,59 @@ def validate_input_schema(df: DataFrame) -> DataFrame:
     return df
 
 
+def dir_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes under ``path`` via the Hadoop FileSystem API (works for
+    any configured filesystem, not just local)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return int(fs.getContentSummary(hpath).getLength())
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_mb: int = 256,
+    verify: bool = True,
+) -> dict:
+    """Small-file COMPACTION — the standard table-maintenance job: streaming
+    ingest and fine-grained partition overwrites leave thousands of KB-sized
+    files whose per-file open/footer cost dominates scans at 100 TB. Rewrite
+    ``src_dir`` into ``ceil(bytes / target_mb)`` right-sized files at
+    ``dst_dir``.
+
+    - Output file count comes from the ACTUAL byte size (Hadoop
+      ContentSummary), not row counts — the quantity scan cost scales with.
+    - ``coalesce`` (not repartition) when shrinking: merging files needs no
+      shuffle; a scale-out to MORE files than input splits uses repartition
+      with round-robin to keep outputs even.
+    - ``verify=True`` re-counts the destination before reporting — compaction
+      must be provably lossless before the catalog pointer swaps (the swap
+      itself is the table format's job: Iceberg RewriteFiles / an atomic
+      catalog repoint; on a raw directory the caller renames).
+
+    Returns ``{"n_rows", "bytes_in", "files_out"}``.
+    """
+    import math
+
+    total = dir_bytes(spark, src_dir)
+    n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_dir)
+    in_splits = df.rdd.getNumPartitions()
+    out = df.coalesce(n_files) if n_files <= in_splits else df.repartition(n_files)
+    out.write.mode("overwrite").parquet(dst_dir)
+    n_rows = None
+    if verify:
+        n_rows = spark.read.parquet(dst_dir).count()
+        src_rows = df.count()
+        if n_rows != src_rows:
+            raise RuntimeError(
+                f"compaction row mismatch: {src_rows} in, {n_rows} out — NOT publishing"
+            )
+    return {"n_rows": n_rows, "bytes_in": total, "files_out": n_files}
+
+
 def write_bucketed(
     df: DataFrame, table: str, path: str, key: str, n_buckets: int = 64
 ) -> None:
