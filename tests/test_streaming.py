@@ -265,3 +265,27 @@ def test_transform_with_state_matches_apply_in_pandas_with_state(spark, tmp_path
         assert row.n_turns == want[conv_id], conv_id
         assert row.n_batches >= 2  # state genuinely crossed micro-batches
         assert row.max_turn_idx == want[conv_id] - 1  # dense turn ids
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static join (the broadcast-enrichment shape: a stream enriched
+    against a slowly-changing dimension): every micro-batch row joins the
+    static side; result equals the batch join."""
+    src = str(tmp_path / "enrich_src")
+    spark.read.parquet(f"{SF}/events.parquet").write.mode("overwrite").parquet(src)
+    dim = spark.createDataFrame(
+        [(i, f"tier-{i % 3}") for i in range(150)], "user_id long, tier string"
+    )
+    stream = spark.readStream.schema(streaming.EVENTS_SCHEMA).format("parquet").load(src)
+    j = stream.join(F.broadcast(dim), "user_id").select("event_id", "user_id", "tier")
+    q = j.writeStream.outputMode("append").format("memory").queryName("enrich_t").start()
+    q.processAllAvailable()
+    q.stop()
+    key = ["event_id"]
+    got = spark.table("enrich_t").toPandas().sort_values(key).reset_index(drop=True)
+    want = (
+        spark.read.parquet(src).join(dim, "user_id").select("event_id", "user_id", "tier")
+        .toPandas().sort_values(key).reset_index(drop=True)
+    )
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want)
