@@ -179,10 +179,17 @@ def _cell_text(c: ET.Element, shared: list[str]) -> str:
     t = c.get("t", "n")
     if t == "s":
         v = c.find(f"{_S}v")
+        if v is None or v.text is None:
+            return ""
         try:
-            return shared[int(v.text)] if v is not None and v.text is not None else ""
-        except (ValueError, IndexError):
+            idx = int(v.text)
+        except ValueError:
             raise ValueError("bad sharedStrings index")
+        # explicit range check: Python's negative indexing would otherwise
+        # silently resolve a hostile '-1' to the LAST shared string
+        if not 0 <= idx < len(shared):
+            raise ValueError("bad sharedStrings index")
+        return shared[idx]
     if t == "inlineStr":
         return "".join(n.text or "" for n in c.iter(f"{_S}t"))
     v = c.find(f"{_S}v")

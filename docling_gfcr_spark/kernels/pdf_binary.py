@@ -30,6 +30,7 @@ _KIDS_RE = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+\d+\s+R)*)\s*\]")
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+\s+\d+\s+R|\[(?:\s*\d+\s+\d+\s+R)*\s*\])")
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
 # a text-showing operator: literal string then Tj / ' / " ; or TJ array
 _TJ_RE = re.compile(rb"\(((?:\\.|[^\\()])*)\)\s*(Tj|'|\")")
 _TJ_ARRAY_RE = re.compile(rb"\[((?:[^\[\]\\]|\\.)*)\]\s*TJ")
@@ -69,6 +70,33 @@ def _escape(text: str) -> bytes:
     return raw.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
 
 
+def _stream_payload(cobj: bytes, cid: int) -> tuple[bytes, bytes]:
+    """(stream bytes, dict head) of a content object. Honors the dict's
+    ``/Length`` — the spec's delimiter — so COMPRESSED payloads whose bytes
+    happen to end in 0x0D are sliced exactly (an endstream-regex would eat
+    that byte as part of its ``\\r?\\n`` and truncate ~1/256 of Flate
+    streams). Falls back to the regex only when /Length is absent."""
+    head, sep, rest = cobj.partition(b"stream")
+    if not sep:
+        raise ValueError(f"content object {cid} has no stream")
+    if rest.startswith(b"\r\n"):
+        body = rest[2:]
+    elif rest.startswith(b"\n"):
+        body = rest[1:]
+    else:
+        body = rest
+    m = _LENGTH_RE.search(head)
+    if m:
+        n = int(m.group(1))
+        if len(body) < n:
+            raise ValueError(f"content object {cid} shorter than its /Length")
+        return body[:n], head
+    sm = _STREAM_RE.search(cobj)
+    if sm is None:
+        raise ValueError(f"content object {cid} has no stream")
+    return sm.group(1), head
+
+
 def pdf_bytes_to_pages(blob: bytes) -> list[str]:
     """Real PDF bytes -> per-page extracted text (one line per text-showing
     operator). Raises ``ValueError`` on non-PDF bytes, compressed content
@@ -104,11 +132,7 @@ def pdf_bytes_to_pages(blob: bytes) -> list[str]:
             cobj = objects.get(cid)
             if cobj is None:
                 raise ValueError(f"missing content object {cid}")
-            head = cobj.split(b"stream", 1)[0]
-            sm = _STREAM_RE.search(cobj)
-            if sm is None:
-                raise ValueError(f"content object {cid} has no stream")
-            data = sm.group(1)
+            data, head = _stream_payload(cobj, cid)
             if b"/Filter" in head:
                 if b"/FlateDecode" not in head:
                     raise ValueError("unsupported content-stream /Filter (only FlateDecode)")

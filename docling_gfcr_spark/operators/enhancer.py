@@ -107,7 +107,7 @@ def client_factory_from_env() -> Callable[[], Callable[[str, str], str]]:
     ``enhance_documents(client_factory=...)`` expects. No network code runs
     until a task calls it.
     """
-    import importlib
+    import importlib.util
     import os
 
     api_key = os.getenv("OPENAI_API_KEY")

@@ -66,7 +66,9 @@ def zorder_write(
     the same cost as a plain sorted write, but every listed column prunes.
     """
     probs = [k / (1 << bits) for k in range(1, 1 << bits)]
-    boundaries = {c: df.stat.approxQuantile(c, probs, rel_err) for c in cols}
+    # one multi-column call = one scan for ALL sketches (per-column calls
+    # would re-scan the table len(cols) times)
+    boundaries = dict(zip(cols, df.stat.approxQuantile(cols, probs, rel_err)))
     buckets = [quantile_bucket(c, boundaries[c]) for c in cols]
     key = morton_key(buckets, bits).alias("_zkey")
     (

@@ -156,7 +156,11 @@ def quality_model_scores(
 
     n = F.size(tokens)
     w_sum = F.aggregate(tokens, F.lit(0).cast("long"), lambda acc, t: acc + w(t))
-    score = F.round(w_sum / (F.lit(1000.0) * F.greatest(n, F.lit(1))), 6)
+    # NO rounding: exact-int / exact-int division is the same IEEE double in
+    # every engine, while round(…, 6) HALF_UP vs HALF_EVEN diverges on
+    # half-way values (e.g. w_sum=157, n=80 -> …9625e-3) — the CLAUDE.md
+    # cross-engine rounding gotcha. The raw quotient hashes identically.
+    score = w_sum / (F.lit(1000.0) * F.greatest(n, F.lit(1)))
     return df.select(
         F.col(id_col),
         n.cast("long").alias("n_tokens"),
@@ -177,8 +181,8 @@ WITH t AS (SELECT {id_col}, {toks} AS toks FROM {table})
 SELECT {id_col},
        CAST(len(toks) AS BIGINT) AS n_tokens,
        CAST(coalesce(list_sum(list_transform(toks, t -> {wexpr})), 0) AS BIGINT) AS w_sum,
-       round(CAST(coalesce(list_sum(list_transform(toks, t -> {wexpr})), 0) AS BIGINT)
-             / (1000.0 * greatest(len(toks), 1)), 6) AS model_score
+       CAST(coalesce(list_sum(list_transform(toks, t -> {wexpr})), 0) AS BIGINT)
+             / (1000.0 * greatest(len(toks), 1)) AS model_score
 FROM t
 """
 

@@ -147,3 +147,34 @@ def test_generator_payloads_roundtrip():
             except ValueError:
                 n_junk += 1
     assert n_ok > 300 and 0 < n_junk < 80
+
+
+def test_negative_shared_string_index_rejected():
+    """Regression: a hostile '-1' sharedStrings index must raise (Python's
+    negative indexing would silently return the LAST shared string)."""
+    import io
+    import zipfile
+
+    ns = office_binary.MAIN_NS
+    members = {
+        "xl/workbook.xml": (
+            f'<workbook xmlns="{ns}" xmlns:r="{office_binary.REL_NS}">'
+            '<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>'
+        ),
+        "xl/_rels/workbook.xml.rels": (
+            f'<Relationships xmlns="{office_binary.PKG_REL_NS}">'
+            f'<Relationship Id="rId1" Type="{office_binary.REL_NS}/worksheet" '
+            'Target="worksheets/sheet1.xml"/></Relationships>'
+        ),
+        "xl/sharedStrings.xml": f'<sst xmlns="{ns}"><si><t>only</t></si></sst>',
+        "xl/worksheets/sheet1.xml": (
+            f'<worksheet xmlns="{ns}"><sheetData><row r="1">'
+            '<c r="A1" t="s"><v>-1</v></c></row></sheetData></worksheet>'
+        ),
+    }
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for k, v in members.items():
+            zf.writestr(k, v)
+    with pytest.raises(ValueError, match="sharedStrings"):
+        office_binary.xlsx_bytes_to_markdown(buf.getvalue())

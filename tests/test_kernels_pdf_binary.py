@@ -39,8 +39,15 @@ def test_valid_pdf_skeleton():
 
 
 def test_tj_array_and_octal_and_escapes():
+    old_op, new_op = b"(x) Tj", b"[(he) -20 (llo)] TJ 0 -14 Td (\\101\\052\\)) Tj"
     blob = pdf_binary.build_pdf([["x"]])
-    blob = blob.replace(b"(x) Tj", b"[(he) -20 (llo)] TJ 0 -14 Td (\\101\\052\\)) Tj")
+    # splice in the richer operators AND keep /Length honest (the parser
+    # slices streams by /Length per the spec)
+    m = pdf_binary._LENGTH_RE.search(blob)
+    old_len = int(m.group(1))
+    blob = blob.replace(old_op, new_op).replace(
+        b"/Length %d" % old_len, b"/Length %d" % (old_len + len(new_op) - len(old_op)), 1
+    )
     assert pdf_binary.pdf_bytes_to_pages(blob) == ["hello\nA*)"]
 
 
@@ -110,3 +117,34 @@ def test_generator_payloads_roundtrip():
         except ValueError:
             n_junk += 1
     assert n_ok > 220 and 0 < n_junk < 70
+
+
+def test_flate_stream_ending_in_carriage_return_parses():
+    """Regression: compressed payloads whose zlib bytes END in 0x0D must
+    slice exactly via /Length (an endstream-regex eats that byte as EOL and
+    truncates the stream — ~1/256 of valid Flate PDFs)."""
+    import random
+    import zlib
+
+    # direct unit check: /Length slicing keeps a trailing 0x0D the legacy
+    # endstream-regex would have eaten as part of its \r?\n
+    data = b"PAYLOAD\r"
+    cobj = b"\n<< /Length 8 >>\nstream\n" + data + b"\nendstream\n"
+    got, _head = pdf_binary._stream_payload(cobj, 1)
+    assert got == data
+    assert pdf_binary._STREAM_RE.search(cobj).group(1) == data[:-1]  # the old bug
+
+    # end-to-end: deterministic search for real zlib outputs ending in 0x0D
+    rng = random.Random(0)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 .,;:!?-"
+    found = 0
+    for _ in range(5000):
+        line = "".join(rng.choice(alphabet) for _ in range(rng.randrange(10, 80)))
+        ops = b"BT /F1 12 Tf 72 720 Td\n(" + line.encode() + b") Tj\nET"
+        if zlib.compress(ops, 9).endswith(b"\r"):
+            blob = pdf_binary.build_pdf([[line]], compress=True)
+            assert pdf_binary.pdf_bytes_to_pages(blob) == [line]
+            found += 1
+            if found >= 3:
+                break
+    assert found >= 3, "search window produced no 0x0D-terminated streams"

@@ -907,3 +907,36 @@ def test_morton_key_interleaves_bits(spark):
         want |= ((0b1010 >> i) & 1) << (2 * i)
         want |= ((0b0011 >> i) & 1) << (2 * i + 1)
     assert key == want
+
+
+def test_quality_model_score_cross_engine_exact(spark):
+    """The scorer's model_score must hash-match DuckDB exactly — including
+    the half-way quotients that rounding used to split (w_sum=157, n=80 was
+    a reproduced divergence before round() was removed)."""
+    import random
+
+    import duckdb
+
+    from docling_gfcr_spark.operators import text_analysis as ta
+
+    rng = random.Random(9)
+    words = [f"w{i}" for i in range(300)]
+    rows = [(i, " ".join(rng.choice(words) for _ in range(rng.randrange(1, 120))))
+            for i in range(300)]
+    rows.append((300, ""))
+    rows.append((301, "   "))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = ta.quality_model_scores(df).toPandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("docs", __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]))
+    want = (
+        con.execute(ta.quality_model_sql("docs") + " ORDER BY doc_id")
+        .fetchdf().reset_index(drop=True)
+    )
+    assert got["w_sum"].tolist() == want["w_sum"].astype("int64").tolist()
+    assert got["n_tokens"].tolist() == want["n_tokens"].astype("int64").tolist()
+    # bit-exact doubles, not approx
+    import struct
+
+    for a, b in zip(got["model_score"], want["model_score"]):
+        assert struct.pack("<d", a) == struct.pack("<d", b)

@@ -170,7 +170,8 @@ def main() -> None:
         F.col("id").alias("hot_k"), (F.col("id") % 7).alias("seg")
     )
     j = fact.hint("merge").join(dim, "hot_k").select("seg", F.length("payload").alias("l"))
-    j.write.format("noop").mode("overwrite").save()
+    # collect executes j's OWN queryExecution (a sink write would run a
+    # separate execution whose final plan j can't see) — run the job once
     j.collect()
     final_plan = j._jdf.queryExecution().executedPlan().toString()
     for k in skew_confs:
