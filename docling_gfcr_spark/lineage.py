@@ -267,3 +267,61 @@ def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
 
 def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(f"{out_dir}/lineage")
+
+
+def upsert_extracted(
+    spark: SparkSession,
+    out_dir: str,
+    updates: DataFrame,
+    n_parts: int,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> dict:
+    """MERGE/upsert into the wave-committed table — the CDC shape (late
+    corrections, re-extractions, backfills) without rewriting the table.
+
+    Scale design: the update set is hash-bucketed with the SAME part_id rule
+    as the table (``with_part_id``), so only the TOUCHED partitions are read
+    and rewritten — cost is O(|touched buckets|), not O(table). Within a
+    touched partition: existing rows not matching an update key survive
+    (left anti), update rows replace matches and insert non-matches — the
+    classic MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT. The rewrite
+    publishes via the storage layer's dynamic partition overwrite (replayed
+    jobs replace, never duplicate). The touched-part-id list is bounded
+    control-plane metadata (<= n_parts ints), never row data.
+
+    The table must have been written with the same ``n_parts`` (enforced via
+    the lineage n_parts check, like resume). Returns
+    ``{"touched_parts", "n_updates"}``.
+    """
+    storage = ParquetStorage(spark, out_dir)
+    lin = storage.read_lineage()
+    if lin is not None:
+        seen = {int(r.n_parts) for r in lin.select("n_parts").distinct().collect()}
+        seen.discard(-1)  # streaming batch ids are non-comparable
+        if seen and seen != {n_parts}:
+            raise ValueError(
+                f"n_parts mismatch: table committed with {sorted(seen)}, upsert called with {n_parts}"
+            )
+    upd = with_part_id(updates, n_parts)
+    touched = sorted(
+        int(r.part_id) for r in upd.select("part_id").distinct().collect()
+    )
+    if not touched:
+        return {"touched_parts": [], "n_updates": 0}
+    keys = list(key_cols)
+    # read ONLY the touched partitions (partition-pruned paths)
+    existing = None
+    for pid in touched:
+        try:
+            part = storage.read_data_partition(pid).withColumn("part_id", F.lit(pid))
+        except Exception:  # brand-new bucket: nothing to merge
+            continue
+        existing = part if existing is None else existing.unionByName(part)
+    if existing is not None:
+        survivors = existing.join(upd.select(*keys), keys, "left_anti")
+        merged = survivors.unionByName(upd.select(*survivors.columns))
+    else:
+        merged = upd
+    n_updates = upd.count()
+    storage.overwrite_data_partitions(merged.repartition(len(touched), "part_id"))
+    return {"touched_parts": touched, "n_updates": n_updates}

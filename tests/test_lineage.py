@@ -210,3 +210,59 @@ def test_tool_entry_envelope(spark, tmp_path):
     )
     resp2 = _json.loads(proc2.stdout.strip().splitlines()[-1])
     assert resp2["success"] is False and "invalid JSON" in resp2["error"]
+
+
+def test_upsert_extracted_merge_semantics(spark, tmp_path):
+    """MERGE/upsert: matched keys replaced, new keys inserted, untouched
+    PARTITIONS not even rewritten (their files keep their mtimes), and a
+    mismatched n_parts refuses — cost is O(touched buckets), not O(table)."""
+    import glob
+    import os
+
+    out = str(tmp_path / "upsert_job")
+    tdf = transcripts.make_transcripts(spark, 20, mean_turns=4, seed=21, parallelism=4)
+    lineage.run_extraction_job(spark, tdf, out, n_parts=8, n_waves=2, run_id="base")
+    before = lineage.read_extracted(spark, out)
+    n_before = before.count()
+
+    # updates: rewrite 3 existing turns + insert 2 brand-new ones
+    some = before.limit(3).select("conv_id", "turn_idx")
+    upd_rows = [(r.conv_id, r.turn_idx) for r in some.collect()]
+    cols = [c for c in before.columns if c != "part_id"]
+    updates = (
+        before.join(spark.createDataFrame(upd_rows, "conv_id string, turn_idx int"),
+                    ["conv_id", "turn_idx"])
+        .select(*cols)
+        .withColumn("extracted_text", F.lit("UPDATED-CONTENT"))
+    )
+    inserts = (
+        before.limit(2)
+        .select(*cols)
+        .withColumn("conv_id", F.concat(F.lit("newconv-"), F.col("conv_id")))
+    )
+    updates = updates.unionByName(inserts)
+
+    mtimes_before = {
+        p: os.path.getmtime(p) for p in glob.glob(out + "/data/part_id=*/part-*")
+    }
+    report = lineage.upsert_extracted(spark, out, updates, n_parts=8)
+    assert report["n_updates"] == 5
+    assert 0 < len(report["touched_parts"]) <= 8
+
+    after = lineage.read_extracted(spark, out)
+    assert after.count() == n_before + 2
+    assert after.where(F.col("extracted_text") == "UPDATED-CONTENT").count() == 3
+    assert after.where(F.col("conv_id").startswith("newconv-")).count() == 2
+    # keys unique after merge
+    assert after.select("conv_id", "turn_idx").distinct().count() == n_before + 2
+
+    # untouched partitions were not rewritten
+    touched_dirs = {f"part_id={p}" for p in report["touched_parts"]}
+    for path, mtime in mtimes_before.items():
+        part_dir = os.path.basename(os.path.dirname(path))
+        if part_dir not in touched_dirs and os.path.exists(path):
+            assert os.path.getmtime(path) == mtime, f"untouched {path} rewritten"
+
+    # wrong n_parts refuses
+    with pytest.raises(ValueError, match="n_parts"):
+        lineage.upsert_extracted(spark, out, updates, n_parts=16)
