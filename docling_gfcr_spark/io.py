@@ -76,14 +76,18 @@ def compact_parquet(
     - ``coalesce`` (not repartition) when shrinking: merging files needs no
       shuffle; a scale-out to MORE files than input splits uses repartition
       with round-robin to keep outputs even.
-    - ``verify=True`` re-counts the destination before reporting — compaction
-      must be provably lossless before the catalog pointer swaps (the swap
+    - ``verify=True`` compares an order-insensitive CONTENT digest (count +
+      checksum over every field of every row) of source and destination
+      before reporting — compaction must be provably lossless, not just
+      row-count-preserving, before the catalog pointer swaps (the swap
       itself is the table format's job: Iceberg RewriteFiles / an atomic
       catalog repoint; on a raw directory the caller renames).
 
     Returns ``{"n_rows", "bytes_in", "files_out"}``.
     """
     import math
+
+    from pyspark.sql import functions as F
 
     total = dir_bytes(spark, src_dir)
     n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
@@ -93,11 +97,26 @@ def compact_parquet(
     out.write.mode("overwrite").parquet(dst_dir)
     n_rows = None
     if verify:
-        n_rows = spark.read.parquet(dst_dir).count()
-        src_rows = df.count()
-        if n_rows != src_rows:
+
+        def fingerprint(d):
+            # order-insensitive full-content checksum: every field of every
+            # row rides through to_json; decimal accumulator avoids the
+            # ANSI-mode int64 overflow on summed hashes (CLAUDE.md gotcha)
+            row = d.agg(
+                F.count("*").alias("n"),
+                F.coalesce(
+                    F.sum(F.crc32(F.to_json(F.struct(*sorted(d.columns)))).cast("decimal(38,0)")),
+                    F.lit(0).cast("decimal(38,0)"),
+                ).alias("h"),
+            ).collect()[0]
+            return int(row["n"]), int(row["h"])
+
+        src_rows, src_digest = fingerprint(df)
+        n_rows, dst_digest = fingerprint(spark.read.parquet(dst_dir))
+        if (n_rows, dst_digest) != (src_rows, src_digest):
             raise RuntimeError(
-                f"compaction row mismatch: {src_rows} in, {n_rows} out — NOT publishing"
+                f"compaction content mismatch: {src_rows} rows/{src_digest} in vs "
+                f"{n_rows} rows/{dst_digest} out — NOT publishing"
             )
     return {"n_rows": n_rows, "bytes_in": total, "files_out": n_files}
 

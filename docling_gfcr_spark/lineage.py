@@ -275,6 +275,7 @@ def upsert_extracted(
     updates: DataFrame,
     n_parts: int,
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    run_id: str | None = None,
 ) -> dict:
     """MERGE/upsert into the wave-committed table — the CDC shape (late
     corrections, re-extractions, backfills) without rewriting the table.
@@ -286,42 +287,96 @@ def upsert_extracted(
     (left anti), update rows replace matches and insert non-matches — the
     classic MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT. The rewrite
     publishes via the storage layer's dynamic partition overwrite (replayed
-    jobs replace, never duplicate). The touched-part-id list is bounded
-    control-plane metadata (<= n_parts ints), never row data.
+    jobs replace, never duplicate), then appends one lineage row per touched
+    part (run_id ``upsert-*``) so metrics stay reconcilable — the NEWEST
+    lineage row per part_id is the authoritative one after an upsert.
+
+    Safety rails (each one is a silent-data-loss path without it):
+
+    - the update plan is pinned with ``localCheckpoint`` BEFORE the touched
+      set is collected — a nondeterministic ``updates`` (sample/limit) could
+      otherwise emit a row at write time for a partition whose survivors
+      were never read, wiping it;
+    - only a missing-path read error means "brand-new bucket"; any OTHER
+      read failure re-raises instead of being treated as empty (which would
+      overwrite that partition with update rows only);
+    - a table with streaming batch-id partitions (lineage ``n_parts=-1``)
+      refuses: hash buckets and batch ids don't align, so matched keys could
+      never be anti-joined away.
 
     The table must have been written with the same ``n_parts`` (enforced via
     the lineage n_parts check, like resume). Returns
-    ``{"touched_parts", "n_updates"}``.
+    ``{"touched_parts", "n_updates", "run_id"}``.
     """
+    import time as _time
+    import uuid as _uuid
+
+    from docling_gfcr_spark.operators.dedup import _free_local_checkpoint
+
     storage = ParquetStorage(spark, out_dir)
     lin = storage.read_lineage()
     if lin is not None:
         seen = {int(r.n_parts) for r in lin.select("n_parts").distinct().collect()}
-        seen.discard(-1)  # streaming batch ids are non-comparable
+        if -1 in seen:
+            raise ValueError(
+                "table contains streaming batch-id partitions (n_parts=-1): "
+                "hash-bucketed upsert cannot align with batch ids — compact to "
+                "a hash-bucketed layout first"
+            )
         if seen and seen != {n_parts}:
             raise ValueError(
                 f"n_parts mismatch: table committed with {sorted(seen)}, upsert called with {n_parts}"
             )
-    upd = with_part_id(updates, n_parts)
-    touched = sorted(
-        int(r.part_id) for r in upd.select("part_id").distinct().collect()
+    # pin the update set: every later use (touched list, anti-join, count,
+    # write) must see the SAME rows even if the input plan is nondeterministic
+    upd = with_part_id(updates, n_parts).localCheckpoint()
+    try:
+        touched = sorted(
+            int(r.part_id) for r in upd.select("part_id").distinct().collect()
+        )
+        if not touched:
+            return {"touched_parts": [], "n_updates": 0, "run_id": None}
+        keys = list(key_cols)
+        # read ONLY the touched partitions (partition-pruned paths)
+        existing = None
+        for pid in touched:
+            try:
+                part = storage.read_data_partition(pid).withColumn("part_id", F.lit(pid))
+            except Exception as e:
+                # ONLY path-missing means "brand-new bucket"; anything else
+                # (corrupt footer, transient IO) must abort, not silently
+                # drop the partition's rows from the merge
+                msg = str(e)
+                if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                    continue
+                raise
+            existing = part if existing is None else existing.unionByName(part)
+        if existing is not None:
+            survivors = existing.join(upd.select(*keys), keys, "left_anti")
+            merged = survivors.unionByName(upd.select(*survivors.columns))
+        else:
+            merged = upd
+        n_updates = upd.count()
+        storage.overwrite_data_partitions(merged.repartition(len(touched), "part_id"))
+    finally:
+        _free_local_checkpoint(upd)
+    rid = run_id or f"upsert-{_uuid.uuid4().hex[:12]}"
+    metrics = (
+        storage.read_data()
+        .where(F.col("part_id").isin(touched))
+        .groupBy("part_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum("n_nodes").alias("nodes_classified"),
+            F.sum("n_spans").alias("spans_emitted"),
+            F.sum(F.col("parse_failed").cast("long")).alias("parse_failures"),
+            F.sum((~F.col("success")).cast("long")).alias("errors"),
+        )
+        .withColumn("run_id", F.lit(rid))
+        .withColumn("n_parts", F.lit(n_parts))
+        .withColumn("status", F.lit("committed"))
+        .withColumn("committed_at", F.lit(_time.time()))
+        .select(*_LINEAGE_COLS)
     )
-    if not touched:
-        return {"touched_parts": [], "n_updates": 0}
-    keys = list(key_cols)
-    # read ONLY the touched partitions (partition-pruned paths)
-    existing = None
-    for pid in touched:
-        try:
-            part = storage.read_data_partition(pid).withColumn("part_id", F.lit(pid))
-        except Exception:  # brand-new bucket: nothing to merge
-            continue
-        existing = part if existing is None else existing.unionByName(part)
-    if existing is not None:
-        survivors = existing.join(upd.select(*keys), keys, "left_anti")
-        merged = survivors.unionByName(upd.select(*survivors.columns))
-    else:
-        merged = upd
-    n_updates = upd.count()
-    storage.overwrite_data_partitions(merged.repartition(len(touched), "part_id"))
-    return {"touched_parts": touched, "n_updates": n_updates}
+    storage.append_lineage(metrics)
+    return {"touched_parts": touched, "n_updates": n_updates, "run_id": rid}

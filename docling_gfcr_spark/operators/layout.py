@@ -65,6 +65,8 @@ def zorder_write(
     One pass for the quantile sketches, one range exchange for the write —
     the same cost as a plain sorted write, but every listed column prunes.
     """
+    if "_zkey" in df.columns:
+        raise ValueError("df already has a _zkey column — rename it before zorder_write")
     probs = [k / (1 << bits) for k in range(1, 1 << bits)]
     # one multi-column call = one scan for ALL sketches (per-column calls
     # would re-scan the table len(cols) times)

@@ -32,6 +32,32 @@ from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMes
 _MOD = 1 << 63
 
 
+def _row_key(row) -> str:
+    """UNAMBIGUOUS canonical row serialization: each field rendered as
+    ``<type-tag><len>:<str>`` and concatenated — no delimiter a field value
+    could fake ('a|b','c' vs 'a','b|c' collide under naive joining), and
+    None ('n') is distinct from '' ('s0:')."""
+    parts = []
+    for v in row:
+        if v is None:
+            parts.append("n")
+        else:
+            s = str(v)
+            parts.append(f"s{len(s)}:{s}")
+    return "".join(parts)
+
+
+def _fold(rows) -> tuple[int, int]:
+    """(n_rows, order-insensitive digest) — THE shared fold for the
+    distributed writer and the local oracle (one definition, zero drift)."""
+    n = 0
+    acc = 0
+    for row in rows:
+        acc = (acc + int(hashlib.md5(_row_key(row).encode("utf-8")).hexdigest()[:15], 16)) % _MOD
+        n += 1
+    return n, acc
+
+
 class _DigestCommit(WriterCommitMessage):
     def __init__(self, n_rows: int, digest: int):
         self.n_rows = n_rows
@@ -42,18 +68,14 @@ class _DigestWriter(DataSourceWriter):
     def __init__(self, path: str, overwrite: bool):
         self.path = path
         self.overwrite = overwrite
+        # fail FAST on the driver, before the distributed scan runs — a
+        # commit-time check would digest the full corpus and then refuse
+        manifest = os.path.join(path, "manifest.json")
+        if os.path.exists(manifest) and not overwrite:
+            raise FileExistsError(f"{manifest} exists and mode is not overwrite")
 
     def write(self, iterator):
-        n = 0
-        acc = 0
-        for row in iterator:
-            # canonical row serialization: '|'-joined string forms of every
-            # field in schema order (None -> ''); md5 prefix folded into an
-            # order-insensitive sum
-            key = "|".join("" if v is None else str(v) for v in row)
-            acc = (acc + int(hashlib.md5(key.encode("utf-8")).hexdigest()[:15], 16)) % _MOD
-            n += 1
-        return _DigestCommit(n, acc)
+        return _DigestCommit(*_fold(iterator))
 
     def commit(self, messages):
         manifest = {
@@ -96,10 +118,5 @@ def register_digest_sink(spark) -> None:
 
 def local_manifest(rows) -> dict:
     """Single-threaded oracle: the manifest any partitioning must produce."""
-    acc = 0
-    n = 0
-    for row in rows:
-        key = "|".join("" if v is None else str(v) for v in row)
-        acc = (acc + int(hashlib.md5(key.encode("utf-8")).hexdigest()[:15], 16)) % _MOD
-        n += 1
+    n, acc = _fold(rows)
     return {"n_rows": n, "digest": acc}

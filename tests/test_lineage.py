@@ -266,3 +266,56 @@ def test_upsert_extracted_merge_semantics(spark, tmp_path):
     # wrong n_parts refuses
     with pytest.raises(ValueError, match="n_parts"):
         lineage.upsert_extracted(spark, out, updates, n_parts=16)
+
+
+def test_upsert_refuses_streaming_batch_id_table(spark, tmp_path):
+    """Regression: a table whose lineage carries n_parts=-1 (streaming batch
+    ids) must refuse hash-bucketed upsert — batch ids and hash buckets don't
+    align, so a matched key could never be anti-joined away."""
+    out = str(tmp_path / "stream_table")
+    st = lineage.ParquetStorage(spark, out)
+    tdf = transcripts.make_transcripts(spark, 4, mean_turns=3, seed=2, parallelism=2)
+    ex = pipeline.extract_turns(tdf).withColumn("part_id", F.lit(0))
+    st.overwrite_data_partitions(ex)
+    import time
+
+    lin = (
+        ex.groupBy("part_id")
+        .agg(F.count("*").alias("n_turns"),
+             F.sum("n_nodes").alias("nodes_classified"),
+             F.sum("n_spans").alias("spans_emitted"),
+             F.sum(F.col("parse_failed").cast("long")).alias("parse_failures"),
+             F.sum((~F.col("success")).cast("long")).alias("errors"))
+        .withColumn("run_id", F.lit("stream"))
+        .withColumn("n_parts", F.lit(-1))
+        .withColumn("status", F.lit("committed"))
+        .withColumn("committed_at", F.lit(time.time()))
+        .select(*lineage._LINEAGE_COLS)
+    )
+    st.append_lineage(lin)
+    with pytest.raises(ValueError, match="batch-id"):
+        lineage.upsert_extracted(spark, out, ex.drop("part_id"), n_parts=8)
+
+
+def test_upsert_appends_lineage_rows(spark, tmp_path):
+    """Regression: upsert must record itself — newest lineage row per
+    touched part carries the POST-upsert metrics."""
+    out = str(tmp_path / "upsert_lineage")
+    tdf = transcripts.make_transcripts(spark, 10, mean_turns=4, seed=23, parallelism=2)
+    lineage.run_extraction_job(spark, tdf, out, n_parts=4, n_waves=2, run_id="base")
+    before = lineage.read_extracted(spark, out)
+    cols = [c for c in before.columns if c != "part_id"]
+    inserts = (
+        before.limit(2).select(*cols)
+        .withColumn("conv_id", F.concat(F.lit("nc-"), F.col("conv_id")))
+    )
+    report = lineage.upsert_extracted(spark, out, inserts, n_parts=4)
+    assert report["run_id"].startswith("upsert-")
+    lin = lineage.read_lineage(spark, out).toPandas()
+    up_rows = lin[lin.run_id == report["run_id"]]
+    assert sorted(up_rows["part_id"]) == report["touched_parts"]
+    # newest row per touched part matches the post-upsert data
+    data = lineage.read_extracted(spark, out)
+    for _, row in up_rows.iterrows():
+        n = data.where(F.col("part_id") == row.part_id).count()
+        assert n == row.n_turns

@@ -940,3 +940,11 @@ def test_quality_model_score_cross_engine_exact(spark):
 
     for a, b in zip(got["model_score"], want["model_score"]):
         assert struct.pack("<d", a) == struct.pack("<d", b)
+
+
+def test_zorder_rejects_reserved_column(spark):
+    from docling_gfcr_spark.operators import layout
+
+    df = spark.range(3).select(F.col("id"), F.lit(1).alias("_zkey"))
+    with pytest.raises(ValueError, match="_zkey"):
+        layout.zorder_write(df, "/tmp/never", cols=["id"])

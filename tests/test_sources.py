@@ -204,3 +204,15 @@ def test_digest_sink_writer(spark, tmp_path):
     ).save()
     m3 = json.load(open(out + "/manifest.json"))
     assert m3["digest"] != manifest["digest"]
+
+
+def test_digest_sink_serialization_unambiguous():
+    """Regression: field values containing the old '|' delimiter, and None
+    vs '', must produce DIFFERENT digests (the audit can't be fooled by a
+    delimiter shift)."""
+    from docling_gfcr_spark.sources.digest_sink import local_manifest
+
+    a = local_manifest([("a|b", "c")])
+    b = local_manifest([("a", "b|c")])
+    assert a["digest"] != b["digest"]
+    assert local_manifest([(None,)])["digest"] != local_manifest([("",)])["digest"]
