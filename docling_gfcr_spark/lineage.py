@@ -206,10 +206,14 @@ def run_extraction_job(
     run_id: str | None = None,
     fail_after_wave: int | None = None,
     storage: ParquetStorage | None = None,
+    optimize: bool | None = None,
+    validate: bool = True,
 ) -> dict:
     """Wave-committed extraction with resume. Returns a run report dict.
 
-    ``fail_after_wave`` is a crash-injection hook for resumability tests.
+    ``optimize``/``validate`` mirror the agent envelope's independent flags
+    (pipeline.extract_one); ``fail_after_wave`` is a crash-injection hook
+    for resumability tests.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     storage = storage or ParquetStorage(spark, out_dir)
@@ -223,7 +227,9 @@ def run_extraction_job(
     processed: list[int] = []
     for wi, wave in enumerate(waves):
         wave_df = src.where(F.col("part_id").isin(wave))
-        extracted = pipeline.extract_turns(wave_df.drop("part_id"), mode=mode)
+        extracted = pipeline.extract_turns(
+            wave_df.drop("part_id"), mode=mode, optimize=optimize, validate=validate
+        )
         extracted = with_part_id(extracted, n_parts)
         storage.overwrite_data_partitions(extracted.repartition(max(len(wave), 1), "part_id"))
         agg = (

@@ -286,11 +286,24 @@ def route_one(text: str | None, tool: str | None, name: str, mode: str) -> dict:
         return {**_EMPTY, "error": f"{type(e).__name__}: {e}"}
 
 
-def extract_one(text: str | None, tool: str | None, name: str, mode: str) -> dict:
+def extract_one(
+    text: str | None,
+    tool: str | None,
+    name: str,
+    mode: str,
+    optimize: bool | None = None,
+    validate: bool = True,
+) -> dict:
     """Pure per-row kernel: route -> extract -> optimize -> validate.
 
     ``name`` plays the reference's filename role (frontmatter title P4a,
-    fallback wrap P3). Total: returns an error record instead of raising.
+    fallback wrap P3). ``optimize``/``validate`` mirror the agent envelope's
+    independent flags (markdown_agent.py:261-268 convert_document defaults
+    True/True; main() :449-455 reads them from the stdin JSON): ``optimize``
+    defaults to mode=='agent' and toggles the P4 optimizer only — the P3
+    fallback title wrap stays a MODE divergence; ``validate=False`` leaves
+    every A1-A3 field null (the reference's validated=False/validation=None
+    result shape). Total: returns an error record instead of raising.
     THE local-oracle reference path: ``extract_batch`` must equal mapping
     this over the rows (pinned by tests/test_pipeline.py).
     """
@@ -299,10 +312,10 @@ def extract_one(text: str | None, tool: str | None, name: str, mode: str) -> dic
         return r  # error record
     extracted = r["extracted"]
     kind = (tool or "text").lower()
-    if mode == "agent" and extracted.strip():
+    do_opt = (mode == "agent") if optimize is None else optimize
+    if do_opt and extracted.strip():
         extracted = markdown_ops.optimize_markdown(extracted, f"{name}.{kind}")
-    v = markdown_ops.validate_markdown(extracted)
-    return {
+    out = {
         "extracted_text": extracted,
         "method": r["method"],
         "success": True,
@@ -312,15 +325,28 @@ def extract_one(text: str | None, tool: str | None, name: str, mode: str) -> dic
         "n_kept": r["n_kept"],
         "n_spans": len(r["spans"]),
         "parse_failed": r["parse_failed"],
-        "headers_count": v["metrics"]["headers_count"],
-        "paragraphs_count": v["metrics"]["paragraphs_count"],
-        "lists_count": v["metrics"]["lists_count"],
-        "word_count": v["metrics"]["word_count"],
-        "char_count": v["metrics"]["char_count"],
-        "issues": list(v["issues"]),
-        "quality_score": v["quality_score"],
-        "valid": v["valid"],
+        "headers_count": None,
+        "paragraphs_count": None,
+        "lists_count": None,
+        "word_count": None,
+        "char_count": None,
+        "issues": None,
+        "quality_score": None,
+        "valid": None,
     }
+    if validate:
+        v = markdown_ops.validate_markdown(extracted)
+        out.update(
+            headers_count=v["metrics"]["headers_count"],
+            paragraphs_count=v["metrics"]["paragraphs_count"],
+            lists_count=v["metrics"]["lists_count"],
+            word_count=v["metrics"]["word_count"],
+            char_count=v["metrics"]["char_count"],
+            issues=list(v["issues"]),
+            quality_score=v["quality_score"],
+            valid=v["valid"],
+        )
+    return out
 
 
 # kinds whose whole route is pure string/regex work — vectorizable with
@@ -329,7 +355,7 @@ def extract_one(text: str | None, tool: str | None, name: str, mode: str) -> dic
 _VECTOR_KINDS = frozenset({"markdown", "md", "plain", "text", "txt"})
 
 
-def make_extract_udf(mode: str = "agent"):
+def make_extract_udf(mode: str = "agent", optimize: bool | None = None, validate: bool = True):
     """Build the fused scalar pandas UDF (one Arrow boundary per batch).
 
     Two internal paths: markdown/plain rows run through vectorized Series
@@ -340,7 +366,7 @@ def make_extract_udf(mode: str = "agent"):
 
     @F.pandas_udf(EXTRACT_TYPE)
     def extract_udf(text: pd.Series, tool: pd.Series, name: pd.Series) -> pd.DataFrame:
-        return extract_batch(text.tolist(), tool.tolist(), name.tolist(), mode)
+        return extract_batch(text.tolist(), tool.tolist(), name.tolist(), mode, optimize, validate)
 
     return extract_udf
 
@@ -356,7 +382,14 @@ def _obj_array(values: list):
     return a
 
 
-def extract_batch(texts: list, tools: list, names: list, mode: str) -> pd.DataFrame:
+def extract_batch(
+    texts: list,
+    tools: list,
+    names: list,
+    mode: str,
+    optimize: bool | None = None,
+    validate: bool = True,
+) -> pd.DataFrame:
     """One Arrow batch through the fused kernel (pure function — testable
     and micro-benchmarkable without Spark).
 
@@ -369,10 +402,11 @@ def extract_batch(texts: list, tools: list, names: list, mode: str) -> pd.DataFr
     import numpy as np
 
     fields = [f.name for f in EXTRACT_TYPE.fields]
+    do_opt = (mode == "agent") if optimize is None else optimize
 
     def fill_per_row(out: dict, idx) -> None:
         for i in idx:
-            r = extract_one(texts[i], tools[i], names[i], mode)
+            r = extract_one(texts[i], tools[i], names[i], mode, optimize, validate)
             for f in fields:
                 out[f][i] = r[f]
 
@@ -417,7 +451,7 @@ def extract_batch(texts: list, tools: list, names: list, mode: str) -> pd.DataFr
     if pend_idx:
         try:
             base = pd.Series(pend_text)
-            if mode == "agent":
+            if do_opt:
                 nonblank = base.str.strip().astype(bool)
                 if nonblank.any():
                     nb = np.flatnonzero(nonblank.to_numpy())
@@ -426,16 +460,24 @@ def extract_batch(texts: list, tools: list, names: list, mode: str) -> pd.DataFr
                     base[nonblank] = markdown_ops.optimize_markdown_series(
                         base[nonblank], fnames
                     )
-            v = markdown_ops.validate_markdown_series(base)
             out["extracted_text"][pend_idx] = base.to_numpy(dtype=object)
             out["success"][pend_idx] = True
             out["error"][pend_idx] = None
-            out["issues"][pend_idx] = _obj_array(v["issues"])
-            for z in (
-                "headers_count", "paragraphs_count", "lists_count",
-                "word_count", "char_count", "quality_score", "valid",
-            ):
-                out[z][pend_idx] = v[z]
+            if validate:
+                v = markdown_ops.validate_markdown_series(base)
+                out["issues"][pend_idx] = _obj_array(v["issues"])
+                for z in (
+                    "headers_count", "paragraphs_count", "lists_count",
+                    "word_count", "char_count", "quality_score", "valid",
+                ):
+                    out[z][pend_idx] = v[z]
+            else:
+                out["issues"][pend_idx] = None
+                for z in (
+                    "headers_count", "paragraphs_count", "lists_count",
+                    "word_count", "char_count", "quality_score", "valid",
+                ):
+                    out[z][pend_idx] = None
         except Exception:
             # total fallback: vectorization must never change the O1
             # invariant (a bad batch degrades to per-row, never fails)
@@ -443,14 +485,20 @@ def extract_batch(texts: list, tools: list, names: list, mode: str) -> pd.DataFr
     return pd.DataFrame(out)
 
 
-def extract_turns(df: DataFrame, mode: str = "agent") -> DataFrame:
+def extract_turns(
+    df: DataFrame,
+    mode: str = "agent",
+    optimize: bool | None = None,
+    validate: bool = True,
+) -> DataFrame:
     """Input-hint schema in -> extracted schema out (flat columns).
 
     The reference's per-document name (filename stem) maps to
     ``{conv_id}-{turn_idx}`` here; the P1 space->underscore normalization is a
-    plain Catalyst expression (no UDF needed).
+    plain Catalyst expression (no UDF needed). ``optimize``/``validate``
+    mirror the agent envelope's independent flags (see ``extract_one``).
     """
-    udf = make_extract_udf(mode)
+    udf = make_extract_udf(mode, optimize, validate)
     name = F.regexp_replace(
         F.format_string("%s-%06d", F.col("conv_id"), F.col("turn_idx")), " ", "_"
     )

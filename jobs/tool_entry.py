@@ -49,6 +49,16 @@ TOOL_SCHEMA = {
                 "default": "agent",
                 "description": "agent = optimizer + title wrap; cli = raw fallback",
             },
+            "optimize": {
+                "type": "boolean",
+                "default": True,
+                "description": "Apply the markdown optimizer (frontmatter + spacing rules)",
+            },
+            "validate": {
+                "type": "boolean",
+                "default": True,
+                "description": "Run quality validation (metrics/issues/score columns)",
+            },
             "return_content": {
                 "type": "boolean",
                 "default": False,
@@ -94,6 +104,10 @@ def run_tool(params: dict) -> dict:
             n_parts=int(params.get("n_parts", 64)),
             n_waves=max(1, int(params.get("n_parts", 64)) // 16),
             mode=mode,
+            # only override the mode-derived default when the caller sent the
+            # flag explicitly (cli mode without flags must stay raw)
+            optimize=bool(params["optimize"]) if "optimize" in params else None,
+            validate=bool(params.get("validate", True)),
         )
         result: dict = {
             "success": True,

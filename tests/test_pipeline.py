@@ -424,3 +424,42 @@ def test_kind_distribution_well_formed():
     assert len(transcripts.KINDS) == len(transcripts._KIND_P)
     assert abs(sum(transcripts._KIND_P) - 1.0) < 1e-9
     assert len(set(transcripts.KINDS)) == len(transcripts.KINDS)
+
+
+def test_optimize_validate_flags_independent(spark):
+    """The agent envelope's independent optimize/validate flags
+    (markdown_agent.py:261-268, main :449-455): optimize toggles the P4
+    optimizer only (P3 title wrap stays a mode divergence); validate=False
+    nulls every A1-A3 field (the reference's validated=False shape). The
+    vectorized batch path must equal per-row extract_one under every combo."""
+    rows = [("cf", 0, "user", "# Title\n\n\n\nbody text here", "markdown", None),
+            ("cf", 1, "user", "plain body", "plain", None)]
+    df = spark.createDataFrame(rows, schema=transcripts.SCHEMA)
+
+    for optimize in (None, True, False):
+        for validate in (True, False):
+            out = (
+                pipeline.extract_turns(df, mode="agent", optimize=optimize, validate=validate)
+                .toPandas().sort_values("turn_idx").reset_index(drop=True)
+            )
+            for i, (_, _, _, text, tool, _) in enumerate(rows):
+                want = pipeline.extract_one(
+                    text, tool, f"cf-{i:06d}", "agent", optimize, validate
+                )
+                assert out.iloc[i]["extracted_text"] == want["extracted_text"], (optimize, validate)
+                if validate:
+                    assert out.iloc[i]["word_count"] == want["word_count"]
+                else:
+                    assert pd.isna(out.iloc[i]["word_count"]), (optimize, validate)
+                    assert pd.isna(out.iloc[i]["quality_score"])
+                    assert pd.isna(out.iloc[i]["valid"])
+
+    # optimize=False in agent mode: P3 wrap still happens, frontmatter doesn't
+    raw = pipeline.extract_one("plain body", "plain", "n", "agent", optimize=False)
+    assert raw["extracted_text"] == "# n\n\nplain body"
+    opt = pipeline.extract_one("plain body", "plain", "n", "agent", optimize=True)
+    assert opt["extracted_text"].startswith("---\ntitle: n\n")
+    # optimize=True in cli mode: optimizer runs on the raw (unwrapped) text
+    cli_opt = pipeline.extract_one("plain body", "plain", "n", "cli", optimize=True)
+    assert cli_opt["extracted_text"].startswith("---\ntitle: n\n")
+    assert "# n\n\nplain body" not in cli_opt["extracted_text"]
