@@ -377,20 +377,27 @@ def test_extract_batch_equals_per_row_on_adversarial_input():
     )
     fields = [f.name for f in pipeline.EXTRACT_TYPE.fields]
 
+    flag_combos = st.sampled_from(
+        [(None, True), (True, True), (False, True), (None, False), (True, False)]
+    )
+
     @settings(max_examples=60, deadline=None)
-    @given(rows=st.lists(st.tuples(payloads, kinds), min_size=1, max_size=12))
-    def check(rows):
+    @given(rows=st.lists(st.tuples(payloads, kinds), min_size=1, max_size=12),
+           flags=flag_combos)
+    def check(rows, flags):
+        optimize, validate = flags
         texts = [t for t, _ in rows]
         tools = [k for _, k in rows]
         names = [f"n{i}" for i in range(len(rows))]
         for mode in ("agent", "cli"):
-            got = pipeline.extract_batch(texts, tools, names, mode)
+            got = pipeline.extract_batch(texts, tools, names, mode, optimize, validate)
             for i, (t, k) in enumerate(rows):
-                want = pipeline.extract_one(t, k, names[i], mode)
+                want = pipeline.extract_one(t, k, names[i], mode, optimize, validate)
                 for f in fields:
                     g = got[f].iloc[i]
-                    assert g == want[f] or (g != g and want[f] != want[f]), (
-                        f, i, t, k, mode, g, want[f]
+                    same = g == want[f] or (g != g and want[f] != want[f])
+                    assert same or (g is None and want[f] is None), (
+                        f, i, t, k, mode, flags, g, want[f]
                     )
 
     check()
