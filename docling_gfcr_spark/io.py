@@ -100,12 +100,18 @@ def compact_parquet(
 
         def fingerprint(d):
             # order-insensitive full-content checksum: every field of every
-            # row rides through to_json; decimal accumulator avoids the
-            # ANSI-mode int64 overflow on summed hashes (CLAUDE.md gotcha)
+            # row rides through to_json into a 64-bit hash (xxhash64, not a
+            # 32-bit crc — collision probability matters for a "provably
+            # lossless" claim); decimal accumulator avoids the ANSI-mode
+            # int64 overflow on summed hashes (CLAUDE.md gotcha). This stays
+            # a JVM-side aggregate — the Python digest-sink scheme would
+            # force an Arrow transfer of the full table; both schemes verify
+            # src==dst with the SAME definition on both sides, which is all
+            # a rewrite check needs.
             row = d.agg(
                 F.count("*").alias("n"),
                 F.coalesce(
-                    F.sum(F.crc32(F.to_json(F.struct(*sorted(d.columns)))).cast("decimal(38,0)")),
+                    F.sum(F.xxhash64(F.to_json(F.struct(*sorted(d.columns)))).cast("decimal(38,0)")),
                     F.lit(0).cast("decimal(38,0)"),
                 ).alias("h"),
             ).collect()[0]

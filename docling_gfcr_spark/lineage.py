@@ -282,6 +282,7 @@ def upsert_extracted(
     n_parts: int,
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     run_id: str | None = None,
+    storage: ParquetStorage | None = None,
 ) -> dict:
     """MERGE/upsert into the wave-committed table — the CDC shape (late
     corrections, re-extractions, backfills) without rewriting the table.
@@ -308,7 +309,14 @@ def upsert_extracted(
       overwrite that partition with update rows only);
     - a table with streaming batch-id partitions (lineage ``n_parts=-1``)
       refuses: hash buckets and batch ids don't align, so matched keys could
-      never be anti-joined away.
+      never be anti-joined away;
+    - data present but lineage unreadable refuses (the n_parts rail cannot
+      be checked, so it must not be silently skipped);
+    - duplicate keys WITHIN the update set refuse (real MERGE errors on
+      multiple source matches — applying both would duplicate the key);
+    - ``key_cols`` must include ``conv_id``: the partition bucketing hashes
+      conv_id, so a key that omits it could anti-join away unrelated
+      conversations' rows inside a touched partition.
 
     The table must have been written with the same ``n_parts`` (enforced via
     the lineage n_parts check, like resume). Returns
@@ -319,8 +327,27 @@ def upsert_extracted(
 
     from docling_gfcr_spark.operators.dedup import _free_local_checkpoint
 
-    storage = ParquetStorage(spark, out_dir)
+    if "conv_id" not in key_cols:
+        raise ValueError(
+            "key_cols must include conv_id — partitions are hashed by conv_id, "
+            "so a conv_id-free key could delete unrelated conversations' rows"
+        )
+    storage = storage or ParquetStorage(spark, out_dir)
     lin = storage.read_lineage()
+    if lin is None:
+        # distinguish "fresh table" (fine: upsert == insert) from "data
+        # present but lineage unreadable" (the n_parts rail can't run —
+        # refusing beats silently skipping it)
+        try:
+            storage.read_data()
+            has_data = True
+        except Exception:
+            has_data = False
+        if has_data:
+            raise ValueError(
+                "table has data but no readable lineage — cannot verify its "
+                "n_parts scheme; restore the lineage table before upserting"
+            )
     if lin is not None:
         seen = {int(r.n_parts) for r in lin.select("n_parts").distinct().collect()}
         if -1 in seen:
@@ -343,6 +370,12 @@ def upsert_extracted(
         if not touched:
             return {"touched_parts": [], "n_updates": 0, "run_id": None}
         keys = list(key_cols)
+        n_updates = upd.count()
+        if upd.select(*keys).distinct().count() != n_updates:
+            raise ValueError(
+                "duplicate keys in the update set — real MERGE semantics "
+                "forbid multiple source matches; dedupe updates first"
+            )
         # read ONLY the touched partitions (partition-pruned paths)
         existing = None
         for pid in touched:
@@ -361,8 +394,13 @@ def upsert_extracted(
             survivors = existing.join(upd.select(*keys), keys, "left_anti")
             merged = survivors.unionByName(upd.select(*survivors.columns))
         else:
-            merged = upd
-        n_updates = upd.count()
+            # every touched bucket is brand-new: align to the TABLE's schema
+            # if the table exists (select raises fast on a divergent update
+            # schema instead of writing mixed-schema partition dirs)
+            try:
+                merged = upd.select(*storage.read_data().columns)
+            except Exception:
+                merged = upd  # table does not exist yet: updates define it
         storage.overwrite_data_partitions(merged.repartition(len(touched), "part_id"))
     finally:
         _free_local_checkpoint(upd)

@@ -34,13 +34,23 @@ _MOD = 1 << 63
 
 def _row_key(row) -> str:
     """UNAMBIGUOUS canonical row serialization: each field rendered as
-    ``<type-tag><len>:<str>`` and concatenated — no delimiter a field value
-    could fake ('a|b','c' vs 'a','b|c' collide under naive joining), and
-    None ('n') is distinct from '' ('s0:')."""
+    ``<type-tag><len>:<str>`` and concatenated. The length prefix kills
+    delimiter ambiguity ('a|b','c' vs 'a','b|c'); the type tag kills value
+    ambiguity — None ('n') vs '' ('s0:'), int 1 ('i1:1') vs str '1'
+    ('s1:1') vs bool True ('bTrue'), so a rewrite that degrades column
+    types cannot produce an equal digest."""
     parts = []
     for v in row:
         if v is None:
             parts.append("n")
+        elif isinstance(v, bool):  # before int: bool is an int subclass
+            parts.append(f"b{v}")
+        elif isinstance(v, int):
+            s = str(v)
+            parts.append(f"i{len(s)}:{s}")
+        elif isinstance(v, float):
+            s = repr(v)
+            parts.append(f"f{len(s)}:{s}")
         else:
             s = str(v)
             parts.append(f"s{len(s)}:{s}")

@@ -51,8 +51,11 @@ TOOL_SCHEMA = {
             },
             "optimize": {
                 "type": "boolean",
-                "default": True,
-                "description": "Apply the markdown optimizer (frontmatter + spacing rules)",
+                "description": (
+                    "Apply the markdown optimizer (frontmatter + spacing "
+                    "rules). When OMITTED the mode decides: agent optimizes, "
+                    "cli stays raw — no schema default, by design"
+                ),
             },
             "validate": {
                 "type": "boolean",

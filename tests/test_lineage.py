@@ -319,3 +319,36 @@ def test_upsert_appends_lineage_rows(spark, tmp_path):
     for _, row in up_rows.iterrows():
         n = data.where(F.col("part_id") == row.part_id).count()
         assert n == row.n_turns
+
+
+def test_upsert_refuses_duplicate_update_keys(spark, tmp_path):
+    """Real MERGE semantics: two source rows for one key refuse (applying
+    both would duplicate the key)."""
+    out = str(tmp_path / "dupkeys")
+    tdf = transcripts.make_transcripts(spark, 6, mean_turns=3, seed=31, parallelism=2)
+    lineage.run_extraction_job(spark, tdf, out, n_parts=4, n_waves=1)
+    before = lineage.read_extracted(spark, out)
+    cols = [c for c in before.columns if c != "part_id"]
+    one = before.limit(1).select(*cols)
+    with pytest.raises(ValueError, match="duplicate keys"):
+        lineage.upsert_extracted(spark, out, one.unionByName(one), n_parts=4)
+
+
+def test_upsert_refuses_conv_id_free_key(spark):
+    with pytest.raises(ValueError, match="conv_id"):
+        lineage.upsert_extracted(spark, "/tmp/never", None, n_parts=4, key_cols=("turn_idx",))
+
+
+def test_upsert_refuses_data_without_lineage(spark, tmp_path):
+    """Data present but no readable lineage: the n_parts rail can't run, so
+    the upsert must refuse instead of silently skipping the check."""
+    import shutil
+
+    out = str(tmp_path / "nolineage")
+    tdf = transcripts.make_transcripts(spark, 6, mean_turns=3, seed=33, parallelism=2)
+    lineage.run_extraction_job(spark, tdf, out, n_parts=4, n_waves=1)
+    shutil.rmtree(out + "/lineage")
+    before = lineage.read_extracted(spark, out)
+    cols = [c for c in before.columns if c != "part_id"]
+    with pytest.raises(ValueError, match="lineage"):
+        lineage.upsert_extracted(spark, out, before.limit(1).select(*cols), n_parts=4)

@@ -378,7 +378,8 @@ def test_extract_batch_equals_per_row_on_adversarial_input():
     fields = [f.name for f in pipeline.EXTRACT_TYPE.fields]
 
     flag_combos = st.sampled_from(
-        [(None, True), (True, True), (False, True), (None, False), (True, False)]
+        [(None, True), (True, True), (False, True),
+         (None, False), (True, False), (False, False)]
     )
 
     @settings(max_examples=60, deadline=None)

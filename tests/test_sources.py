@@ -216,3 +216,12 @@ def test_digest_sink_serialization_unambiguous():
     b = local_manifest([("a", "b|c")])
     assert a["digest"] != b["digest"]
     assert local_manifest([(None,)])["digest"] != local_manifest([("",)])["digest"]
+
+
+def test_digest_sink_type_tags_distinguish_values():
+    """int 1 vs str '1' vs bool True (and float) digest differently — a
+    type-degrading rewrite cannot produce an equal audit manifest."""
+    from docling_gfcr_spark.sources.digest_sink import local_manifest
+
+    digests = {local_manifest([(v,)])["digest"] for v in (1, "1", True, 1.0)}
+    assert len(digests) == 4
