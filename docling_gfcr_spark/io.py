@@ -86,9 +86,23 @@ def compact_parquet(
     Returns ``{"n_rows", "bytes_in", "files_out"}``.
     """
     import math
+    import os
 
     from pyspark.sql import functions as F
 
+    def _canon(p: str) -> str:
+        return os.path.realpath(p.removeprefix("file:").rstrip("/"))
+
+    # overwrite-mode on the directory being read would delete the source
+    # mid-job; compaction is always rewrite-elsewhere + catalog repoint.
+    # NOTE: src must also be QUIESCENT for the duration — verification
+    # re-reads src after the write, so a concurrent ingest into src_dir
+    # would (correctly) fail the content check rather than lose rows.
+    if _canon(src_dir) == _canon(dst_dir):
+        raise ValueError(
+            f"compact_parquet dst_dir must differ from src_dir ({src_dir!r}): "
+            "overwriting the directory being read deletes the source mid-job"
+        )
     total = dir_bytes(spark, src_dir)
     n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     df = spark.read.parquet(src_dir)

@@ -202,6 +202,18 @@ def _cell_text(c: ET.Element, shared: list[str]) -> str:
         return raw
 
 
+def _resolve_rel_target(target: str, package_dir: str) -> str:
+    """OPC relationship target -> zip part name. Targets with a leading
+    slash are ABSOLUTE part names (legal per OPC; e.g. '/xl/worksheets/s1.xml')
+    and must be used as-is minus the slash — prefixing them again produced
+    'xl//xl/...' and a spurious error envelope (round-4 ADVICE finding).
+    Relative targets resolve against the package dir as before."""
+    if target.startswith("/"):
+        return target.lstrip("/")
+    prefix = f"{package_dir}/"
+    return target if target.startswith(prefix) else f"{prefix}{target}"
+
+
 def xlsx_bytes_to_markdown(blob: bytes) -> str:
     """Real XLSX bytes -> the sidecar assembler's markdown (one ``## sheet``
     section + pipe table per sheet, workbook order). Raises ``ValueError``
@@ -222,7 +234,7 @@ def xlsx_bytes_to_markdown(blob: bytes) -> str:
         target = rel_map.get(sheet.get(f"{_R}id"))
         if not target:
             raise ValueError(f"sheet {name!r} has no worksheet relationship")
-        part = target if target.startswith("xl/") else f"xl/{target}"
+        part = _resolve_rel_target(target, "xl")
         ws = _parse_xml(_read_part(blob, part), part)
         rows: list[list[str]] = []
         for row in ws.iter(f"{_S}row"):
@@ -337,7 +349,7 @@ def pptx_bytes_to_markdown(blob: bytes) -> str:
         target = rel_map.get(sld_id.get(f"{_R}id"))
         if not target:
             raise ValueError(f"slide {slide_no} has no relationship target")
-        part = target if target.startswith("ppt/") else f"ppt/{target}"
+        part = _resolve_rel_target(target, "ppt")
         sld = _parse_xml(_read_part(blob, part), part)
         title = ""
         bullets: list[str] = []

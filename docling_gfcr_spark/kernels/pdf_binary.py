@@ -30,7 +30,10 @@ _KIDS_RE = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+\d+\s+R)*)\s*\]")
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+\s+\d+\s+R|\[(?:\s*\d+\s+\d+\s+R)*\s*\])")
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
+# direct integer /Length only: `/Length 6 0 R` (an indirect reference) must
+# NOT slice the stream at the object number — the full parser (pdf_doc)
+# resolves indirect lengths; this legacy regex now refuses to half-match
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
 # a text-showing operator: literal string then Tj / ' / " ; or TJ array
 _TJ_RE = re.compile(rb"\(((?:\\.|[^\\()])*)\)\s*(Tj|'|\")")
 _TJ_ARRAY_RE = re.compile(rb"\[((?:[^\[\]\\]|\\.)*)\]\s*TJ")
@@ -99,62 +102,17 @@ def _stream_payload(cobj: bytes, cid: int) -> tuple[bytes, bytes]:
 
 def pdf_bytes_to_pages(blob: bytes) -> list[str]:
     """Real PDF bytes -> per-page extracted text (one line per text-showing
-    operator). Raises ``ValueError`` on non-PDF bytes, compressed content
-    streams, or a broken object graph."""
-    if not blob.startswith(b"%PDF-"):
-        raise ValueError("missing %PDF header")
-    objects: dict[int, bytes] = {}
-    for m in _OBJ_RE.finditer(blob):
-        objects[int(m.group(1))] = m.group(2)
-    if not objects:
-        raise ValueError("no PDF objects found")
-    kids: list[int] = []
-    for body in objects.values():
-        if b"/Type" in body and b"/Pages" in body and b"/Kids" in body:
-            km = _KIDS_RE.search(body)
-            if km:
-                kids = [int(r.group(1)) for r in _REF_RE.finditer(km.group(1))]
-                break
-    if not kids:
-        raise ValueError("no /Pages object with /Kids")
-    pages: list[str] = []
-    for kid in kids:
-        page_obj = objects.get(kid)
-        if page_obj is None:
-            raise ValueError(f"missing page object {kid}")
-        cm = _CONTENTS_RE.search(page_obj)
-        if cm is None:
-            pages.append("")
-            continue
-        content_ids = [int(r.group(1)) for r in _REF_RE.finditer(cm.group(1))]
-        lines: list[str] = []
-        for cid in content_ids:
-            cobj = objects.get(cid)
-            if cobj is None:
-                raise ValueError(f"missing content object {cid}")
-            data, head = _stream_payload(cobj, cid)
-            if b"/Filter" in head:
-                if b"/FlateDecode" not in head:
-                    raise ValueError("unsupported content-stream /Filter (only FlateDecode)")
-                import zlib
+    operator). Raises ``ValueError`` on non-PDF bytes, unsupported stream
+    filters, or a broken object graph.
 
-                try:
-                    data = zlib.decompress(data)
-                except zlib.error as e:
-                    raise ValueError(f"bad FlateDecode stream: {e}") from e
-            # interleave Tj and TJ in stream order
-            events: list[tuple[int, str]] = []
-            for tm in _TJ_RE.finditer(data):
-                events.append((tm.start(), _unescape(tm.group(1))))
-            for am in _TJ_ARRAY_RE.finditer(data):
-                text = "".join(
-                    _unescape(s.group(1)) for s in _STR_IN_ARRAY_RE.finditer(am.group(1))
-                )
-                events.append((am.start(), text))
-            events.sort(key=lambda e: e[0])
-            lines.extend(t for _, t in events)
-        pages.append("\n".join(lines))
-    return pages
+    Round 5: delegates to the full document parser (kernels/pdf_doc.py) —
+    xref tables AND streams, object streams, indirect /Length resolution,
+    balanced-paren string scanning, font-aware decoding — which subsumes the
+    round-4 regex walker while keeping its exact output on the synthetic
+    corpus (one line per show op, latin-1 default decode)."""
+    from docling_gfcr_spark.kernels import pdf_doc
+
+    return pdf_doc.parse_pdf_pages(blob, strict=True)
 
 
 def build_pdf(pages: list[list[str]], compress: bool = False) -> bytes:

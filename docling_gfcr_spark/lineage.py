@@ -85,6 +85,16 @@ class ParquetStorage:
         """
         return self.spark.read.parquet(f"{self.data_dir}/part_id={int(part_id)}")
 
+    def data_partition_exists(self, part_id: int) -> bool:
+        """Explicit existence probe via the Hadoop FileSystem API — upsert
+        classifies brand-new buckets with this instead of substring-matching
+        exception text, which a Spark version or locale change would break
+        (round-4 ADVICE finding)."""
+        jvm = self.spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(f"{self.data_dir}/part_id={int(part_id)}")
+        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(p))
+
     def read_lineage(self) -> DataFrame | None:
         try:
             return self.spark.read.parquet(self.lineage_dir)
@@ -152,6 +162,11 @@ class IcebergStorage:
     def read_data_partition(self, part_id: int) -> DataFrame:
         # catalog tables prune on the partition predicate; no path surgery
         return self.read_data().where(F.col("part_id") == int(part_id)).drop("part_id")
+
+    def data_partition_exists(self, part_id: int) -> bool:
+        # a catalog table's missing partition reads as an EMPTY frame (no
+        # PATH_NOT_FOUND to classify) — existence reduces to table existence
+        return bool(self.spark.catalog.tableExists(self.data_table))
 
     def read_lineage(self) -> DataFrame | None:
         try:
@@ -378,17 +393,26 @@ def upsert_extracted(
             )
         # read ONLY the touched partitions (partition-pruned paths)
         existing = None
+        exists_probe = getattr(storage, "data_partition_exists", None)
         for pid in touched:
-            try:
+            if exists_probe is not None:
+                # explicit FileSystem/catalog probe: brand-new buckets are
+                # classified BEFORE the read, so no exception-text matching
+                if not exists_probe(pid):
+                    continue
                 part = storage.read_data_partition(pid).withColumn("part_id", F.lit(pid))
-            except Exception as e:
+            else:
+                # third-party Storage without the probe: legacy classification.
                 # ONLY path-missing means "brand-new bucket"; anything else
                 # (corrupt footer, transient IO) must abort, not silently
                 # drop the partition's rows from the merge
-                msg = str(e)
-                if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
-                    continue
-                raise
+                try:
+                    part = storage.read_data_partition(pid).withColumn("part_id", F.lit(pid))
+                except Exception as e:
+                    msg = str(e)
+                    if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                        continue
+                    raise
             existing = part if existing is None else existing.unionByName(part)
         if existing is not None:
             survivors = existing.join(upd.select(*keys), keys, "left_anti")

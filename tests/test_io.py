@@ -71,3 +71,14 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
 
     assert spark.read.parquet(dst).count() == tdf.count() == report["n_rows"]
     assert digest(src) == digest(dst)
+
+
+def test_compact_parquet_refuses_in_place(spark, tmp_path):
+    """mode('overwrite') on the directory being read would delete the source
+    mid-job (round-4 ADVICE finding) — same resolved path must raise."""
+    src = str(tmp_path / "t")
+    spark.range(10).write.parquet(src)
+    with pytest.raises(ValueError, match="differ from src_dir"):
+        io.compact_parquet(spark, src, src)
+    with pytest.raises(ValueError, match="differ from src_dir"):
+        io.compact_parquet(spark, src, "file:" + src + "/")

@@ -178,3 +178,28 @@ def test_negative_shared_string_index_rejected():
             zf.writestr(k, v)
     with pytest.raises(ValueError, match="sharedStrings"):
         office_binary.xlsx_bytes_to_markdown(buf.getvalue())
+
+
+def test_absolute_opc_relationship_targets_parse():
+    """Leading-slash relationship targets are ABSOLUTE part names (legal
+    OPC); round-4 double-prefixed them to 'xl//xl/...' and errored."""
+    import io
+    import zipfile
+
+    spec = {"sheets": {"S1": [["a", "b"], [1, 2]]}}
+    blob = office_binary.build_xlsx(spec)
+    want = office_binary.xlsx_bytes_to_markdown(blob)
+
+    with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+        members = {n: zf.read(n) for n in zf.namelist()}
+    members["xl/_rels/workbook.xml.rels"] = members["xl/_rels/workbook.xml.rels"].replace(
+        b'Target="worksheets/sheet1.xml"', b'Target="/xl/worksheets/sheet1.xml"'
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for k, v in members.items():
+            zf.writestr(k, v)
+    assert office_binary.xlsx_bytes_to_markdown(buf.getvalue()) == want
+    assert office_binary._resolve_rel_target("/xl/worksheets/s1.xml", "xl") == "xl/worksheets/s1.xml"
+    assert office_binary._resolve_rel_target("worksheets/s1.xml", "xl") == "xl/worksheets/s1.xml"
+    assert office_binary._resolve_rel_target("xl/worksheets/s1.xml", "xl") == "xl/worksheets/s1.xml"

@@ -1,0 +1,234 @@
+"""Document-level PDF parser (kernels/pdf_doc.py): xref streams, object
+streams, ToUnicode font decode, indirect /Length, balanced-paren strings —
+plus the reference's real golden artifact end-to-end."""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+import pytest
+
+from docling_gfcr_spark.kernels import pdf_binary, pdf_doc
+
+GOLDEN_PDF = "/root/reference/manual-de-redacao.pdf"
+GOLDEN_MD = "/root/reference/output/manual-de-redacao.md"
+
+
+# ---------------------------------------------------------------------------
+# synthetic PDF 1.5 builder: xref STREAM (PNG Up predictor) + ObjStm + Type0
+# font with a ToUnicode CMap — the three real-world features the round-4
+# kernel lacked, pinned deterministically without the reference file
+# ---------------------------------------------------------------------------
+
+
+def _png_up_encode(rows: list[bytes]) -> bytes:
+    out = bytearray()
+    prev = bytes(len(rows[0]))
+    for row in rows:
+        out.append(2)  # Up
+        out += bytes((row[k] - prev[k]) & 0xFF for k in range(len(row)))
+        prev = row
+    return bytes(out)
+
+
+def build_pdf15(content_ops: bytes, cmap_body: bytes) -> bytes:
+    """PDF 1.5 file: Catalog/Pages/Page/Font dicts packed in an /ObjStm,
+    content + ToUnicode as Flate streams, and a /Type/XRef cross-reference
+    stream (W [1 2 1], PNG Up predictor) — NO classic xref table at all."""
+    # objects 1,2,3,5 live in the ObjStm (obj 7); 4,6,7,8 are file-level
+    packed = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (
+            3,
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+        ),
+        (
+            5,
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Fake-Identity-H "
+            b"/Encoding /Identity-H /ToUnicode 6 0 R >>",
+        ),
+    ]
+    header = b" ".join(b"%d %d" % (num, off) for num, off in _objstm_offsets(packed))
+    body = b" ".join(b for _, b in packed)
+    objstm_payload = header + b" " + body
+    objstm_z = zlib.compress(objstm_payload, 9)
+
+    content_z = zlib.compress(content_ops, 9)
+    cmap_z = zlib.compress(cmap_body, 9)
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+
+    def emit(num: int, payload: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num + payload + b"\nendobj\n")
+
+    emit(4, b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(content_z) + content_z + b"\nendstream")
+    emit(6, b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(cmap_z) + cmap_z + b"\nendstream")
+    emit(
+        7,
+        b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode /Length %d >>\nstream\n"
+        % (len(packed), len(header) + 1, len(objstm_z))
+        + objstm_z
+        + b"\nendstream",
+    )
+    xref_at = len(out)
+    # rows for objects 0..8: type/f2/f3 with W=[1,2,1]
+    rows = []
+    for num in range(9):
+        if num == 0:
+            rows.append(bytes([0, 0, 0, 255]))
+        elif num in offsets or num == 8:
+            off = offsets.get(num, xref_at)
+            rows.append(bytes([1, (off >> 8) & 0xFF, off & 0xFF, 0]))
+        else:  # packed in ObjStm 7
+            idx = [n for n, _ in packed].index(num)
+            rows.append(bytes([2, 0, 7, idx]))
+    xdata = zlib.compress(_png_up_encode(rows), 9)
+    out.extend(
+        b"8 0 obj\n<< /Type /XRef /Size 9 /W [1 2 1] /Root 1 0 R "
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >> "
+        b"/Length %d >>\nstream\n" % len(xdata)
+        + xdata
+        + b"\nendstream\nendobj\n"
+    )
+    out.extend(b"startxref\n%d\n%%%%EOF\n" % xref_at)
+    assert len(out) < 65536, "two-byte offsets in W"
+    return bytes(out)
+
+
+def _objstm_offsets(packed: list[tuple[int, bytes]]) -> list[tuple[int, int]]:
+    offs, pos = [], 0
+    for num, body in packed:
+        offs.append((num, pos))
+        pos += len(body) + 1
+    return offs
+
+
+_CMAP = b"""/CIDInit /ProcSet findresource begin
+12 dict begin
+begincmap
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+2 beginbfchar
+<0041> <005A>
+<0042> <00C9>
+endbfchar
+1 beginbfrange
+<0050> <0052> <0041>
+endbfrange
+endcmap
+"""
+
+
+def test_xref_stream_objstm_tounicode_roundtrip():
+    """A pure-PDF-1.5 file (xref stream w/ PNG predictor, ObjStm-packed
+    catalog/page/font, Identity-H + ToUnicode) decodes hex-string text."""
+    ops = b"BT /F1 12 Tf <00410042> Tj 0 -14 Td <005000520051> Tj ET"
+    blob = build_pdf15(ops, _CMAP)
+    assert b"xref\n0 " not in blob  # really no classic table
+    pages = pdf_doc.parse_pdf_pages(blob)
+    # bfchar: 0041->Z, 0042->E-acute; bfrange 0050..0052 -> A..C
+    assert pages == ["ZÉ\nACB"]
+
+
+def test_indirect_length_resolves_not_slices():
+    """`/Length 5 0 R` must resolve through the object graph; the round-4
+    regex sliced the stream at the object number (ADVICE medium). The
+    embedded literal 'endstream' inside the string would corrupt any
+    fallback scan, so this passes ONLY via real resolution."""
+    ops = b"BT (fake endstream inside) Tj ET"
+    blob = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length 5 0 R >>\nstream\n" + ops + b"\nendstream endobj\n"
+        b"5 0 obj %d endobj\n" % len(ops)
+    )
+    assert pdf_doc.parse_pdf_pages(blob) == ["fake endstream inside"]
+
+
+def test_tj_array_with_brackets_and_nested_parens():
+    """']' inside TJ strings and nested balanced parens are legal PDF; the
+    round-4 regexes dropped the text silently (ADVICE low)."""
+    new_op = b"[(a]b) -20 ([c)] TJ 0 -14 Td (par (nested (deep)) done) Tj"
+    blob = pdf_binary.build_pdf([["x"]])
+    m = pdf_binary._LENGTH_RE.search(blob)
+    old_len = int(m.group(1))
+    blob = blob.replace(b"(x) Tj", new_op).replace(
+        b"/Length %d" % old_len,
+        b"/Length %d" % (old_len + len(new_op) - len(b"(x) Tj")),
+        1,
+    )
+    assert pdf_binary.pdf_bytes_to_pages(blob) == ["a]b[c\npar (nested (deep)) done"]
+
+
+def test_literal_length_regex_refuses_indirect():
+    assert pdf_binary._LENGTH_RE.search(b"<< /Length 6 0 R >>") is None
+    assert int(pdf_binary._LENGTH_RE.search(b"<< /Length 42 >>").group(1)) == 42
+    # and never half-matches a prefix of the object number
+    assert pdf_binary._LENGTH_RE.search(b"<< /Length 66 0 R >>") is None
+
+
+def _mini_pdf(ops: bytes, page_extra: bytes = b"", extra_objs: bytes = b"") -> bytes:
+    """One-page xref-less PDF (brute-scan path) with a direct-/Length
+    content stream; page_extra splices into the page dict."""
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        + b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        + page_extra
+        + b">> endobj\n"
+        + (b"4 0 obj << /Length %d >>\nstream\n" % len(ops))
+        + ops
+        + b"\nendstream endobj\n"
+        + extra_objs
+    )
+
+
+def test_winansi_simple_font_decode():
+    """WinAnsiEncoding == cp1252: byte 0x93 is a curly quote, not latin-1
+    control; default (no /Encoding) stays latin-1 for synthetic parity."""
+    blob = _mini_pdf(
+        b"BT /F1 12 Tf (\x93quoted\x94 caf\xe9) Tj ET",
+        page_extra=b"/Resources << /Font << /F1 5 0 R >> >> ",
+        extra_objs=(
+            b"5 0 obj << /Type /Font /Subtype /TrueType /BaseFont /Calibri "
+            b"/Encoding /WinAnsiEncoding >> endobj\n"
+        ),
+    )
+    assert pdf_doc.parse_pdf_pages(blob) == ["“quoted” caf\xe9"]
+
+
+def test_inline_image_skipped():
+    ops = b"BT (before) Tj ET BI /W 2 /H 2 ID \x00\xff(\x29garbage EI BT (after) Tj ET"
+    assert pdf_doc.parse_pdf_pages(_mini_pdf(ops)) == ["before\nafter"]
+
+
+@pytest.mark.skipif(not os.path.exists(GOLDEN_PDF), reason="reference artifact absent")
+def test_golden_reference_pdf_extracts():
+    """The reference's ONLY non-mocked correctness artifact (SURVEY.md §5):
+    189-page real-world PDF 1.5 (hybrid xref + XRefStm, 12 ObjStm, WinAnsi
+    TrueType + Identity-H/ToUnicode fonts). Best-effort bar per the round-4
+    verdict: nonempty text from >=50 pages, never raise."""
+    blob = open(GOLDEN_PDF, "rb").read()
+    pages = pdf_doc.parse_pdf_pages(blob, strict=False)
+    assert len(pages) == 189
+    nonempty = sum(1 for p in pages if p.strip())
+    assert nonempty >= 150, f"only {nonempty} nonempty pages"
+    text = "\n".join(pages)
+    # phrases the reference's own docling conversion also recovers
+    for phrase in (
+        "Presidência da República",
+        "Michel Temer",
+        "Casa Civil",
+    ):
+        assert phrase in text, f"missing {phrase!r}"
+    # and through the ROUTE: pdf_binary delegates to this parser
+    assert pdf_binary.pdf_bytes_to_pages(blob) == pdf_doc.parse_pdf_pages(blob)
