@@ -142,12 +142,16 @@ def compact_parquet(
 
 
 def write_bucketed(
-    df: DataFrame, table: str, path: str, key: str, n_buckets: int = 64
+    df: DataFrame, table: str, path: str, key: str, n_buckets: int = 64,
+    mode: str = "overwrite",
 ) -> None:
     """Persist hash-bucketed + sorted by ``key`` (bucket metadata lives in the
-    session catalog; on a cluster this is the Iceberg/HMS table)."""
+    session catalog; on a cluster this is the Iceberg/HMS table).
+    ``mode='append'`` adds a new wave of bucket files to an existing table
+    (each wave writes its own file per bucket; joins stay exchange-free —
+    the append-only ingest pattern incremental dedup commits through)."""
     (
-        df.write.mode("overwrite")
+        df.write.mode(mode)
         .bucketBy(n_buckets, key)
         .sortBy(key)
         .option("path", path)

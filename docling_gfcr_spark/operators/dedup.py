@@ -215,6 +215,44 @@ def minhash_signatures(
     return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
 
+def minhash_band_keys(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    bands: int = 8,
+    k: int = 5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """``(id, band, band_hash)`` LSH band keys — the shared currency of
+    one-shot pair mining (minhash_lsh_pairs) AND the committed band table
+    incremental dedup joins against. Two docs are near-dup candidates iff
+    they share a ``(band, band_hash)`` key; the key is content-derived, so
+    keys computed today and keys committed last month are comparable."""
+    rows = n_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, k, hash_fn=hash_fn)
+
+    def band_hash(b: int):
+        elems = [F.col("sig")[b * rows + r] for r in range(rows)]
+        if hash_fn == "md5":
+            # engine-portable band key: DuckDB computes the identical string
+            # (md5 over '|'-joined signature hex digests) — the oracle path
+            return F.md5(F.concat_ws("|", *elems))
+        return F.xxhash64(*elems)
+
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_hash(b).alias("band_hash"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select("id", "bh.band", "bh.band_hash")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -228,28 +266,7 @@ def minhash_lsh_pairs(
     any band collide. rows_per_band = n_hashes // bands tunes the similarity
     threshold (~ (1/bands)^(1/rows)). Defaults to xxhash64 (the fast path —
     this op's output is candidate pairs, verified downstream anyway)."""
-    rows = n_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, k, hash_fn=hash_fn)
-
-    def band_hash(b: int):
-        elems = [F.col("sig")[b * rows + r] for r in range(rows)]
-        if hash_fn == "md5":
-            # engine-portable band key: DuckDB computes the identical string
-            # (md5 over '|'-joined signature hex digests) — the oracle path
-            return F.md5(F.concat_ws("|", *elems))
-        return F.xxhash64(*elems)
-
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), band_hash(b).alias("band_hash"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bh"),
-    ).select("id", "bh.band", "bh.band_hash")
+    banded = minhash_band_keys(df, text_col, id_col, n_hashes, bands, k, hash_fn)
     # one shuffle clusters each band bucket; colliding pairs are enumerated
     # worker-side via two streaming generates (explode_ordered_pairs) instead
     # of a banded self-join — no shuffled candidate rows, and bucket size is
@@ -261,6 +278,84 @@ def minhash_lsh_pairs(
         .where(F.size("ids") >= 2)
     )
     return explode_ordered_pairs(groups, "ids", "id_a", "id_b").distinct()
+
+
+def commit_minhash_bands(
+    df: DataFrame,
+    table: str,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    bands: int = 8,
+    k: int = 5,
+    hash_fn: str = "md5",
+    n_buckets: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a corpus' LSH band keys as a ``band_hash``-bucketed table —
+    the standing index a daily ingest dedups against. ``mode='append'``
+    adds a new batch's keys after it has been dedup-checked, so the table
+    only ever grows by accepted batches (the commit discipline lineage.py's
+    wave protocol uses, applied to the dedup index).
+
+    At 100 TB the full corpus is NEVER re-signatured: each batch computes
+    its own keys once and the bucketed layout keeps every later join
+    exchange-free on this (large) side."""
+    from docling_gfcr_spark import io as gio
+
+    banded = minhash_band_keys(df, text_col, id_col, n_hashes, bands, k, hash_fn)
+    gio.write_bucketed(banded, table, path, key="band_hash", n_buckets=n_buckets, mode=mode)
+
+
+def incremental_minhash_pairs(
+    spark,
+    table: str,
+    new_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    bands: int = 8,
+    k: int = 5,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Append-only near-dup dedup: candidate pairs of a NEW batch against
+    (committed corpus + the batch itself) WITHOUT recomputing the corpus.
+
+    Equals ``minhash_lsh_pairs(old UNION new)`` restricted to pairs that
+    touch at least one new id (old-old pairs were resolved when those
+    batches were ingested) — the driver gate value-checks exactly that
+    equivalence. Precondition: batch ids are disjoint from committed ids.
+
+    Scale shape:
+    - batch band keys are computed once (O(batch));
+    - new-vs-corpus candidates come from an equi-join on (band, band_hash)
+      against the ``band_hash``-bucketed committed table: the corpus side
+      needs NO exchange (bucketed layout, pinned in test_plans) and only
+      the small batch side moves;
+    - batch-internal pairs reuse the collect_list + ordered-pair
+      enumeration (no self-join, threshold-sized buckets).
+    """
+    new_banded = minhash_band_keys(new_df, text_col, id_col, n_hashes, bands, k, hash_fn)
+    committed = spark.table(table)
+    # new-vs-corpus: every committed id sharing a band key with a batch id
+    cross = (
+        committed.alias("c")
+        .join(new_banded.alias("n"), ["band", "band_hash"])
+        .select(
+            F.least(F.col("c.id"), F.col("n.id")).alias("id_a"),
+            F.greatest(F.col("c.id"), F.col("n.id")).alias("id_b"),
+        )
+        .where(F.col("id_a") != F.col("id_b"))
+    )
+    # new-vs-new: dup pairs arriving inside the same batch
+    groups = (
+        new_banded.groupBy("band", "band_hash")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    batch_pairs = explode_ordered_pairs(groups, "ids", "id_a", "id_b")
+    return cross.unionByName(batch_pairs).distinct()
 
 
 def _free_local_checkpoint(df: DataFrame) -> None:

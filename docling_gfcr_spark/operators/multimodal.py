@@ -235,3 +235,36 @@ def media_summary(df: DataFrame) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.round(F.avg("n_bytes"), 2).alias("avg_bytes"),
     )
+
+
+def media_ref_token(payload_b64: str | None) -> str | None:
+    """Compact typed ref for a base64 image payload —
+    ``<media:{format}:{W}x{H}:{sha256-16}>`` — or ``None`` when the
+    container doesn't parse (the caller falls back to the text route's
+    apology record, mirroring pipeline's image handling). Pure Python so
+    the fixture oracle (tools/make_fixtures.py) runs the IDENTICAL code
+    the Spark UDF batches."""
+    import base64
+    import binascii
+
+    if payload_b64 is None:
+        return None
+    try:
+        blob = base64.b64decode(payload_b64, validate=True)
+        meta = media.parse_image(blob)
+    except (ValueError, binascii.Error):  # MediaParseError subclasses ValueError
+        return None
+    return (
+        f"<media:{meta['format']}:{meta['width']}x{meta['height']}"
+        f":{hashlib.sha256(blob).hexdigest()[:16]}>"
+    )
+
+
+from pyspark.sql.types import StringType  # noqa: E402  (DDL strings need a live session at import)
+
+
+@F.pandas_udf(StringType())
+def media_ref_udf(payload_b64: pd.Series) -> pd.Series:
+    """Arrow-batched twin of :func:`media_ref_token` (one Python stage over
+    the FILTERED media turns only — the text majority never reaches it)."""
+    return payload_b64.map(media_ref_token)

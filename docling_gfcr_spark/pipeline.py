@@ -604,6 +604,64 @@ def assemble_conversations(df: DataFrame, bucket_turns: int = 1024) -> DataFrame
     )
 
 
+def assemble_multimodal_conversations(
+    df: DataFrame, mode: str = "agent", bucket_turns: int = 1024
+) -> DataFrame:
+    """One packed MULTIMODAL training record per conversation — what a
+    trainer actually consumes: text turns contribute their extracted
+    markdown, image turns contribute a compact typed ref
+    ``<media:{format}:{W}x{H}:{sha256-16}>`` inline at their turn position,
+    plus a per-conversation media inventory.
+
+    Input is the RAW transcripts frame (input-hint schema). Output:
+    ``(conv_id, conv_text, n_turns, n_media, media_refs)`` where
+    ``media_refs`` is the ';'-joined ``turn_idx:<media:...>`` list in turn
+    order (empty string for text-only conversations). Unparseable media
+    payloads fall back to the text route's apology record — exactly the
+    per-turn semantics of :func:`extract_turns`.
+
+    Scale shape: the ref UDF runs ONLY over the filtered media turns (the
+    text majority never enters that Python stage); the (conv_id, turn_idx)
+    join and the conversation groupBys share a key family, and the text
+    assembly reuses the skew-safe two-phase slab concat.
+    """
+    from docling_gfcr_spark.operators import multimodal as mm
+
+    refs = (
+        df.where(F.col("tool").isin(sorted(IMAGE_KINDS)))
+        .select("conv_id", "turn_idx", mm.media_ref_udf(F.col("text")).alias("media_ref"))
+    )
+    ex = extract_turns(df, mode=mode)
+    merged = ex.join(refs, ["conv_id", "turn_idx"], "left")
+    base = merged.select(
+        "conv_id",
+        "turn_idx",
+        F.coalesce(F.col("media_ref"), F.col("extracted_text")).alias("extracted_text"),
+    )
+    conv = assemble_conversations(base, bucket_turns)
+    media_agg = (
+        refs.where(F.col("media_ref").isNotNull())
+        .groupBy("conv_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("turn_idx", "media_ref"))),
+                    lambda s: F.concat_ws(":", s.turn_idx.cast("string"), s.media_ref),
+                ),
+                ";",
+            ).alias("media_refs"),
+            F.count("*").cast("int").alias("n_media"),
+        )
+    )
+    return conv.join(media_agg, "conv_id", "left").select(
+        "conv_id",
+        "conv_text",
+        "n_turns",
+        F.coalesce(F.col("n_media"), F.lit(0)).alias("n_media"),
+        F.coalesce(F.col("media_refs"), F.lit("")).alias("media_refs"),
+    )
+
+
 def partition_metrics(df: DataFrame) -> DataFrame:
     """Per-physical-partition extraction metrics (north_star: nodes classified,
     spans emitted, parse failures) — feeds the lineage table."""

@@ -30,6 +30,25 @@ from docling_gfcr_spark.kernels.pdf_layout import PAGE_SEP
 
 SCHEMA = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
 
+
+def generator_fingerprint() -> str:
+    """Content hash of this generator AND every kernel module its payload
+    builders call. Bench corpus caches key their directory name on this, so
+    a kind-mix or kernel change can never silently time a STALE corpus
+    (round-4 verdict: the cache was keyed by conv count alone)."""
+    import glob
+    import hashlib
+    import os
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.sha256()
+    for path in [os.path.join(root, "transcripts.py")] + sorted(
+        glob.glob(os.path.join(root, "kernels", "*.py"))
+    ):
+        with open(path, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:10]
+
 _VOCAB = (
     "data spark table query window merge batch stream filter aggregate join row "
     "column value key scan sort hash group partition line customer order fast "

@@ -48,6 +48,7 @@ def test_golden_optimize_matches_reference(reference_agent, golden_text):
     [
         "extract_transcripts",
         "extract_assembled_convs",
+        "multimodal_assembled_convs",
         "dedup_simhash",
         "dedup_clusters",
         "emb_neardup_lsh",

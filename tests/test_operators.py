@@ -948,3 +948,70 @@ def test_zorder_rejects_reserved_column(spark):
     df = spark.range(3).select(F.col("id"), F.lit(1).alias("_zkey"))
     with pytest.raises(ValueError, match="_zkey"):
         layout.zorder_write(df, "/tmp/never", cols=["id"])
+
+
+def test_incremental_minhash_equals_full_recompute(spark, planted_docs, tmp_path):
+    """Append-only dedup invariant: committing the 'old' corpus' band keys
+    and dedup-checking a NEW batch against the table yields EXACTLY the
+    full-recompute pairs (old+new) restricted to pairs touching the batch —
+    including new-vs-new dups arriving in the same batch."""
+    old = planted_docs.where(F.col("doc_id") < 100)
+    new = planted_docs.where(F.col("doc_id") >= 100)  # near+exact dups of old
+    table = "incr_test_bands"
+    dedup.commit_minhash_bands(
+        old, table, str(tmp_path / "bands"), n_hashes=32, bands=8, k=3, hash_fn="md5"
+    )
+    got = dedup.incremental_minhash_pairs(
+        spark, table, new, n_hashes=32, bands=8, k=3, hash_fn="md5"
+    ).toPandas()
+    full = dedup.minhash_lsh_pairs(
+        planted_docs, n_hashes=32, bands=8, k=3, hash_fn="md5"
+    ).toPandas()
+    new_ids = {int(r.doc_id) for r in new.select("doc_id").collect()}
+    want = {
+        (int(a), int(b))
+        for a, b in zip(full.id_a, full.id_b)
+        if int(a) in new_ids or int(b) in new_ids
+    }
+    assert {(int(a), int(b)) for a, b in zip(got.id_a, got.id_b)} == want
+    assert len(want) >= 20  # the planted dups actually collide
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_incremental_minhash_append_waves(spark, planted_docs, tmp_path):
+    """mode='append' grows the committed table by accepted batches; a batch
+    arriving after TWO waves sees dups from both."""
+    wave1 = planted_docs.where(F.col("doc_id") < 30)
+    wave2 = planted_docs.where((F.col("doc_id") >= 30) & (F.col("doc_id") < 100))
+    batch = planted_docs.where(F.col("doc_id") >= 100)
+    table = "incr_test_waves"
+    path = str(tmp_path / "waves")
+    dedup.commit_minhash_bands(wave1, table, path, n_hashes=32, bands=8, k=3, hash_fn="md5")
+    dedup.commit_minhash_bands(
+        wave2, table, path, n_hashes=32, bands=8, k=3, hash_fn="md5", mode="append"
+    )
+    got = dedup.incremental_minhash_pairs(
+        spark, table, batch, n_hashes=32, bands=8, k=3, hash_fn="md5"
+    ).toPandas()
+    pairs = {(int(a), int(b)) for a, b in zip(got.id_a, got.id_b)}
+    # planted: 100+j is a near-dup of j (<30 -> wave1), exact dups 200+j of
+    # j<5 (wave1); near-dups of 30..44? none — but docs j in [0,15) span
+    # wave1 only; assert every planted (j, 100+j) and (j, 200+j) pair found
+    for j in range(15):
+        assert (j, 100 + j) in pairs
+    for j in range(5):
+        assert (j, 200 + j) in pairs
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_media_ref_token_and_udf_agree(spark):
+    import base64
+
+    payloads = []
+    for i in range(12):
+        _mod, blob = multimodal.gen_media_payload(i)
+        payloads.append(base64.b64encode(blob).decode("ascii"))
+    payloads.append("not-base64!!")
+    df = spark.createDataFrame([(p,) for p in payloads], "text string")
+    got = [r.ref for r in df.select(multimodal.media_ref_udf("text").alias("ref")).collect()]
+    assert got == [multimodal.media_ref_token(p) for p in payloads]

@@ -471,3 +471,40 @@ def test_optimize_validate_flags_independent(spark):
     cli_opt = pipeline.extract_one("plain body", "plain", "n", "cli", optimize=True)
     assert cli_opt["extracted_text"].startswith("---\ntitle: n\n")
     assert "# n\n\nplain body" not in cli_opt["extracted_text"]
+
+
+def test_assemble_multimodal_conversations(spark):
+    """Media turns appear as typed ref tokens INLINE at their turn position;
+    the inventory lists them in turn order; junk media falls back to the
+    apology record like the plain extraction route."""
+    import base64
+
+    from docling_gfcr_spark.operators import multimodal as mm
+
+    _mod, blob = mm.gen_media_payload(0)  # a real PNG
+    b64 = base64.b64encode(blob).decode("ascii")
+    ref = mm.media_ref_token(b64)
+    assert ref and ref.startswith("<media:png:")
+    df = spark.createDataFrame(
+        [
+            ("cM", 0, "user", "# hello\n\nworld", "markdown", None),
+            ("cM", 1, "user", b64, "png", None),
+            ("cM", 2, "user", "plain tail", "plain", None),
+            ("cN", 0, "user", "no media here", "plain", None),
+            ("cN", 1, "user", "bm90IGFuIGltYWdl", "png", None),  # junk image
+        ],
+        schema=transcripts.SCHEMA,
+    )
+    out = {
+        r.conv_id: r
+        for r in pipeline.assemble_multimodal_conversations(df, mode="agent").collect()
+    }
+    m = out["cM"]
+    parts = m.conv_text.split("\n")
+    assert ref in parts  # inline at its own turn position
+    assert m.n_media == 1 and m.media_refs == f"1:{ref}"
+    assert m.n_turns == 3
+    # junk media: apology fallback, empty inventory
+    n = out["cN"]
+    assert n.n_media == 0 and n.media_refs == ""
+    assert "no media here" in n.conv_text

@@ -212,3 +212,37 @@ def test_aqe_splits_planted_skew_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_incremental_dedup_committed_side_exchange_free(spark, tmp_path):
+    """The committed band table is band_hash-bucketed: the corpus side of
+    the incremental-dedup join must read straight from the bucketed scan
+    with NO Exchange — at 100 TB that side never shuffles; only the small
+    batch moves (broadcast or repartition-to-buckets)."""
+    from docling_gfcr_spark.operators import dedup
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    old = d.where("doc_id % 5 != 0")
+    new = d.where("doc_id % 5 = 0")
+    table = "plan_incr_bands"
+    dedup.commit_minhash_bands(
+        old, table, str(tmp_path / "bands"), n_hashes=8, bands=4, k=3, hash_fn="md5"
+    )
+    try:
+        pairs = dedup.incremental_minhash_pairs(
+            spark, table, new, n_hashes=8, bands=4, k=3, hash_fn="md5"
+        )
+        lines = plan_of(pairs).splitlines()
+        scan_idx = [i for i, l in enumerate(lines) if "Bucketed: true" in l and table in l]
+        assert scan_idx, "committed side must scan the bucketed table"
+        join_idx = [i for i, l in enumerate(lines) if "Join" in l and "band_hash" in l]
+        assert join_idx, "band-key join missing"
+        j, s = join_idx[0], scan_idx[0]
+        assert j < s, "bucketed scan must feed the join"
+        between = "\n".join(lines[j + 1 : s])
+        assert "Exchange" not in between, f"exchange on the committed side:\n{between}"
+        # and pair enumeration inside the batch stays self-join-free
+        # (worker-side ordered-pair explode, same as minhash_lsh_pairs)
+        assert "CartesianProduct" not in "\n".join(lines)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -90,6 +90,50 @@ def compute_extract_assembled_convs() -> pd.DataFrame:
     return df
 
 
+def compute_multimodal_assembled_convs() -> pd.DataFrame:
+    """Local oracle for queries.multimodal_assembled_convs: the identical
+    generator + extract_one + media_ref_token replayed single-threaded —
+    per-conv interleaved text (media turns replaced by their typed ref
+    token), md5-value-checked, plus the ordered media inventory."""
+    import hashlib
+
+    from docling_gfcr_spark import pipeline, transcripts
+    from docling_gfcr_spark.operators.multimodal import media_ref_token
+
+    rows = []
+    for c in range(100):
+        turns = transcripts.gen_conv_rows(42, c, mean_turns=6)
+        parts: dict[int, str] = {}
+        refs: dict[int, str] = {}
+        for r in turns:
+            ref = (
+                media_ref_token(r["text"]) if r["tool"] in pipeline.IMAGE_KINDS else None
+            )
+            if ref is not None:
+                refs[r["turn_idx"]] = ref
+                parts[r["turn_idx"]] = ref
+            else:
+                name = f"{r['conv_id']}-{r['turn_idx']:06d}".replace(" ", "_")
+                parts[r["turn_idx"]] = pipeline.extract_one(
+                    r["text"], r["tool"], name, "agent"
+                )["extracted_text"]
+        joined = "\n".join(parts[t] for t in sorted(parts))
+        rows.append(
+            {
+                "conv_id": turns[0]["conv_id"],
+                "n_turns": np.int32(len(turns)),
+                "n_media": np.int32(len(refs)),
+                "conv_chars": np.int32(len(joined)),
+                "conv_md5": hashlib.md5(joined.encode("utf-8")).hexdigest(),
+                "media_refs": ";".join(f"{t}:{refs[t]}" for t in sorted(refs)),
+            }
+        )
+    df = pd.DataFrame(rows)
+    for c in ("n_turns", "n_media", "conv_chars"):
+        df[c] = df[c].astype(np.int32)
+    return df
+
+
 def compute_resume_extraction_job() -> pd.DataFrame:
     """Local oracle for queries.resume_extraction_job: the content digest is
     recomputed from the generator + extract_one with no Spark and no lineage
@@ -356,6 +400,7 @@ def compute_office_bytes_roundtrip() -> pd.DataFrame:
 COMPUTE = {
     "extract_transcripts": compute_extract_transcripts,
     "extract_assembled_convs": compute_extract_assembled_convs,
+    "multimodal_assembled_convs": compute_multimodal_assembled_convs,
     "resume_extraction_job": compute_resume_extraction_job,
     "dedup_simhash": compute_dedup_simhash,
     "dedup_clusters": compute_dedup_clusters,

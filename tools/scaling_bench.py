@@ -61,10 +61,15 @@ spark.stop()
 
 
 def materialize() -> str:
-    path = os.path.join(CACHE, f"transcripts_{N_CONV}")
+    sys.path.insert(0, REPO)
+    from docling_gfcr_spark import transcripts
+
+    # content-addressed cache dir (generator + kernel sources): a kind-mix
+    # or payload-kernel change can never time a stale corpus (round-4 advice)
+    path = os.path.join(
+        CACHE, f"transcripts_{N_CONV}_{transcripts.generator_fingerprint()}"
+    )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        sys.path.insert(0, REPO)
-        from docling_gfcr_spark import transcripts
         from docling_gfcr_spark.session import get_spark
 
         spark = get_spark(app_name="gen", cores=16)
