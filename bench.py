@@ -65,7 +65,13 @@ HEADLINE = [
     "source_mixed_sample",
 ]
 
-N_CONV_BENCH = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
+# 60000 convs == tools/scaling_bench.py's corpus (same generator params,
+# same content-keyed cache dir): the bench extract number and the scaling
+# per-level throughputs are measured on the IDENTICAL corpus, so the two
+# artifacts cross-check each other (round-4 verdict acceptance: within
+# ~1.3x). The smaller round-4 corpus made fixed per-pass overhead look
+# like a throughput gap.
+N_CONV_BENCH = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "60000"))
 
 # fresh-JVM extraction child (argv: cores, corpus path) — identical knobs to
 # tools/scaling_bench.py so the two records are directly comparable

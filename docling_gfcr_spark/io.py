@@ -91,7 +91,17 @@ def compact_parquet(
     from pyspark.sql import functions as F
 
     def _canon(p: str) -> str:
-        return os.path.realpath(p.removeprefix("file:").rstrip("/"))
+        # fully-qualified Hadoop URI (fills the default scheme/authority, so
+        # 'hdfs://nn/t' vs '/t' vs 'file:/t' compare correctly on any
+        # configured filesystem), plus realpath for local symlink aliases
+        jvm = spark._jvm
+        hp = jvm.org.apache.hadoop.fs.Path(p)
+        fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+        q = fs.makeQualified(hp).toUri()
+        path = q.getPath()
+        if (q.getScheme() or "file") == "file":
+            path = os.path.realpath(path)
+        return f"{q.getScheme()}://{q.getAuthority() or ''}{path}".rstrip("/")
 
     # overwrite-mode on the directory being read would delete the source
     # mid-job; compaction is always rewrite-elsewhere + catalog repoint.

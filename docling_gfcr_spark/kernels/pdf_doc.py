@@ -319,6 +319,8 @@ def _apply_filters(raw: bytes, sdict: dict, resolve) -> bytes:
     parms = resolve(sdict.get("DecodeParms") or sdict.get("DP"))
     if not isinstance(parms, list):
         parms = [parms] * len(filters)
+    if len(parms) < len(filters):  # short DecodeParms list must not truncate
+        parms = parms + [None] * (len(filters) - len(parms))
     data = raw
     for flt, pm in zip(filters, parms):
         flt = str(resolve(flt)) if flt is not None else None
@@ -421,7 +423,13 @@ def _parse_tounicode(data: bytes) -> dict[int, str]:
                 base = int.from_bytes(dst, "big")
                 width = len(dst)
                 for off in range(hi_i - lo_i + 1):
-                    out[lo_i + off] = _u16((base + off).to_bytes(width, "big"))
+                    try:
+                        out[lo_i + off] = _u16((base + off).to_bytes(width, "big"))
+                    except OverflowError:
+                        # malformed range whose increment overflows the dst
+                        # width: stop the range, keep the ValueError-only
+                        # failure contract for callers
+                        break
     return out
 
 
@@ -557,6 +565,7 @@ class PdfDocument:
         self._cache: dict[int, object] = {}
         self._loading: set[int] = set()
         self._objstm_scanned = False
+        self._in_brute_scan = False
         try:
             self._parse_xref_chain()
             if not self.xref:
@@ -617,6 +626,11 @@ class PdfDocument:
                     raise ValueError("malformed xref entry")
                 if m.group(3) == b"n":
                     self.xref.setdefault(start + k, ("f", int(m.group(1))))
+                else:
+                    # FREE entry = tombstone: a newer update's deletion must
+                    # mask the older section's in-use offset ('newest wins'),
+                    # not resurrect stale content
+                    self.xref.setdefault(start + k, None)
                 i = _skip_ws(blob, m.end())
 
     def _parse_xref_stream_at(self, i: int) -> dict:
@@ -652,6 +666,8 @@ class PdfDocument:
                     self.xref.setdefault(start + k, ("f", f[1]))
                 elif typ == 2:
                     self.xref.setdefault(start + k, ("c", f[1], f[2] or 0))
+                elif typ == 0:  # free: tombstone masks older in-use entries
+                    self.xref.setdefault(start + k, None)
         return sd
 
     def _brute_scan(self) -> None:
@@ -661,6 +677,10 @@ class PdfDocument:
         Later duplicates (incremental updates) win."""
         blob = self.blob
         i = 0
+        # a forward indirect /Length resolved MID-scan must not trigger the
+        # ObjStm sweep on a partial offset map (and must not latch the
+        # scanned flag while recovery is still possible)
+        self._in_brute_scan = True
         while True:
             m = _OBJ_HEAD_RE.search(blob, i)
             if not m:
@@ -680,6 +700,8 @@ class PdfDocument:
             else:
                 self._cache[num] = obj
             i = end
+        self._in_brute_scan = False
+        self._objstm_scanned = False  # any mid-scan sweep ran on partial state
         root = self.trailer.get("Root")
         if not isinstance(root, Ref):
             for num in self.xref:
@@ -740,7 +762,8 @@ class PdfDocument:
             raise ValueError(f"circular object reference {num}")
         ent = self.xref.get(num)
         if ent is None:
-            self._scan_objstms_once()
+            if not self._in_brute_scan:
+                self._scan_objstms_once()
             if num in self._cache:
                 return self._cache[num]
             return None
@@ -793,7 +816,7 @@ class PdfDocument:
             return
         self._objstm_scanned = True
         for num, ent in list(self.xref.items()):
-            if ent[0] != "f":
+            if not ent or ent[0] != "f":
                 continue
             try:
                 obj = self.get(num)
@@ -816,8 +839,11 @@ class PdfDocument:
 
     # -- document structure -------------------------------------------------
 
-    def pages(self) -> list[tuple[dict, dict]]:
-        """[(page dict, inherited attrs)] in tree order."""
+    def pages(self, strict: bool = True) -> list[tuple[dict, dict]]:
+        """[(page dict, inherited attrs)] in tree order. ``strict`` raises
+        on /Kids entries that resolve to nothing (a broken object graph must
+        become an error envelope, not a silently shorter document —
+        round-4 contract); lenient mode skips them best-effort."""
         root = self.resolve(self.trailer.get("Root"))
         pages_ref = root.get("Pages") if isinstance(root, dict) else None
         top = self.resolve(pages_ref)
@@ -834,8 +860,14 @@ class PdfDocument:
         visited: set[int] = set()
 
         def walk(node, inherited: dict) -> None:
+            ref = node
             node = self.resolve(node)
-            if not isinstance(node, dict) or len(out) >= _MAX_PAGES:
+            if not isinstance(node, dict):
+                if strict:
+                    num = ref.num if isinstance(ref, Ref) else "?"
+                    raise ValueError(f"missing page object {num}")
+                return
+            if len(out) >= _MAX_PAGES:
                 return
             inh = dict(inherited)
             for key in ("Resources", "MediaBox", "Rotate"):
@@ -893,7 +925,7 @@ def parse_pdf_pages(blob: bytes, strict: bool = True) -> list[str]:
     degrades individual page failures to empty strings so one bad page
     cannot void a large document."""
     doc = PdfDocument(blob)
-    pages = doc.pages()
+    pages = doc.pages(strict=strict)
     out: list[str] = []
     for page, inh in pages:
         if strict:

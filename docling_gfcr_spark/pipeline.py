@@ -633,32 +633,46 @@ def assemble_multimodal_conversations(
     )
     ex = extract_turns(df, mode=mode)
     merged = ex.join(refs, ["conv_id", "turn_idx"], "left")
-    base = merged.select(
-        "conv_id",
-        "turn_idx",
-        F.coalesce(F.col("media_ref"), F.col("extracted_text")).alias("extracted_text"),
-    )
-    conv = assemble_conversations(base, bucket_turns)
-    media_agg = (
-        refs.where(F.col("media_ref").isNotNull())
-        .groupBy("conv_id")
+    # ONE downstream DAG: text slabs AND the media inventory aggregate in
+    # the same two-phase pass, so the ref UDF / join never evaluate twice
+    slab = F.floor(F.col("turn_idx") / bucket_turns).alias("slab")
+    part = F.coalesce(F.col("media_ref"), F.col("extracted_text")).alias("part")
+    media_item = F.when(
+        F.col("media_ref").isNotNull(), F.struct("turn_idx", "media_ref")
+    )  # null for text turns: collect_list skips them
+    phase1 = (
+        merged.select("conv_id", slab, "turn_idx", part, media_item.alias("mi"))
+        .groupBy("conv_id", "slab")
         .agg(
             F.array_join(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("turn_idx", "media_ref"))),
-                    lambda s: F.concat_ws(":", s.turn_idx.cast("string"), s.media_ref),
+                    F.array_sort(F.collect_list(F.struct("turn_idx", "part"))),
+                    lambda s: s.part,
                 ),
-                ";",
-            ).alias("media_refs"),
-            F.count("*").cast("int").alias("n_media"),
+                "\n",
+            ).alias("slab_text"),
+            F.count("*").alias("slab_turns"),
+            F.collect_list("mi").alias("slab_media"),
         )
     )
-    return conv.join(media_agg, "conv_id", "left").select(
-        "conv_id",
-        "conv_text",
-        "n_turns",
-        F.coalesce(F.col("n_media"), F.lit(0)).alias("n_media"),
-        F.coalesce(F.col("media_refs"), F.lit("")).alias("media_refs"),
+    media_sorted = F.array_sort(F.flatten(F.collect_list("slab_media")))
+    return phase1.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("slab", "slab_text"))),
+                lambda s: s.slab_text,
+            ),
+            "\n",
+        ).alias("conv_text"),
+        F.sum("slab_turns").cast("int").alias("n_turns"),
+        F.size(media_sorted).cast("int").alias("n_media"),
+        F.array_join(
+            F.transform(
+                media_sorted,
+                lambda s: F.concat_ws(":", s.turn_idx.cast("string"), s.media_ref),
+            ),
+            ";",
+        ).alias("media_refs"),
     )
 
 

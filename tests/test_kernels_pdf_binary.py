@@ -39,11 +39,13 @@ def test_valid_pdf_skeleton():
 
 
 def test_tj_array_and_octal_and_escapes():
+    import re
+
     old_op, new_op = b"(x) Tj", b"[(he) -20 (llo)] TJ 0 -14 Td (\\101\\052\\)) Tj"
     blob = pdf_binary.build_pdf([["x"]])
     # splice in the richer operators AND keep /Length honest (the parser
     # slices streams by /Length per the spec)
-    m = pdf_binary._LENGTH_RE.search(blob)
+    m = re.search(rb"/Length (\d+)", blob)
     old_len = int(m.group(1))
     blob = blob.replace(old_op, new_op).replace(
         b"/Length %d" % old_len, b"/Length %d" % (old_len + len(new_op) - len(old_op)), 1
@@ -121,20 +123,13 @@ def test_generator_payloads_roundtrip():
 
 def test_flate_stream_ending_in_carriage_return_parses():
     """Regression: compressed payloads whose zlib bytes END in 0x0D must
-    slice exactly via /Length (an endstream-regex eats that byte as EOL and
-    truncates the stream — ~1/256 of valid Flate PDFs)."""
+    slice exactly via /Length (an endstream-scan eats that byte as EOL and
+    truncates the stream — ~1/256 of valid Flate PDFs). The document parser
+    (pdf_doc) slices by /Length whenever it is present; this pins the
+    end-to-end behavior on real zlib outputs ending in 0x0D."""
     import random
     import zlib
 
-    # direct unit check: /Length slicing keeps a trailing 0x0D the legacy
-    # endstream-regex would have eaten as part of its \r?\n
-    data = b"PAYLOAD\r"
-    cobj = b"\n<< /Length 8 >>\nstream\n" + data + b"\nendstream\n"
-    got, _head = pdf_binary._stream_payload(cobj, 1)
-    assert got == data
-    assert pdf_binary._STREAM_RE.search(cobj).group(1) == data[:-1]  # the old bug
-
-    # end-to-end: deterministic search for real zlib outputs ending in 0x0D
     rng = random.Random(0)
     alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 .,;:!?-"
     found = 0

@@ -156,23 +156,17 @@ def test_indirect_length_resolves_not_slices():
 def test_tj_array_with_brackets_and_nested_parens():
     """']' inside TJ strings and nested balanced parens are legal PDF; the
     round-4 regexes dropped the text silently (ADVICE low)."""
+    import re
+
     new_op = b"[(a]b) -20 ([c)] TJ 0 -14 Td (par (nested (deep)) done) Tj"
     blob = pdf_binary.build_pdf([["x"]])
-    m = pdf_binary._LENGTH_RE.search(blob)
-    old_len = int(m.group(1))
+    old_len = int(re.search(rb"/Length (\d+)", blob).group(1))
     blob = blob.replace(b"(x) Tj", new_op).replace(
         b"/Length %d" % old_len,
         b"/Length %d" % (old_len + len(new_op) - len(b"(x) Tj")),
         1,
     )
     assert pdf_binary.pdf_bytes_to_pages(blob) == ["a]b[c\npar (nested (deep)) done"]
-
-
-def test_literal_length_regex_refuses_indirect():
-    assert pdf_binary._LENGTH_RE.search(b"<< /Length 6 0 R >>") is None
-    assert int(pdf_binary._LENGTH_RE.search(b"<< /Length 42 >>").group(1)) == 42
-    # and never half-matches a prefix of the object number
-    assert pdf_binary._LENGTH_RE.search(b"<< /Length 66 0 R >>") is None
 
 
 def _mini_pdf(ops: bytes, page_extra: bytes = b"", extra_objs: bytes = b"") -> bytes:
@@ -232,3 +226,51 @@ def test_golden_reference_pdf_extracts():
         assert phrase in text, f"missing {phrase!r}"
     # and through the ROUTE: pdf_binary delegates to this parser
     assert pdf_binary.pdf_bytes_to_pages(blob) == pdf_doc.parse_pdf_pages(blob)
+
+
+def test_missing_kid_raises_strict_skips_lenient():
+    """A /Kids entry referencing a nonexistent object is a broken graph:
+    strict (the pipeline route) -> error envelope; lenient (golden mode)
+    -> best-effort skip."""
+    blob = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R 99 0 R] /Count 2 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        + (b"4 0 obj << /Length 6 >>\nstream\n(a) Tj\nendstream endobj\n")
+    )
+    with pytest.raises(ValueError, match="missing page object 99"):
+        pdf_doc.parse_pdf_pages(blob, strict=True)
+    assert pdf_doc.parse_pdf_pages(blob, strict=False) == ["a"]
+
+
+def test_bfrange_overflow_keeps_valueerror_contract():
+    """A bfrange whose increment overflows the destination width must not
+    escape as OverflowError — the parser's contract is ValueError-only."""
+    cmap = (
+        b"begincmap 1 beginbfrange <0000> <00FF> <FF> endbfrange endcmap"
+    )
+    ops = b"BT /F1 12 Tf <0041> Tj ET"
+    blob = build_pdf15(ops, cmap)
+    pages = pdf_doc.parse_pdf_pages(blob)  # must simply not crash
+    assert len(pages) == 1
+
+
+def test_free_xref_entry_masks_older_object():
+    """An incremental update that FREES an object must tombstone it: the
+    older section's in-use offset may not resurrect deleted content."""
+    doc_v1 = pdf_binary.build_pdf([["original"]])
+    # append an update: xref marks content object 4 free, /Prev chains back
+    prev = int(doc_v1.rsplit(b"startxref", 1)[1].split(b"%%EOF")[0].strip())
+    upd_xref_at = len(doc_v1)
+    update = (
+        b"xref\n4 1\n0000000000 65535 f \n"
+        b"trailer\n<< /Size 7 /Root 1 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n"
+        % (prev, upd_xref_at)
+    )
+    blob = doc_v1 + update
+    d = pdf_doc.PdfDocument(blob)
+    assert d.get(4) is None  # freed, not the stale stream
+    # and the page now extracts as empty rather than 'original'
+    with pytest.raises(ValueError):
+        pdf_doc.parse_pdf_pages(blob, strict=True)  # missing content object

@@ -133,6 +133,47 @@ def main() -> None:
         ),
     ]
 
+    # incremental dedup: needs a committed band table first
+    import tempfile
+
+    incr_table = "plan_audit_incr_bands"
+    dedup.commit_minhash_bands(
+        docs.where("doc_id % 5 != 0"),
+        incr_table,
+        tempfile.mkdtemp() + "/bands",
+        n_hashes=8,
+        bands=4,
+        k=3,
+        hash_fn="md5",
+    )
+    sections.append(
+        (
+            "Incremental (append-only) MinHash dedup",
+            "The committed corpus band table is band_hash-BUCKETED: its scan "
+            "feeds the band-key join with NO Exchange (Bucketed: true, "
+            "SelectedBucketsCount visible) — at 100 TB the corpus side never "
+            "shuffles; only the small batch side moves (broadcast here). "
+            "Batch-internal pairs reuse the worker-side ordered-pair "
+            "enumeration. Pinned by test_plans::"
+            "test_incremental_dedup_committed_side_exchange_free.",
+            dedup.incremental_minhash_pairs(
+                spark, incr_table, docs.where("doc_id % 5 = 0"),
+                n_hashes=8, bands=4, k=3, hash_fn="md5",
+            ),
+        )
+    )
+    sections.append(
+        (
+            "Multimodal conversation assembly",
+            "ONE downstream DAG: the media-ref pandas UDF runs only over the "
+            "FILTERED image turns (ArrowEvalPython on the small side of the "
+            "left join), and the text slabs AND media inventory aggregate in "
+            "the same two-phase pass — the UDF/join sub-DAG is never "
+            "evaluated twice.",
+            pipeline.assemble_multimodal_conversations(tdf, mode="agent"),
+        )
+    )
+
     out = [
         "# PLANS — physical-plan audit of the scale-critical operators",
         "",
