@@ -494,9 +494,11 @@ def _default_font() -> _Font:
 _EI_RE = re.compile(rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|$)")
 
 
-def _interpret_content(data: bytes, fonts: dict[str, _Font]) -> str:
+def _interpret_content(data: bytes, fonts: dict[str, _Font], do_xobject=None) -> str:
     """Run the text-showing subset of the content-stream grammar in stream
-    order: one output line per show operator (Tj / ' / " / TJ)."""
+    order: one output line per show operator (Tj / ' / " / TJ). ``Do`` on a
+    Form XObject renders its content via ``do_xobject(name)`` (real PDFs
+    routinely put headers/footers/stamped text in forms)."""
     lines: list[str] = []
     stack: list = []
     cur = _default_font()
@@ -521,6 +523,11 @@ def _interpret_content(data: bytes, fonts: dict[str, _Font]) -> str:
             start = idm.end() if idm else i
             eim = _EI_RE.search(data, start)
             i = eim.end() if eim else n
+        elif val == "Do" and do_xobject is not None:
+            nm = next((s for s in reversed(stack) if isinstance(s, Name)), None)
+            sub = do_xobject(str(nm)) if nm is not None else None
+            if sub:
+                lines.append(sub)
         elif val == "Tf":
             nm = next((s for s in reversed(stack) if isinstance(s, Name)), None)
             if nm is not None and str(nm) in fonts:
@@ -907,7 +914,14 @@ class PdfDocument:
             chunks.append(self.stream_data(c))
         data = b"\n".join(chunks)
         res = self.resolve(page.get("Resources", inherited.get("Resources"))) or {}
-        fdict = self.resolve(res.get("Font")) if isinstance(res, dict) else None
+        return self._render_content(data, res, depth=0)
+
+    def _render_content(self, data: bytes, res, depth: int) -> str:
+        """Interpret one content stream under its resource dict; Form
+        XObjects recurse (depth-capped) with their OWN resources."""
+        if not isinstance(res, dict):
+            res = {}
+        fdict = self.resolve(res.get("Font"))
         fonts = {}
         if isinstance(fdict, dict):
             for name, fref in fdict.items():
@@ -915,7 +929,26 @@ class PdfDocument:
                     fonts[str(name)] = _Font(self, fref)
                 except ValueError:
                     continue
-        return _interpret_content(data, fonts)
+        xdict = self.resolve(res.get("XObject"))
+
+        def do_xobject(name: str):
+            if depth >= 8 or not isinstance(xdict, dict):
+                return None
+            xo = self.resolve(xdict.get(name))
+            if not isinstance(xo, Stream):
+                return None
+            if str(self.resolve(xo.sdict.get("Subtype")) or "") != "Form":
+                return None  # images etc. carry no text
+            sub_res = self.resolve(xo.sdict.get("Resources"))
+            try:
+                return self._render_content(
+                    self.stream_data(xo), sub_res if isinstance(sub_res, dict) else res,
+                    depth + 1,
+                )
+            except ValueError:
+                return None  # a broken form must not void the page
+
+        return _interpret_content(data, fonts, do_xobject)
 
 
 def parse_pdf_pages(blob: bytes, strict: bool = True) -> list[str]:

@@ -224,6 +224,18 @@ def test_golden_reference_pdf_extracts():
         "Casa Civil",
     ):
         assert phrase in text, f"missing {phrase!r}"
+    # quantitative parity with the reference's own conversion output:
+    # >=90% of its >=4-char vocabulary must appear in our extraction
+    # (measured 97.5% recall / 87% precision / comparable char volume)
+    import re as _re
+
+    if os.path.exists(GOLDEN_MD):
+        ref = open(GOLDEN_MD, encoding="utf-8").read()
+        pat = r"[a-záéíóúâêôãõçà-ü]{4,}"
+        ours_w = set(_re.findall(pat, text.lower()))
+        ref_w = set(_re.findall(pat, ref.lower()))
+        recall = len(ours_w & ref_w) / len(ref_w)
+        assert recall >= 0.9, f"vocabulary recall {recall:.3f} < 0.9"
     # and through the ROUTE: pdf_binary delegates to this parser
     assert pdf_binary.pdf_bytes_to_pages(blob) == pdf_doc.parse_pdf_pages(blob)
 
@@ -274,3 +286,37 @@ def test_free_xref_entry_masks_older_object():
     # and the page now extracts as empty rather than 'original'
     with pytest.raises(ValueError):
         pdf_doc.parse_pdf_pages(blob, strict=True)  # missing content object
+
+
+def test_form_xobject_text_rendered():
+    """Text inside a /Subtype/Form XObject (headers, stamps — routine in
+    real PDFs) renders at its Do position, with the form's OWN resources;
+    a self-referencing form terminates via the depth cap."""
+    form = b"BT /F9 9 Tf (from-the-form) Tj ET"
+    blob = _mini_pdf(
+        b"BT (before) Tj ET /Fx1 Do BT (after) Tj ET",
+        page_extra=b"/Resources << /XObject << /Fx1 5 0 R >> >> ",
+        extra_objs=(
+            (b"5 0 obj << /Type /XObject /Subtype /Form /Length %d "
+             b"/Resources << /Font << /F9 6 0 R >> >> >>\nstream\n" % len(form))
+            + form
+            + b"\nendstream endobj\n"
+            + b"6 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n"
+        ),
+    )
+    assert pdf_doc.parse_pdf_pages(blob) == ["before\nfrom-the-form\nafter"]
+
+    # cycle: form whose content invokes itself — depth cap, no recursion error
+    cyc = b"(loop) Tj /Fx1 Do"
+    blob2 = _mini_pdf(
+        b"/Fx1 Do",
+        page_extra=b"/Resources << /XObject << /Fx1 5 0 R >> >> ",
+        extra_objs=(
+            (b"5 0 obj << /Type /XObject /Subtype /Form /Length %d "
+             b"/Resources << /XObject << /Fx1 5 0 R >> >> >>\nstream\n" % len(cyc))
+            + cyc
+            + b"\nendstream endobj\n"
+        ),
+    )
+    pages = pdf_doc.parse_pdf_pages(blob2)
+    assert len(pages) == 1 and "loop" in pages[0]
