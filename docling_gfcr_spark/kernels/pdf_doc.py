@@ -573,9 +573,20 @@ class PdfDocument:
         self._loading: set[int] = set()
         self._objstm_scanned = False
         self._in_brute_scan = False
+        # document-level caches: fonts and decoded streams are immutable
+        # once parsed; without these the 189-page golden doc re-parses every
+        # shared font/CMap per page and every repeated header form per Do
+        self._fonts: dict[object, _Font] = {}
+        self._decoded: dict[int, bytes] = {}
+        # total Do-invocation budget per document: a depth cap alone still
+        # allows ~fanout^depth renders on crafted files (untrusted pdf_b64
+        # route) — once spent, every further Do renders nothing in O(1)
+        self._do_budget = 10_000
         try:
             self._parse_xref_chain()
-            if not self.xref:
+            # tombstones (freed objects) alone are not a usable xref — an
+            # all-free table must still fall back to the brute scan
+            if not any(v is not None for v in self.xref.values()):
                 raise ValueError("empty xref")
         except ValueError:
             self.xref = {}
@@ -767,6 +778,8 @@ class PdfDocument:
             return self._cache[num]
         if num in self._loading:
             raise ValueError(f"circular object reference {num}")
+        if num in self.xref and self.xref[num] is None:
+            return None  # FREED object: resolves to null, never resurrected
         ent = self.xref.get(num)
         if ent is None:
             if not self._in_brute_scan:
@@ -809,12 +822,15 @@ class PdfDocument:
             ooff, i = _parse_obj(data, i)
             pairs.append((int(onum), int(ooff)))
         for onum, ooff in pairs:
-            if onum not in self._cache:
-                try:
-                    val, _ = _parse_obj(data, first + ooff)
-                except ValueError:
-                    continue
-                self._cache[onum] = val
+            # skip already-parsed objects AND freed ones: an older ObjStm
+            # copy must not resurrect an object the newest xref tombstoned
+            if onum in self._cache or (onum in self.xref and self.xref[onum] is None):
+                continue
+            try:
+                val, _ = _parse_obj(data, first + ooff)
+            except ValueError:
+                continue
+            self._cache[onum] = val
 
     def _scan_objstms_once(self) -> None:
         """Brute-mode fallback: index every /Type/ObjStm so compressed
@@ -842,7 +858,20 @@ class PdfDocument:
         obj = self.resolve(obj)
         if not isinstance(obj, Stream):
             raise ValueError("expected a stream object")
-        return _apply_filters(obj.raw, obj.sdict, self._resolve_simple)
+        key = id(obj)  # Stream objects live in _cache for the doc lifetime
+        data = self._decoded.get(key)
+        if data is None:
+            data = _apply_filters(obj.raw, obj.sdict, self._resolve_simple)
+            self._decoded[key] = data
+        return data
+
+    def _font_for(self, fref) -> _Font:
+        key = fref.num if isinstance(fref, Ref) else id(fref)
+        f = self._fonts.get(key)
+        if f is None:
+            f = _Font(self, fref)
+            self._fonts[key] = f
+        return f
 
     # -- document structure -------------------------------------------------
 
@@ -926,13 +955,19 @@ class PdfDocument:
         if isinstance(fdict, dict):
             for name, fref in fdict.items():
                 try:
-                    fonts[str(name)] = _Font(self, fref)
+                    fonts[str(name)] = self._font_for(fref)
                 except ValueError:
                     continue
         xdict = self.resolve(res.get("XObject"))
 
         def do_xobject(name: str):
             if depth >= 8 or not isinstance(xdict, dict):
+                return None
+            # document-wide render budget: a depth cap alone still allows
+            # ~fanout^depth renders on crafted files; once spent, every Do
+            # is O(1), so total form work is bounded no matter the graph
+            self._do_budget -= 1
+            if self._do_budget < 0:
                 return None
             xo = self.resolve(xdict.get(name))
             if not isinstance(xo, Stream):
@@ -945,7 +980,7 @@ class PdfDocument:
                     self.stream_data(xo), sub_res if isinstance(sub_res, dict) else res,
                     depth + 1,
                 )
-            except ValueError:
+            except (ValueError, RecursionError):
                 return None  # a broken form must not void the page
 
         return _interpret_content(data, fonts, do_xobject)

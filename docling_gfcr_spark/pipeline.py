@@ -569,27 +569,33 @@ def salted_repartition(df: DataFrame, num_partitions: int, num_salts: int = 16) 
     )
 
 
-def assemble_conversations(df: DataFrame, bucket_turns: int = 1024) -> DataFrame:
-    """Per-conversation document assembly, skew-safe two-phase concat.
-
-    Phase 1 groups by (conv_id, slab) — mega-conversations spread over many
-    tasks; each slab sorts its turns locally (array_sort on struct orders by
-    turn_idx first) and concatenates. Phase 2 merges the few slabs per conv.
-    Output: one row per conv with turns joined by newline in turn order.
-    """
+def _two_phase_assemble(
+    df: DataFrame,
+    bucket_turns: int,
+    text_col: str = "extracted_text",
+    extra_cols: tuple = (),
+    phase1_extra: tuple = (),
+    phase2_extra: tuple = (),
+) -> DataFrame:
+    """Shared skew-safe two-phase concat core: phase 1 groups by (conv_id,
+    slab) — mega-conversations spread over many tasks; each slab sorts its
+    turns locally (array_sort on struct orders by turn_idx first) and
+    concatenates; phase 2 merges the few slabs per conv. Extra aggregate
+    columns ride the SAME two groupBys (one DAG, no second pass)."""
     slab = F.floor(F.col("turn_idx") / bucket_turns).alias("slab")
     phase1 = (
-        df.select("conv_id", slab, "turn_idx", "extracted_text")
+        df.select("conv_id", slab, "turn_idx", F.col(text_col), *extra_cols)
         .groupBy("conv_id", "slab")
         .agg(
             F.array_join(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("turn_idx", "extracted_text"))),
-                    lambda s: s.extracted_text,
+                    F.array_sort(F.collect_list(F.struct("turn_idx", text_col))),
+                    lambda s: s[text_col],
                 ),
                 "\n",
             ).alias("slab_text"),
             F.count("*").alias("slab_turns"),
+            *phase1_extra,
         )
     )
     return phase1.groupBy("conv_id").agg(
@@ -601,7 +607,15 @@ def assemble_conversations(df: DataFrame, bucket_turns: int = 1024) -> DataFrame
             "\n",
         ).alias("conv_text"),
         F.sum("slab_turns").cast("int").alias("n_turns"),
+        *phase2_extra,
     )
+
+
+def assemble_conversations(df: DataFrame, bucket_turns: int = 1024) -> DataFrame:
+    """Per-conversation document assembly, skew-safe two-phase concat.
+    Output: one row per conv with turns joined by newline in turn order.
+    """
+    return _two_phase_assemble(df, bucket_turns)
 
 
 def assemble_multimodal_conversations(
@@ -633,46 +647,33 @@ def assemble_multimodal_conversations(
     )
     ex = extract_turns(df, mode=mode)
     merged = ex.join(refs, ["conv_id", "turn_idx"], "left")
-    # ONE downstream DAG: text slabs AND the media inventory aggregate in
-    # the same two-phase pass, so the ref UDF / join never evaluate twice
-    slab = F.floor(F.col("turn_idx") / bucket_turns).alias("slab")
-    part = F.coalesce(F.col("media_ref"), F.col("extracted_text")).alias("part")
+    # ONE downstream DAG: text slabs AND the media inventory ride the same
+    # two-phase groupBys, so the ref UDF / join never evaluate twice
     media_item = F.when(
         F.col("media_ref").isNotNull(), F.struct("turn_idx", "media_ref")
     )  # null for text turns: collect_list skips them
-    phase1 = (
-        merged.select("conv_id", slab, "turn_idx", part, media_item.alias("mi"))
-        .groupBy("conv_id", "slab")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("turn_idx", "part"))),
-                    lambda s: s.part,
-                ),
-                "\n",
-            ).alias("slab_text"),
-            F.count("*").alias("slab_turns"),
-            F.collect_list("mi").alias("slab_media"),
-        )
+    base = merged.select(
+        "conv_id",
+        "turn_idx",
+        F.coalesce(F.col("media_ref"), F.col("extracted_text")).alias("extracted_text"),
+        media_item.alias("mi"),
     )
     media_sorted = F.array_sort(F.flatten(F.collect_list("slab_media")))
-    return phase1.groupBy("conv_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("slab", "slab_text"))),
-                lambda s: s.slab_text,
-            ),
-            "\n",
-        ).alias("conv_text"),
-        F.sum("slab_turns").cast("int").alias("n_turns"),
-        F.size(media_sorted).cast("int").alias("n_media"),
-        F.array_join(
-            F.transform(
-                media_sorted,
-                lambda s: F.concat_ws(":", s.turn_idx.cast("string"), s.media_ref),
-            ),
-            ";",
-        ).alias("media_refs"),
+    return _two_phase_assemble(
+        base,
+        bucket_turns,
+        extra_cols=("mi",),
+        phase1_extra=(F.collect_list("mi").alias("slab_media"),),
+        phase2_extra=(
+            F.size(media_sorted).cast("int").alias("n_media"),
+            F.array_join(
+                F.transform(
+                    media_sorted,
+                    lambda s: F.concat_ws(":", s.turn_idx.cast("string"), s.media_ref),
+                ),
+                ";",
+            ).alias("media_refs"),
+        ),
     )
 
 

@@ -320,3 +320,56 @@ def test_form_xobject_text_rendered():
     )
     pages = pdf_doc.parse_pdf_pages(blob2)
     assert len(pages) == 1 and "loop" in pages[0]
+
+
+def test_form_render_budget_bounds_crafted_fanout():
+    """Chained forms each invoking the next many times would render
+    ~fanout^depth streams; the document-wide Do budget bounds total form
+    work regardless of graph shape (untrusted pdf_b64 route)."""
+    import time
+
+    n_forms, fanout = 8, 30
+    objs = b""
+    for f in range(n_forms):
+        oid = 5 + f
+        nxt = oid + 1 if f < n_forms - 1 else oid  # last one self-refs
+        body = b"(x) Tj " + (b"/Fn Do " * fanout)
+        objs += (
+            (b"%d 0 obj << /Type /XObject /Subtype /Form /Length %d "
+             b"/Resources << /XObject << /Fn %d 0 R >> >> >>\nstream\n"
+             % (oid, len(body), nxt))
+            + body
+            + b"\nendstream endobj\n"
+        )
+    blob = _mini_pdf(
+        b"/F0 Do",
+        page_extra=b"/Resources << /XObject << /F0 5 0 R >> >> ",
+        extra_objs=objs,
+    )
+    t0 = time.time()
+    pages = pdf_doc.parse_pdf_pages(blob, strict=False)
+    assert time.time() - t0 < 30, "render budget failed to bound form fanout"
+    assert len(pages) == 1
+
+
+def test_freed_object_not_resurrected_from_objstm():
+    """A type-0 (free) entry in the newest xref stream must also mask an
+    OLDER ObjStm copy of the object — the compressed-object path of the
+    tombstone rule."""
+    blob = build_pdf15(b"BT /F1 12 Tf <0041> Tj ET", _CMAP)
+    d = pdf_doc.PdfDocument(blob)
+    assert isinstance(d.get(5), dict)  # the ObjStm-packed font parses
+    # now tombstone object 5 (packed in ObjStm 7) and re-load
+    d2 = pdf_doc.PdfDocument(blob)
+    d2.xref[5] = None
+    assert d2.get(5) is None  # freed: the ObjStm sweep must not revive it
+
+
+def test_font_and_stream_caches_are_per_document():
+    blob = pdf_binary.build_pdf([["a"], ["b"], ["c"]])
+    d = pdf_doc.PdfDocument(blob)
+    pages = d.pages()
+    for p, inh in pages:
+        d.page_text(p, inh)
+    # 3 pages, 1 shared font object -> exactly one cached decoder
+    assert len(d._fonts) == 1

@@ -133,14 +133,14 @@ def main() -> None:
         ),
     ]
 
-    # incremental dedup: needs a committed band table first
-    import tempfile
-
+    # incremental dedup: needs a committed band table first (written under
+    # the gitignored warehouse dir — overwritten per run, no /tmp orphans)
     incr_table = "plan_audit_incr_bands"
+    incr_path = os.path.join(REPO, "spark-warehouse", f"{incr_table}_data")
     dedup.commit_minhash_bands(
         docs.where("doc_id % 5 != 0"),
         incr_table,
-        tempfile.mkdtemp() + "/bands",
+        incr_path,
         n_hashes=8,
         bands=4,
         k=3,

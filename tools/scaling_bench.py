@@ -147,6 +147,12 @@ Arrow serialization, noop sink), so per-core throughput necessarily drops —
 on a real cluster that JVM-side work is provisioned per executor and does
 not steal UDF cores. The per-core column makes the two regimes visible.
 
+Cross-check: `bench.py` measures its extraction entry on the IDENTICAL
+corpus (same content-keyed cache dir) in a fresh JVM with the same knobs,
+so its `throughput.extracted_turns_per_sec` and this table's local[32] row
+must agree to within run-to-run noise — two independently-produced records
+of one number.
+
 Reproduce: `python tools/scaling_bench.py 2 8 32`.
 """)
     print("wrote BENCH.md")
