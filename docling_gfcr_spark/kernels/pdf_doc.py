@@ -963,17 +963,18 @@ class PdfDocument:
         def do_xobject(name: str):
             if depth >= 8 or not isinstance(xdict, dict):
                 return None
-            # document-wide render budget: a depth cap alone still allows
-            # ~fanout^depth renders on crafted files; once spent, every Do
-            # is O(1), so total form work is bounded no matter the graph
-            self._do_budget -= 1
-            if self._do_budget < 0:
-                return None
             xo = self.resolve(xdict.get(name))
             if not isinstance(xo, Stream):
                 return None
             if str(self.resolve(xo.sdict.get("Subtype")) or "") != "Form":
-                return None  # images etc. carry no text
+                return None  # images etc. carry no text — and cost no budget
+            # document-wide render budget, charged ONLY to Form renders
+            # (the recursing, fanout-capable kind): a depth cap alone allows
+            # ~fanout^depth renders on crafted files; once spent, every
+            # further Form Do is O(1), so total form work stays bounded
+            self._do_budget -= 1
+            if self._do_budget < 0:
+                return None
             sub_res = self.resolve(xo.sdict.get("Resources"))
             try:
                 return self._render_content(

@@ -508,3 +508,43 @@ def test_assemble_multimodal_conversations(spark):
     n = out["cN"]
     assert n.n_media == 0 and n.media_refs == ""
     assert "no media here" in n.conv_text
+
+
+def test_generator_fingerprint_branch_coverage():
+    """The corpus-cache fingerprint must exercise EVERY generator branch:
+    a payload-kernel change on any path (pdf compress, office junk, image
+    subkinds, adversarial truncation) has to change the fingerprint, else
+    benches silently time a stale corpus (round-4 verdict failure mode).
+    These assertions pin that the FIXED probe seeds actually hit each
+    branch — if a generator reshuffle ever breaks coverage, this fails."""
+    import base64
+
+    import numpy as np
+
+    from docling_gfcr_spark.kernels import media
+
+    def sweep(build):
+        return [build(np.random.RandomState(s)) for s in range(64)]
+
+    pdf = [base64.b64decode(x) for x in sweep(transcripts.build_pdf_b64_payload)]
+    assert sum(1 for b in pdf if len(b) < 120) >= 2  # junk branch
+    assert sum(1 for b in pdf if b"/FlateDecode" in b) >= 2  # compress branch
+    assert sum(1 for b in pdf if len(b) >= 120 and b"/FlateDecode" not in b) >= 2
+    for name in ("docx", "xlsx", "pptx"):
+        blobs = [base64.b64decode(x) for x in sweep(getattr(transcripts, f"build_{name}_b64_payload"))]
+        assert sum(1 for b in blobs if len(b) < 100) >= 2  # junk branch
+        assert sum(1 for b in blobs if len(b) >= 100) >= 2
+    imgs = sweep(transcripts.build_image_payload)
+    n_bad = 0
+    for text, _kind in imgs:
+        try:
+            media.parse_image(base64.b64decode(text))
+        except Exception:
+            n_bad += 1
+    assert n_bad >= 2  # planted-junk image branch
+    assert {k for _, k in imgs} == set(transcripts._IMAGE_SUBKINDS)
+    turns = [transcripts.gen_turn(7, 0, t) for t in range(600)]
+    assert sum(1 for _, txt, _ in turns if txt.endswith("\x00<unclosed")) >= 2
+    assert len({k for _, _, k in turns}) >= 20  # every kind family sampled
+    # and the probe is stable
+    assert transcripts.generator_fingerprint() == transcripts.generator_fingerprint()
