@@ -292,6 +292,7 @@ def commit_minhash_bands(
     hash_fn: str = "md5",
     n_buckets: int = 16,
     mode: str = "overwrite",
+    hot_band_cap: int | None = None,
 ) -> None:
     """Persist a corpus' LSH band keys as a ``band_hash``-bucketed table —
     the standing index a daily ingest dedups against. ``mode='append'``
@@ -299,12 +300,30 @@ def commit_minhash_bands(
     only ever grows by accepted batches (the commit discipline lineage.py's
     wave protocol uses, applied to the dedup index).
 
+    ``hot_band_cap``: keep at most N ids per (band, band_hash) — the skew
+    valve for the join side. A giant exact-dup cluster collides in EVERY
+    band; uncapped, its band key becomes a hot join key at ingest time.
+    Docs sharing a band key are mutual candidates, so a capped set of
+    REPRESENTATIVES still links every future near-dup into the cluster
+    (pairs to a representative; full membership via connected components) —
+    what the cap drops is only redundant intra-cluster pairs. Default off:
+    the oracle-checked path is exact.
+
     At 100 TB the full corpus is NEVER re-signatured: each batch computes
     its own keys once and the bucketed layout keeps every later join
     exchange-free on this (large) side."""
+    from pyspark.sql import Window
+
     from docling_gfcr_spark import io as gio
 
     banded = minhash_band_keys(df, text_col, id_col, n_hashes, bands, k, hash_fn)
+    if hot_band_cap is not None:
+        w = Window.partitionBy("band", "band_hash").orderBy("id")
+        banded = (
+            banded.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= int(hot_band_cap))
+            .drop("_rn")
+        )
     gio.write_bucketed(banded, table, path, key="band_hash", n_buckets=n_buckets, mode=mode)
 
 
@@ -337,17 +356,19 @@ def incremental_minhash_pairs(
       enumeration (no self-join, threshold-sized buckets).
     """
     new_banded = minhash_band_keys(new_df, text_col, id_col, n_hashes, bands, k, hash_fn)
-    committed = spark.table(table)
-    # new-vs-corpus: every committed id sharing a band key with a batch id
-    cross = (
-        committed.alias("c")
-        .join(new_banded.alias("n"), ["band", "band_hash"])
-        .select(
-            F.least(F.col("c.id"), F.col("n.id")).alias("id_a"),
-            F.greatest(F.col("c.id"), F.col("n.id")).alias("id_b"),
+    cross = None
+    if spark.catalog.tableExists(table):
+        committed = spark.table(table)
+        # new-vs-corpus: every committed id sharing a band key with a batch id
+        cross = (
+            committed.alias("c")
+            .join(new_banded.alias("n"), ["band", "band_hash"])
+            .select(
+                F.least(F.col("c.id"), F.col("n.id")).alias("id_a"),
+                F.greatest(F.col("c.id"), F.col("n.id")).alias("id_b"),
+            )
+            .where(F.col("id_a") != F.col("id_b"))
         )
-        .where(F.col("id_a") != F.col("id_b"))
-    )
     # new-vs-new: dup pairs arriving inside the same batch
     groups = (
         new_banded.groupBy("band", "band_hash")
@@ -355,7 +376,9 @@ def incremental_minhash_pairs(
         .where(F.size("ids") >= 2)
     )
     batch_pairs = explode_ordered_pairs(groups, "ids", "id_a", "id_b")
-    return cross.unionByName(batch_pairs).distinct()
+    # first batch ever: no committed table yet — batch-internal pairs only
+    pairs = batch_pairs if cross is None else cross.unionByName(batch_pairs)
+    return pairs.distinct()
 
 
 def _free_local_checkpoint(df: DataFrame) -> None:

@@ -214,6 +214,106 @@ def stream_extract_durable(
     return writer.start()
 
 
+def stream_ingest_neardup(
+    spark: SparkSession,
+    input_dir: str,
+    bands_table: str,
+    bands_path: str,
+    out_dir: str,
+    schema: str = "doc_id long, text string",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    bands: int = 8,
+    k: int = 5,
+    hash_fn: str = "md5",
+    hot_band_cap: int | None = None,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """STREAMING near-dup ingest — the daily-ingest shape of
+    ``dedup.incremental_minhash_pairs`` run continuously. Each micro-batch:
+
+    1. mines candidate pairs against (committed corpus + the batch itself)
+       via the band_hash-bucketed index — no corpus recompute, corpus side
+       exchange-free;
+    2. applies the KEEP-FIRST policy: drop a batch doc that near-dups an
+       already-committed doc, or a smaller-id doc in the same batch;
+    3. writes the surviving (clean) docs under ``part_id=<batch_id>`` with
+       dynamic partition overwrite — a replayed batch replaces, never
+       duplicates (exactly-once outputs over at-least-once delivery);
+    4. APPENDS the survivors' band keys to the committed index, so later
+       batches dedup against them.
+
+    The band index append is at-least-once on replay (a replayed batch's
+    committed copies share their doc ids, so re-checking is a no-op —
+    self-pairs are excluded — and duplicate index rows only produce
+    duplicate candidates, removed by the pair-level distinct).
+
+    Returns the started StreamingQuery (caller drains/stops it).
+    """
+    from docling_gfcr_spark.operators import dedup
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        pairs = dedup.incremental_minhash_pairs(
+            spark, bands_table, batch_df,
+            id_col=id_col, n_hashes=n_hashes, bands=bands, k=k, hash_fn=hash_fn,
+        ).localCheckpoint()  # pin: used for two drop classes below
+        try:
+            ids = batch_df.select(F.col(id_col).alias("nid")).distinct()
+            na = ids.select(F.col("nid").alias("id_a"), F.lit(True).alias("a_new"))
+            nb = ids.select(F.col("nid").alias("id_b"), F.lit(True).alias("b_new"))
+            fl = (
+                pairs.join(na, "id_a", "left")
+                .join(nb, "id_b", "left")
+                .na.fill(False, ["a_new", "b_new"])
+            )
+            dropped = (
+                # new doc duplicating a committed one (whichever pair side)
+                fl.where(F.col("a_new") & ~F.col("b_new")).select(F.col("id_a").alias("id"))
+                .unionByName(
+                    fl.where(F.col("b_new") & ~F.col("a_new")).select(F.col("id_b").alias("id"))
+                )
+                # both new: keep-first (id_a < id_b by construction)
+                .unionByName(
+                    fl.where(F.col("a_new") & F.col("b_new")).select(F.col("id_b").alias("id"))
+                )
+                .distinct()
+            )
+            survivors = batch_df.join(
+                dropped, batch_df[id_col] == dropped["id"], "left_anti"
+            )
+            (
+                survivors.withColumn("part_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("part_id")
+                .parquet(out_dir)
+            )
+            dedup.commit_minhash_bands(
+                survivors, bands_table, bands_path,
+                id_col=id_col, n_hashes=n_hashes, bands=bands, k=k, hash_fn=hash_fn,
+                mode="append" if spark.catalog.tableExists(bands_table) else "overwrite",
+                hot_band_cap=hot_band_cap,
+            )
+            # the append ran in foreachBatch's CLONED session; the OUTER
+            # session's relation cache still lists the pre-append files —
+            # without this refresh the NEXT batch (and any caller) would
+            # dedup against a stale index and miss cross-batch dups
+            spark.catalog.refreshTable(bands_table)
+        finally:
+            from docling_gfcr_spark.operators.dedup import _free_local_checkpoint
+
+            _free_local_checkpoint(pairs)
+
+    src = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger is not None:
+        src = src.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    writer = src.load(input_dir).writeStream.foreachBatch(commit_batch)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )

@@ -289,3 +289,98 @@ def test_stream_static_enrichment_join(spark, tmp_path):
     )
     assert len(want) > 0
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_stream_ingest_neardup_keep_first(spark, tmp_path):
+    """Continuous near-dup ingest: batch docs duplicating committed docs (or
+    smaller-id batch peers) are dropped; survivors land exactly-once under
+    part_id=<batch_id> and their band keys join the committed index for the
+    NEXT batch to dedup against."""
+    import time
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(7)
+    vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+    def txt():
+        return " ".join(rng.choice(vocab, size=40))
+
+    base1, base11 = txt(), txt()
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    b1 = {"doc_id": [1, 2, 3, 4, 5], "text": [base1, base1, txt(), txt(), txt()]}
+    b2 = {"doc_id": [10, 11, 12], "text": [base1, base11, base11]}
+    b3 = {"doc_id": [20, 21], "text": [base11, txt()]}
+    pq.write_table(pa.table(b1), str(in_dir / "b1.parquet"))
+    time.sleep(1.1)  # file-source ordering is by modification time
+    pq.write_table(pa.table(b2), str(in_dir / "b2.parquet"))
+    time.sleep(1.1)
+    pq.write_table(pa.table(b3), str(in_dir / "b3.parquet"))
+
+    table = "stream_neardup_bands_t"
+    q = streaming.stream_ingest_neardup(
+        spark,
+        str(in_dir),
+        table,
+        str(tmp_path / "bands"),
+        str(tmp_path / "out"),
+        n_hashes=32,
+        bands=8,
+        k=3,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    by_part = {
+        int(p): sorted(int(i) for i in out[out.part_id == p].doc_id)
+        for p in out.part_id.unique()
+    }
+    # batch 0: doc2 == doc1 -> keep-first drops 2
+    assert by_part[0] == [1, 3, 4, 5]
+    # batch 1: doc10 == committed doc1 -> dropped; doc12 == doc11 (in-batch,
+    # keep-first) -> dropped; doc11 survives
+    assert by_part[1] == [11]
+    # batch 2: doc20 == doc11 committed by the PREVIOUS batch -> dropped
+    # (pins the cross-batch index refresh: a stale relation cache would
+    # miss it); doc21 survives
+    assert by_part[2] == [21]
+    # the committed index holds exactly the survivors
+    idx_ids = {int(r.id) for r in spark.table(table).select("id").distinct().collect()}
+    assert idx_ids == {1, 3, 4, 5, 11, 21}
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_commit_minhash_bands_hot_band_cap(spark, tmp_path):
+    """A giant exact-dup cluster collides in EVERY band; the cap keeps N
+    representatives per (band, band_hash) — a skew valve for the ingest
+    join — while a new dup still links into the cluster."""
+    from docling_gfcr_spark.operators import dedup
+
+    same = "the very same text repeated verbatim across the whole cluster"
+    docs = spark.createDataFrame(
+        [(i, same) for i in range(60)] + [(100, "something else entirely here")],
+        "doc_id long, text string",
+    )
+    table = "cap_bands_t"
+    dedup.commit_minhash_bands(
+        docs, table, str(tmp_path / "bands"), n_hashes=8, bands=4, k=3,
+        hash_fn="md5", hot_band_cap=3,
+    )
+    per_key = (
+        spark.table(table).groupBy("band", "band_hash").count().toPandas()["count"]
+    )
+    assert per_key.max() <= 3  # capped everywhere
+    newb = spark.createDataFrame([(200, same)], "doc_id long, text string")
+    pairs = dedup.incremental_minhash_pairs(
+        spark, table, newb, n_hashes=8, bands=4, k=3, hash_fn="md5"
+    ).toPandas()
+    # the new dup pairs with the representatives (not all 60 members)
+    assert len(pairs) >= 1 and all(b == 200 for b in pairs.id_b)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
