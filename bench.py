@@ -63,6 +63,9 @@ HEADLINE = [
     "skewed_hot_key_join",
     "quality_model_scores",
     "source_mixed_sample",
+    # round-5 ops (incremental entry times commit+mine — that IS the op)
+    "dedup_incremental_pairs",
+    "multimodal_assembled_convs",
 ]
 
 # 60000 convs == tools/scaling_bench.py's corpus (same generator params,
