@@ -281,7 +281,7 @@ def minhash_lsh_pairs(
 
 
 def commit_minhash_bands(
-    df: DataFrame,
+    df: DataFrame | None,
     table: str,
     path: str,
     text_col: str = "text",
@@ -293,6 +293,7 @@ def commit_minhash_bands(
     n_buckets: int = 16,
     mode: str = "overwrite",
     hot_band_cap: int | None = None,
+    banded: DataFrame | None = None,
 ) -> None:
     """Persist a corpus' LSH band keys as a ``band_hash``-bucketed table —
     the standing index a daily ingest dedups against. ``mode='append'``
@@ -300,43 +301,77 @@ def commit_minhash_bands(
     only ever grows by accepted batches (the commit discipline lineage.py's
     wave protocol uses, applied to the dedup index).
 
-    ``hot_band_cap``: keep at most N ids per (band, band_hash) — the skew
-    valve for the join side. A giant exact-dup cluster collides in EVERY
-    band; uncapped, its band key becomes a hot join key at ingest time.
-    Docs sharing a band key are mutual candidates, so a capped set of
+    ``hot_band_cap``: keep at most N ids per (band, band_hash) PER COMMIT —
+    the skew valve for the join side. A giant exact-dup cluster collides in
+    EVERY band; uncapped, its band key becomes a hot join key at ingest
+    time. Docs sharing a band key are mutual candidates, so a capped set of
     REPRESENTATIVES still links every future near-dup into the cluster
     (pairs to a representative; full membership via connected components) —
-    what the cap drops is only redundant intra-cluster pairs. Default off:
-    the oracle-checked path is exact.
+    what the cap drops is only redundant intra-cluster pairs. NOTE the cap
+    is per commit: with ``mode='append'`` the STANDING table's per-key
+    cardinality can grow by up to cap per batch; run
+    :func:`recap_band_index` periodically (table maintenance, like
+    compaction) to re-tighten the global invariant. Default off: the
+    oracle-checked path is exact.
+
+    ``banded`` lets a caller pass precomputed band keys (streaming ingest
+    signs each batch exactly once and reuses the keys here).
 
     At 100 TB the full corpus is NEVER re-signatured: each batch computes
     its own keys once and the bucketed layout keeps every later join
     exchange-free on this (large) side."""
-    from pyspark.sql import Window
-
     from docling_gfcr_spark import io as gio
 
-    banded = minhash_band_keys(df, text_col, id_col, n_hashes, bands, k, hash_fn)
+    if banded is None:
+        banded = minhash_band_keys(df, text_col, id_col, n_hashes, bands, k, hash_fn)
     if hot_band_cap is not None:
-        w = Window.partitionBy("band", "band_hash").orderBy("id")
-        banded = (
-            banded.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= int(hot_band_cap))
-            .drop("_rn")
-        )
+        banded = _cap_band_keys(banded, hot_band_cap)
     gio.write_bucketed(banded, table, path, key="band_hash", n_buckets=n_buckets, mode=mode)
+
+
+def _cap_band_keys(banded: DataFrame, cap: int) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "band_hash").orderBy("id")
+    return (
+        banded.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= int(cap))
+        .drop("_rn")
+    )
+
+
+def recap_band_index(
+    spark, table: str, path: str, hot_band_cap: int, n_buckets: int = 16
+) -> None:
+    """Table MAINTENANCE: rewrite the standing band index keeping at most
+    ``hot_band_cap`` ids per (band, band_hash) GLOBALLY — per-commit caps
+    drift upward under append-mode ingest (up to cap x batches per key);
+    run this periodically like small-file compaction. Deterministic
+    representatives (lowest ids) so reruns are idempotent."""
+    from docling_gfcr_spark import io as gio
+
+    capped = _cap_band_keys(spark.table(table), hot_band_cap).localCheckpoint()
+    try:
+        gio.write_bucketed(
+            capped, table, path, key="band_hash", n_buckets=n_buckets, mode="overwrite"
+        )
+    finally:
+        _free_local_checkpoint(capped)
+    spark.catalog.refreshTable(table)
 
 
 def incremental_minhash_pairs(
     spark,
     table: str,
-    new_df: DataFrame,
+    new_df: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_hashes: int = 32,
     bands: int = 8,
     k: int = 5,
     hash_fn: str = "md5",
+    new_banded: DataFrame | None = None,
+    allow_missing_table: bool = False,
 ) -> DataFrame:
     """Append-only near-dup dedup: candidate pairs of a NEW batch against
     (committed corpus + the batch itself) WITHOUT recomputing the corpus.
@@ -354,8 +389,17 @@ def incremental_minhash_pairs(
       the small batch side moves;
     - batch-internal pairs reuse the collect_list + ordered-pair
       enumeration (no self-join, threshold-sized buckets).
+
+    ``new_banded`` lets a caller that already computed the batch's band
+    keys (streaming ingest signs each batch exactly once) pass them in
+    instead of re-signaturing ``new_df``. A missing committed table is an
+    ERROR unless ``allow_missing_table=True`` (the first-batch bootstrap) —
+    silently deduping against nothing would commit duplicates undetected.
     """
-    new_banded = minhash_band_keys(new_df, text_col, id_col, n_hashes, bands, k, hash_fn)
+    if new_banded is None:
+        if new_df is None:
+            raise ValueError("pass new_df or new_banded")
+        new_banded = minhash_band_keys(new_df, text_col, id_col, n_hashes, bands, k, hash_fn)
     cross = None
     if spark.catalog.tableExists(table):
         committed = spark.table(table)
@@ -367,7 +411,12 @@ def incremental_minhash_pairs(
                 F.least(F.col("c.id"), F.col("n.id")).alias("id_a"),
                 F.greatest(F.col("c.id"), F.col("n.id")).alias("id_b"),
             )
-            .where(F.col("id_a") != F.col("id_b"))
+        )
+    elif not allow_missing_table:
+        raise ValueError(
+            f"committed band table {table!r} does not exist — a mistyped name "
+            "would silently dedup against nothing; pass allow_missing_table=True "
+            "only for the first-batch bootstrap"
         )
     # new-vs-new: dup pairs arriving inside the same batch
     groups = (
@@ -376,9 +425,12 @@ def incremental_minhash_pairs(
         .where(F.size("ids") >= 2)
     )
     batch_pairs = explode_ordered_pairs(groups, "ids", "id_a", "id_b")
-    # first batch ever: no committed table yet — batch-internal pairs only
+    # first batch ever (bootstrap): batch-internal pairs only. The id_a !=
+    # id_b filter also covers a doc_id DUPLICATED within one batch
+    # (at-least-once upstream delivery): its self-pair must not surface —
+    # a keep-first consumer would otherwise DELETE the doc entirely.
     pairs = batch_pairs if cross is None else cross.unionByName(batch_pairs)
-    return pairs.distinct()
+    return pairs.where(F.col("id_a") != F.col("id_b")).distinct()
 
 
 def _free_local_checkpoint(df: DataFrame) -> None:

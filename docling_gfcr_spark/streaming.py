@@ -254,9 +254,16 @@ def stream_ingest_neardup(
     from docling_gfcr_spark.operators import dedup
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # sign the batch ONCE: the band keys feed pair mining AND (filtered
+        # to survivors) the index append — MinHash is the dominant per-batch
+        # cost and must not run twice
+        banded = dedup.minhash_band_keys(
+            batch_df, id_col=id_col, n_hashes=n_hashes, bands=bands, k=k, hash_fn=hash_fn
+        ).localCheckpoint()
         pairs = dedup.incremental_minhash_pairs(
-            spark, bands_table, batch_df,
-            id_col=id_col, n_hashes=n_hashes, bands=bands, k=k, hash_fn=hash_fn,
+            spark, bands_table, new_banded=banded,
+            n_hashes=n_hashes, bands=bands, k=k, hash_fn=hash_fn,
+            allow_missing_table=True,  # first-batch bootstrap
         ).localCheckpoint()  # pin: used for two drop classes below
         try:
             ids = batch_df.select(F.col(id_col).alias("nid")).distinct()
@@ -289,11 +296,14 @@ def stream_ingest_neardup(
                 .partitionBy("part_id")
                 .parquet(out_dir)
             )
+            surv_banded = banded.join(
+                survivors.select(F.col(id_col).alias("id")).distinct(), "id", "left_semi"
+            )
             dedup.commit_minhash_bands(
-                survivors, bands_table, bands_path,
-                id_col=id_col, n_hashes=n_hashes, bands=bands, k=k, hash_fn=hash_fn,
+                None, bands_table, bands_path,
                 mode="append" if spark.catalog.tableExists(bands_table) else "overwrite",
                 hot_band_cap=hot_band_cap,
+                banded=surv_banded,
             )
             # the append ran in foreachBatch's CLONED session; the OUTER
             # session's relation cache still lists the pre-append files —
@@ -304,6 +314,7 @@ def stream_ingest_neardup(
             from docling_gfcr_spark.operators.dedup import _free_local_checkpoint
 
             _free_local_checkpoint(pairs)
+            _free_local_checkpoint(banded)
 
     src = spark.readStream.schema(schema).format("parquet")
     if max_files_per_trigger is not None:

@@ -1015,3 +1015,42 @@ def test_media_ref_token_and_udf_agree(spark):
     df = spark.createDataFrame([(p,) for p in payloads], "text string")
     got = [r.ref for r in df.select(multimodal.media_ref_udf("text").alias("ref")).collect()]
     assert got == [multimodal.media_ref_token(p) for p in payloads]
+
+
+def test_incremental_pairs_no_self_pair_on_duplicated_batch_id(spark, tmp_path):
+    """At-least-once upstream delivery can duplicate a doc_id WITHIN one
+    batch; its self-pair must never surface (a keep-first consumer would
+    delete the doc entirely), and a missing committed table must be an
+    explicit error unless bootstrapping."""
+    batch = spark.createDataFrame(
+        [(5, "alpha beta gamma delta epsilon"), (5, "alpha beta gamma delta epsilon"),
+         (6, "zeta eta theta iota kappa lambda")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="does not exist"):
+        dedup.incremental_minhash_pairs(spark, "no_such_band_table", batch, k=3)
+    got = dedup.incremental_minhash_pairs(
+        spark, "no_such_band_table", batch, k=3, allow_missing_table=True
+    ).toPandas()
+    assert not any(a == b for a, b in zip(got.id_a, got.id_b))
+
+
+def test_recap_band_index_tightens_append_drift(spark, tmp_path):
+    """Per-commit caps drift upward under append ingest; the maintenance
+    rewrite restores the GLOBAL per-(band, band_hash) invariant."""
+    same = "identical text shared by the whole cluster of documents"
+    mk = lambda ids: spark.createDataFrame([(i, same) for i in ids], "doc_id long, text string")
+    table, path = "recap_bands_t", str(tmp_path / "bands")
+    dedup.commit_minhash_bands(mk(range(0, 10)), table, path, n_hashes=8, bands=4, k=3,
+                               hash_fn="md5", hot_band_cap=3)
+    dedup.commit_minhash_bands(mk(range(10, 20)), table, path, n_hashes=8, bands=4, k=3,
+                               hash_fn="md5", hot_band_cap=3, mode="append")
+    drift = spark.table(table).groupBy("band", "band_hash").count().toPandas()["count"]
+    assert drift.max() == 6  # cap x 2 commits — the documented drift
+    dedup.recap_band_index(spark, table, path, hot_band_cap=3)
+    tight = spark.table(table).groupBy("band", "band_hash").count().toPandas()["count"]
+    assert tight.max() <= 3
+    # deterministic representatives: lowest ids survive
+    ids = sorted(int(r.id) for r in spark.table(table).select("id").distinct().collect())
+    assert ids == [0, 1, 2]
+    spark.sql(f"DROP TABLE IF EXISTS {table}")

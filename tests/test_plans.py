@@ -246,3 +246,30 @@ def test_incremental_dedup_committed_side_exchange_free(spark, tmp_path):
         assert "CartesianProduct" not in "\n".join(lines)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_q6_filters_pushed_and_columns_pruned(spark):
+    """The canonical single-scan agg: every RANGE predicate (not just the
+    freebie IsNotNulls) must reach the parquet scan, and the read schema
+    must hold exactly the 4 used columns."""
+    from docling_gfcr_spark import queries
+
+    old = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    try:
+        p = plan_of(queries.q6_forecast_revenue(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old)
+    scan = next(l for l in p.splitlines() if "FileScan" in l and "lineitem" in l)
+    pushed = scan.split("PushedFilters:")[1].split("ReadSchema")[0]
+    for flt in (
+        "GreaterThanOrEqual(l_shipdate,1996-01-01",
+        "LessThan(l_shipdate,1997-01-01",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24",
+    ):
+        assert flt in pushed, f"{flt} not pushed: {pushed}"
+    schema = scan.split("ReadSchema:")[1]
+    assert "l_extendedprice" in schema and "l_returnflag" not in schema
+    assert p.count("Exchange") - p.count("ReusedExchange") == 1  # partial->final agg only
