@@ -25,6 +25,7 @@ from __future__ import annotations
 import io
 import xml.etree.ElementTree as ET
 import zipfile
+import zlib
 from xml.sax.saxutils import escape
 
 from docling_gfcr_spark.kernels.office import pipe_table
@@ -160,7 +161,12 @@ def docx_bytes_to_markdown(blob: bytes) -> str:
     try:
         with zipfile.ZipFile(io.BytesIO(blob)) as zf:
             xml_bytes = zf.read("word/document.xml")
-    except (zipfile.BadZipFile, KeyError, OSError) as e:
+    # zipfile escapes more than BadZipFile on hostile bytes: mutated
+    # compression-method fields raise NotImplementedError, corrupt deflate
+    # payloads zlib.error, truncated members EOFError/struct errors — ALL
+    # must become the ValueError error envelope, never kill the task
+    except (zipfile.BadZipFile, KeyError, OSError, NotImplementedError,
+            EOFError, zlib.error, zipfile.LargeZipFile) as e:
         raise ValueError(f"not a DOCX container: {type(e).__name__}") from e
     try:
         root = ET.fromstring(xml_bytes)

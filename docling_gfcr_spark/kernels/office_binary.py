@@ -26,6 +26,7 @@ import io
 import re
 import xml.etree.ElementTree as ET
 import zipfile
+import zlib
 from xml.sax.saxutils import escape
 
 from docling_gfcr_spark.kernels.office import pipe_table
@@ -56,7 +57,12 @@ def _read_part(blob: bytes, name: str) -> bytes:
     try:
         with zipfile.ZipFile(io.BytesIO(blob)) as zf:
             return zf.read(name)
-    except (zipfile.BadZipFile, KeyError, OSError) as e:
+    # zipfile escapes more than BadZipFile on hostile bytes: mutated
+    # compression-method fields raise NotImplementedError, corrupt deflate
+    # payloads zlib.error, truncated members EOFError/struct errors — ALL
+    # must become the ValueError error envelope, never kill the task
+    except (zipfile.BadZipFile, KeyError, OSError, NotImplementedError,
+            EOFError, zlib.error, zipfile.LargeZipFile) as e:
         raise ValueError(f"not an OOXML container ({name}): {type(e).__name__}") from e
 
 

@@ -373,3 +373,46 @@ def test_font_and_stream_caches_are_per_document():
         d.page_text(p, inh)
     # 3 pages, 1 shared font object -> exactly one cached decoder
     assert len(d._fonts) == 1
+
+
+def test_mutation_fuzz_valueerror_only_contract():
+    """Untrusted-route totality: random byte mutations of VALID documents
+    must either parse or raise ValueError — never any other exception type
+    (the pipeline's error envelope catches ValueError; anything else kills
+    the task). This is the class of bug the bfrange OverflowError was."""
+    import random
+
+    from docling_gfcr_spark.kernels import docx_binary, office_binary
+
+    rng = random.Random(42)
+    pdf = pdf_binary.build_pdf([["some text here", "line two"], ["page 2"]], compress=True)
+    pdf15 = build_pdf15(b"BT /F1 12 Tf <00410042> Tj ET", _CMAP)
+    docx = docx_binary.build_docx({"paragraphs": [{"style": "Heading1", "text": "T"}, {"style": "Normal", "text": "body"}]})
+    xlsx = office_binary.build_xlsx({"sheets": {"S": [["a", 1], ["b", 2]]}})
+
+    def mutate(blob: bytes) -> bytes:
+        b = bytearray(blob)
+        for _ in range(rng.randrange(1, 6)):
+            op = rng.randrange(3)
+            pos = rng.randrange(len(b))
+            if op == 0:
+                b[pos] = rng.randrange(256)
+            elif op == 1 and len(b) > 10:
+                del b[pos : pos + rng.randrange(1, 9)]
+            else:
+                b[pos:pos] = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 9)))
+        return bytes(b)
+
+    for _ in range(150):
+        for blob, parse in (
+            (pdf, pdf_doc.parse_pdf_pages),
+            (pdf15, pdf_doc.parse_pdf_pages),
+            (docx, docx_binary.docx_bytes_to_markdown),
+            (xlsx, office_binary.xlsx_bytes_to_markdown),
+        ):
+            m = mutate(blob)
+            try:
+                parse(m)
+            except ValueError:
+                pass  # the error-envelope contract
+            # any OTHER exception type propagates and fails the test
