@@ -10,9 +10,11 @@
 Round-5 protocol hardening (the round-4 record understated the engine 3.5x
 from host noise in a long-lived JVM):
 - every query entry is MIN-OF-3 (was 2); raw samples stay in "stats";
-- the extraction pass runs in a FRESH JVM subprocess (same protocol as
-  tools/scaling_bench.py): one full warmup, then min-of-3 — the long-lived
-  20-query session is where the round-4 noise lived;
+- the extraction pass runs LAST, in a FRESH JVM subprocess with the parent
+  session STOPPED first (same protocol as tools/scaling_bench.py): one
+  full warmup, then min-of-PASSES_EXTRACT — the long-lived 20-query
+  session is where the round-4 noise lived, and even an IDLE co-resident
+  32-thread JVM taxed the child ~1.7x on this host;
 - the corpus cache dir is keyed by transcripts.generator_fingerprint()
   (generator + kernel sources), so a kind-mix change can never time a
   stale corpus;
@@ -38,7 +40,11 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CACHE = os.path.join(REPO, ".bench_cache")
-PASSES = 3  # pinned round 5: min-of-3 for every entry (was min-of-2)
+PASSES = 3  # pinned round 5: min-of-3 for every query entry (was min-of-2)
+# the extraction child gets extra passes: external host noise on this shared
+# VM is multi-second and bursty, and the north-star number deserves the most
+# chances to catch a quiet slice (each pass is ~4-10 s)
+PASSES_EXTRACT = 5
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -233,19 +239,7 @@ def main() -> None:
     )
     print(f"# dedup_ngram_capped: {results['dedup_ngram_capped']}s ({n} rows)", file=sys.stderr)
 
-    # north-star throughput: extracted turns/sec over parquet-backed
-    # transcripts, measured in a FRESH JVM subprocess (round-5 protocol —
-    # the long-lived query session above is where round-4's noise lived)
     tpath = _materialize_transcripts(spark)
-    child = subprocess.run(
-        [sys.executable, "-c", _EXTRACT_CHILD.format(repo=REPO, passes=PASSES),
-         str(CPUS), tpath],
-        capture_output=True, text=True, check=True,
-    )
-    extract = json.loads(child.stdout.strip().splitlines()[-1])
-    n_turns = extract["n_turns"]
-    samples["extract_pipeline"] = extract["samples"]
-    extract_sec = min(extract["samples"])
 
     # ordering + skew-safe two-phase conversation assembly (the shuffle path)
     tdf = spark.read.parquet(tpath)
@@ -258,12 +252,28 @@ def main() -> None:
     assemble_pass()  # warmup: this session's python workers haven't run the UDF yet
     results["assemble_conversations"], _n = timed(assemble_pass, "assemble_conversations")
     print(f"# assemble_conversations: {results['assemble_conversations']}s", file=sys.stderr)
-    results["extract_pipeline"] = round(extract_sec, 3)
-    turns_per_sec = round(n_turns / extract_sec, 1)
-    print(f"# extraction: {n_turns} turns in {extract_sec:.1f}s = {turns_per_sec}/s (fresh JVM)", file=sys.stderr)
 
     corpus = _corpus_descriptor(spark, tpath)
     corpus["generator_fingerprint"] = tpath.rsplit("_", 1)[-1]
+
+    # north-star throughput: extracted turns/sec over parquet-backed
+    # transcripts, in a FRESH JVM subprocess with the parent session STOPPED
+    # first — a co-resident idle 32-thread JVM measurably taxed the child
+    # (~1.7x on this host); the child must own the machine like
+    # tools/scaling_bench.py's levels do, so the two records cross-check
+    spark.stop()
+    child = subprocess.run(
+        [sys.executable, "-c", _EXTRACT_CHILD.format(repo=REPO, passes=PASSES_EXTRACT),
+         str(CPUS), tpath],
+        capture_output=True, text=True, check=True,
+    )
+    extract = json.loads(child.stdout.strip().splitlines()[-1])
+    n_turns = extract["n_turns"]
+    samples["extract_pipeline"] = extract["samples"]
+    extract_sec = min(extract["samples"])
+    results["extract_pipeline"] = round(extract_sec, 3)
+    turns_per_sec = round(n_turns / extract_sec, 1)
+    print(f"# extraction: {n_turns} turns in {extract_sec:.1f}s = {turns_per_sec}/s (fresh JVM, parent stopped)", file=sys.stderr)
     spin_end = _spin_sentinel()
 
     total = round(sum(results.values()), 3)
@@ -280,7 +290,8 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "passes": PASSES,  # pinned: min-of-3; extraction in a fresh JVM
+                "passes": PASSES,  # min-of-3 for every query entry
+                "passes_extract": PASSES_EXTRACT,  # extraction child: fresh JVM, parent stopped
                 "queries": results,
                 "stats": stats,  # per-entry median + spread of the raw passes
                 "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
@@ -297,7 +308,6 @@ def main() -> None:
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

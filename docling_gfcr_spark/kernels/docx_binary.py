@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import io
 import xml.etree.ElementTree as ET
+import struct
 import zipfile
 import zlib
 from xml.sax.saxutils import escape
@@ -162,11 +163,13 @@ def docx_bytes_to_markdown(blob: bytes) -> str:
         with zipfile.ZipFile(io.BytesIO(blob)) as zf:
             xml_bytes = zf.read("word/document.xml")
     # zipfile escapes more than BadZipFile on hostile bytes: mutated
-    # compression-method fields raise NotImplementedError, corrupt deflate
-    # payloads zlib.error, truncated members EOFError/struct errors — ALL
-    # must become the ValueError error envelope, never kill the task
+    # compression-method fields raise NotImplementedError, an encryption
+    # flag bit RuntimeError, corrupt deflate payloads zlib.error, truncated
+    # members EOFError/struct.error — ALL must become the ValueError error
+    # envelope, never kill the task
     except (zipfile.BadZipFile, KeyError, OSError, NotImplementedError,
-            EOFError, zlib.error, zipfile.LargeZipFile) as e:
+            RuntimeError, EOFError, zlib.error, struct.error,
+            zipfile.LargeZipFile) as e:
         raise ValueError(f"not a DOCX container: {type(e).__name__}") from e
     try:
         root = ET.fromstring(xml_bytes)

@@ -25,6 +25,7 @@ from __future__ import annotations
 import io
 import re
 import xml.etree.ElementTree as ET
+import struct
 import zipfile
 import zlib
 from xml.sax.saxutils import escape
@@ -58,11 +59,13 @@ def _read_part(blob: bytes, name: str) -> bytes:
         with zipfile.ZipFile(io.BytesIO(blob)) as zf:
             return zf.read(name)
     # zipfile escapes more than BadZipFile on hostile bytes: mutated
-    # compression-method fields raise NotImplementedError, corrupt deflate
-    # payloads zlib.error, truncated members EOFError/struct errors — ALL
-    # must become the ValueError error envelope, never kill the task
+    # compression-method fields raise NotImplementedError, an encryption
+    # flag bit RuntimeError, corrupt deflate payloads zlib.error, truncated
+    # members EOFError/struct.error — ALL must become the ValueError error
+    # envelope, never kill the task
     except (zipfile.BadZipFile, KeyError, OSError, NotImplementedError,
-            EOFError, zlib.error, zipfile.LargeZipFile) as e:
+            RuntimeError, EOFError, zlib.error, struct.error,
+            zipfile.LargeZipFile) as e:
         raise ValueError(f"not an OOXML container ({name}): {type(e).__name__}") from e
 
 

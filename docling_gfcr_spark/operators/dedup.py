@@ -323,6 +323,8 @@ def commit_minhash_bands(
     from docling_gfcr_spark import io as gio
 
     if banded is None:
+        if df is None:
+            raise ValueError("pass df or banded")
         banded = minhash_band_keys(df, text_col, id_col, n_hashes, bands, k, hash_fn)
     if hot_band_cap is not None:
         banded = _cap_band_keys(banded, hot_band_cap)
@@ -341,23 +343,49 @@ def _cap_band_keys(banded: DataFrame, cap: int) -> DataFrame:
 
 
 def recap_band_index(
-    spark, table: str, path: str, hot_band_cap: int, n_buckets: int = 16
+    spark, table: str, path: str, hot_band_cap: int, n_buckets: int | None = None
 ) -> None:
     """Table MAINTENANCE: rewrite the standing band index keeping at most
     ``hot_band_cap`` ids per (band, band_hash) GLOBALLY — per-commit caps
     drift upward under append-mode ingest (up to cap x batches per key);
     run this periodically like small-file compaction. Deterministic
-    representatives (lowest ids) so reruns are idempotent."""
+    representatives (lowest ids) so reruns are idempotent.
+
+    Staged rewrite: the capped copy is fully committed to ``<path>_recap``
+    / ``<table>_recap`` BEFORE the main table is overwritten, so a crash
+    mid-publish never leaves the corpus' only signature record destroyed —
+    the staged table survives for manual recovery. The bucket count is read
+    from the CATALOG (``n_buckets=None``), so maintenance preserves the
+    physical layout the exchange-free ingest join was planned around.
+    Requires ingest quiescence (an append landing between read and publish
+    would be clobbered) — same contract as compact_parquet."""
     from docling_gfcr_spark import io as gio
 
-    capped = _cap_band_keys(spark.table(table), hot_band_cap).localCheckpoint()
-    try:
-        gio.write_bucketed(
-            capped, table, path, key="band_hash", n_buckets=n_buckets, mode="overwrite"
-        )
-    finally:
-        _free_local_checkpoint(capped)
+    if n_buckets is None:
+        n_buckets = _table_bucket_count(spark, table) or 16
+    tmp_table, tmp_path = f"{table}_recap", path.rstrip("/") + "_recap"
+    capped = _cap_band_keys(spark.table(table), hot_band_cap)
+    gio.write_bucketed(
+        capped, tmp_table, tmp_path, key="band_hash", n_buckets=n_buckets, mode="overwrite"
+    )
+    # publish: rewrite main from the durable staged copy (not from
+    # checkpoint blocks that die with the app)
+    gio.write_bucketed(
+        spark.table(tmp_table), table, path, key="band_hash",
+        n_buckets=n_buckets, mode="overwrite",
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
     spark.catalog.refreshTable(table)
+
+
+def _table_bucket_count(spark, table: str) -> int | None:
+    try:
+        for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect():
+            if str(r.col_name).strip() == "Num Buckets":
+                return int(str(r.data_type).strip())
+    except Exception:
+        return None
+    return None
 
 
 def incremental_minhash_pairs(

@@ -254,18 +254,24 @@ def stream_ingest_neardup(
     from docling_gfcr_spark.operators import dedup
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # at-least-once delivery can duplicate a doc_id WITHIN one batch:
+        # collapse to one row per id up front (the duplicate rows are
+        # replays of the same doc), else both rows would ride into the
+        # clean output and the band index
+        batch_df = batch_df.dropDuplicates([id_col])
         # sign the batch ONCE: the band keys feed pair mining AND (filtered
         # to survivors) the index append — MinHash is the dominant per-batch
         # cost and must not run twice
         banded = dedup.minhash_band_keys(
             batch_df, id_col=id_col, n_hashes=n_hashes, bands=bands, k=k, hash_fn=hash_fn
         ).localCheckpoint()
-        pairs = dedup.incremental_minhash_pairs(
-            spark, bands_table, new_banded=banded,
-            n_hashes=n_hashes, bands=bands, k=k, hash_fn=hash_fn,
-            allow_missing_table=True,  # first-batch bootstrap
-        ).localCheckpoint()  # pin: used for two drop classes below
+        pairs = None
         try:
+            pairs = dedup.incremental_minhash_pairs(
+                spark, bands_table, new_banded=banded,
+                n_hashes=n_hashes, bands=bands, k=k, hash_fn=hash_fn,
+                allow_missing_table=True,  # first-batch bootstrap
+            ).localCheckpoint()  # pin: used for two drop classes below
             ids = batch_df.select(F.col(id_col).alias("nid")).distinct()
             na = ids.select(F.col("nid").alias("id_a"), F.lit(True).alias("a_new"))
             nb = ids.select(F.col("nid").alias("id_b"), F.lit(True).alias("b_new"))
@@ -313,7 +319,8 @@ def stream_ingest_neardup(
         finally:
             from docling_gfcr_spark.operators.dedup import _free_local_checkpoint
 
-            _free_local_checkpoint(pairs)
+            if pairs is not None:
+                _free_local_checkpoint(pairs)
             _free_local_checkpoint(banded)
 
     src = spark.readStream.schema(schema).format("parquet")

@@ -1050,6 +1050,9 @@ def test_recap_band_index_tightens_append_drift(spark, tmp_path):
     dedup.recap_band_index(spark, table, path, hot_band_cap=3)
     tight = spark.table(table).groupBy("band", "band_hash").count().toPandas()["count"]
     assert tight.max() <= 3
+    # maintenance preserved the catalog bucket layout and cleaned its stage
+    assert dedup._table_bucket_count(spark, table) == 16
+    assert not spark.catalog.tableExists(f"{table}_recap")
     # deterministic representatives: lowest ids survive
     ids = sorted(int(r.id) for r in spark.table(table).select("id").distinct().collect())
     assert ids == [0, 1, 2]
