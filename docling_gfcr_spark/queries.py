@@ -2019,6 +2019,76 @@ GROUP BY s_name
 """
 
 
+def q15_top_revenue_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: a revenue VIEW (grouped agg over a date slice)
+    consumed twice — once joined to supplier, once under a scalar MAX —
+    selecting the top-revenue supplier(s). Exact-decimal accumulation."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1996-07-01"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+        .alias("total_rev")
+    )
+    max_rev = rev.agg(F.max("total_rev").alias("max_rev"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(max_rev), rev.total_rev == F.col("max_rev"))
+        .join(F.broadcast(s), rev.supplier_no == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue"))
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+"""
+
+
+def q20_heavy_shippers_of_small_parts(spark, sf_dir):
+    """TPC-H Q20 shape: NESTED IN subqueries — suppliers (in one nation)
+    whose shipped quantity of 'small'-named parts exceeds a threshold;
+    part set selected by an inner IN, supplier set by a grouped HAVING."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").startswith("small")).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3").select("n_nationkey")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
+        .join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", F.col("s_acctbal").alias("acctbal"))
+    )
+
+
+Q20_SQL = """
+SELECT s_suppkey, s_name, s_acctbal AS acctbal
+FROM supplier
+WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_3')
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    GROUP BY l_suppkey
+    HAVING sum(l_quantity) > 50
+  )
+"""
+
+
 def suppliers_above_avg_balance(spark, sf_dir):
     """HAVING over an aggregate, DataFrame API: nations whose suppliers'
     mean balance beats the global mean (uncorrelated scalar subquery +
@@ -2191,6 +2261,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q13_customer_order_distribution": q13_customer_order_distribution,
     "q16_part_supplier_variety": q16_part_supplier_variety,
     "q21_last_shipper_waiting": q21_last_shipper_waiting,
+    "q15_top_revenue_supplier": q15_top_revenue_supplier,
+    "q20_heavy_shippers_of_small_parts": q20_heavy_shippers_of_small_parts,
     # -- rotated IN: the whole r4 tail (19 entries), per the standing
     # rotation discipline. approx_distinct_stats stays rows-only by design
     # (sketch internals engine-specific; HLL/GK pytest tolerance +
@@ -2220,12 +2292,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id_docs": lang_id_docs,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
-    "latest_order_per_customer": latest_order_per_customer,
     "asof_error_after_click": asof_error_after_click,
     "skewed_hot_key_join": skewed_hot_key_join,
     "events_session_window": events_session_window,
     "order_value_percentiles": order_value_percentiles,
-    "status_priority_pivot": status_priority_pivot,
     "events_variant_stats": events_variant_stats,
     "doc_chunks": doc_chunks,
     "dedup_minhash_pairs": dedup_minhash_pairs,
@@ -2238,6 +2308,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the full check_oracle run each session; membership rotates back in
     # next round — the six q2/q6/q12/q13/q16/q21 additions displaced six
     # r4-green family reps into this tail) -----------------------------------
+    "latest_order_per_customer": latest_order_per_customer,
+    "status_priority_pivot": status_priority_pivot,
     "ngram_decontamination": ngram_decontamination,
     "source_mixed_sample": source_mixed_sample,
     "quality_model_scores": quality_model_scores,
@@ -2308,6 +2380,8 @@ ORACLES: dict[str, str] = {
     "q13_customer_order_distribution": Q13_SQL,
     "q16_part_supplier_variety": Q16_SQL,
     "q21_last_shipper_waiting": Q21_SQL,
+    "q15_top_revenue_supplier": Q15_SQL,
+    "q20_heavy_shippers_of_small_parts": Q20_SQL,
     "orders_with_late_shipments": Q4_SQL,
     "q22_idle_rich_customers": Q22_SQL,
     "lang_id_docs": _lang_sql(),
