@@ -2019,6 +2019,72 @@ GROUP BY s_name
 """
 
 
+def q8_national_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_3 suppliers' share of AMERICA customers'
+    order volume BY YEAR — a 7-way join (both dimension paths) under a
+    conditional-sum ratio. Numerator/denominator accumulate as exact
+    decimals; the share divides the identical doubles in both engines
+    (no rounding — IEEE division is bit-deterministic)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA").select("r_regionkey")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("sn_key"))
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0).cast("decimal(18,4)"))).alias("mkt_dec"),
+            F.sum(vol).alias("total_dec"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            "o_year",
+            F.col("mkt_dec").cast("double").alias("mkt_volume"),
+            F.col("total_dec").cast("double").alias("total_volume"),
+            (F.col("mkt_dec").cast("double") / F.col("total_dec").cast("double")).alias("mkt_share"),
+            "n_items",
+        )
+    )
+
+
+Q8_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+                THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS mkt_volume,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_volume,
+       CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+                THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+         / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region    ON n1.n_regionkey = r_regionkey
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'AMERICA'
+GROUP BY year(o_orderdate)
+"""
+
+
 def q15_top_revenue_supplier(spark, sf_dir):
     """TPC-H Q15 shape: a revenue VIEW (grouped agg over a date slice)
     consumed twice — once joined to supplier, once under a scalar MAX —
@@ -2263,6 +2329,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q21_last_shipper_waiting": q21_last_shipper_waiting,
     "q15_top_revenue_supplier": q15_top_revenue_supplier,
     "q20_heavy_shippers_of_small_parts": q20_heavy_shippers_of_small_parts,
+    "q8_national_market_share": q8_national_market_share,
     # -- rotated IN: the whole r4 tail (19 entries), per the standing
     # rotation discipline. approx_distinct_stats stays rows-only by design
     # (sketch internals engine-specific; HLL/GK pytest tolerance +
@@ -2297,7 +2364,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_session_window": events_session_window,
     "order_value_percentiles": order_value_percentiles,
     "events_variant_stats": events_variant_stats,
-    "doc_chunks": doc_chunks,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_clusters": dedup_clusters,
     "dedup_ngram_topk": dedup_ngram_topk,
@@ -2308,6 +2374,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the full check_oracle run each session; membership rotates back in
     # next round — the six q2/q6/q12/q13/q16/q21 additions displaced six
     # r4-green family reps into this tail) -----------------------------------
+    "doc_chunks": doc_chunks,
     "latest_order_per_customer": latest_order_per_customer,
     "status_priority_pivot": status_priority_pivot,
     "ngram_decontamination": ngram_decontamination,
@@ -2382,6 +2449,7 @@ ORACLES: dict[str, str] = {
     "q21_last_shipper_waiting": Q21_SQL,
     "q15_top_revenue_supplier": Q15_SQL,
     "q20_heavy_shippers_of_small_parts": Q20_SQL,
+    "q8_national_market_share": Q8_SQL,
     "orders_with_late_shipments": Q4_SQL,
     "q22_idle_rich_customers": Q22_SQL,
     "lang_id_docs": _lang_sql(),
