@@ -310,6 +310,107 @@ def _png_predictor(data: bytes, columns: int, colors: int, bpc: int) -> bytes:
     return bytes(out)
 
 
+def _ascii85_decode(data: bytes) -> bytes:
+    """ASCII85Decode (`<~`..`~>` optional): 5 chars -> 4 bytes, 'z' = four
+    zero bytes, whitespace ignored; partial final group per spec."""
+    body = data.split(b"~>")[0]
+    if body.startswith(b"<~"):
+        body = body[2:]
+    out = bytearray()
+    group: list[int] = []
+    for ch in body:
+        if ch in _WS:
+            continue
+        if ch == 0x7A:  # 'z'
+            if group:
+                raise ValueError("ASCII85: 'z' inside a group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not (0x21 <= ch <= 0x75):
+            raise ValueError(f"ASCII85: invalid byte 0x{ch:02x}")
+        group.append(ch - 0x21)
+        if len(group) == 5:
+            acc = 0
+            for g in group:
+                acc = acc * 85 + g
+            if acc > 0xFFFFFFFF:
+                raise ValueError("ASCII85: group overflow")
+            out += acc.to_bytes(4, "big")
+            group = []
+    if group:
+        if len(group) == 1:
+            raise ValueError("ASCII85: lone trailing character")
+        n = len(group)
+        acc = 0
+        for g in group + [84] * (5 - n):
+            acc = acc * 85 + g
+        out += acc.to_bytes(4, "big")[: n - 1]
+    return bytes(out)
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        ln = data[i]
+        if ln == 128:  # EOD
+            break
+        if ln < 128:
+            chunk = data[i + 1 : i + 2 + ln]
+            if len(chunk) < ln + 1:
+                raise ValueError("RunLength: truncated literal run")
+            out += chunk
+            i += 2 + ln
+        else:
+            if i + 1 >= n:
+                raise ValueError("RunLength: truncated repeat run")
+            out += bytes([data[i + 1]]) * (257 - ln)
+            i += 2
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """LZWDecode, PDF/TIFF variant: 8-bit data, clear code 256, EOD 257,
+    code width grows 9->12 bits with EARLY change (width bumps one code
+    before the table fills)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = bits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        bits += 8
+        while bits >= width:
+            bits -= width
+            code = (acc >> bits) & ((1 << width) - 1)
+            if code == 256:  # clear
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                if code > 255:
+                    raise ValueError("LZW: first code not a literal")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("LZW: code out of range")
+            out += entry
+            prev = entry
+            # EARLY change: width bumps when the NEXT code would overflow
+            if len(table) + 1 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
 def _apply_filters(raw: bytes, sdict: dict, resolve) -> bytes:
     filters = resolve(sdict.get("Filter"))
     if filters is None:
@@ -335,10 +436,15 @@ def _apply_filters(raw: bytes, sdict: dict, resolve) -> bytes:
             if len(hx) % 2:
                 hx += b"0"
             data = bytes.fromhex(hx.decode("ascii"))
+        elif flt == "ASCII85Decode":
+            data = _ascii85_decode(data)
+        elif flt == "RunLengthDecode":
+            data = _runlength_decode(data)
+        elif flt == "LZWDecode":
+            data = _lzw_decode(data)
         else:
-            raise ValueError(
-                f"unsupported content-stream /Filter {flt} (only FlateDecode/ASCIIHexDecode)"
-            )
+            # DCTDecode/JPXDecode/JBIG2/CCITT are image codecs — no text
+            raise ValueError(f"unsupported content-stream /Filter {flt}")
         pred = resolve(pm.get("Predictor")) if isinstance(pm, dict) else None
         if isinstance(pred, int) and pred >= 10:
             data = _png_predictor(

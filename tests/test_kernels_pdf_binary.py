@@ -68,10 +68,10 @@ def test_flate_streams_parse_other_filters_rejected():
     flate = pdf_binary.build_pdf(pages, compress=True)
     assert b"/FlateDecode" in flate
     assert pdf_binary.pdf_bytes_to_pages(flate) == ["\n".join(p) for p in pages]
-    lzw = pdf_binary.build_pdf([["x"]])
-    lzw = lzw.replace(b"<< /Length", b"<< /Filter /LZWDecode /Length", 1)
+    dct = pdf_binary.build_pdf([["x"]])
+    dct = dct.replace(b"<< /Length", b"<< /Filter /DCTDecode /Length", 1)
     with pytest.raises(ValueError, match="Filter"):
-        pdf_binary.pdf_bytes_to_pages(lzw)
+        pdf_binary.pdf_bytes_to_pages(dct)
     # corrupted flate payload -> clear error, not a zlib traceback
     bad = pdf_binary.build_pdf([["y"]])
     bad = bad.replace(b"<< /Length", b"<< /Filter /FlateDecode /Length", 1)

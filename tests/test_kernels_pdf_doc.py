@@ -416,3 +416,94 @@ def test_mutation_fuzz_valueerror_only_contract():
             except ValueError:
                 pass  # the error-envelope contract
             # any OTHER exception type propagates and fails the test
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Minimal PDF-variant LZW encoder (clear + EOD, early width change) —
+    test-only oracle for the decoder."""
+    out_bits: list[tuple[int, int]] = [(256, 9)]  # clear
+    table = {bytes([i]): i for i in range(256)}
+    nxt, width = 258, 9
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w += c
+            continue
+        out_bits.append((table[w], width))
+        table[w + c] = nxt
+        nxt += 1
+        # decoder lags one table entry behind: its early change (2^w - 1)
+        # pairs with an encoder bump at 2^w
+        if nxt >= (1 << width) and width < 12:
+            width += 1
+        w = c
+    if w:
+        out_bits.append((table[w], width))
+    out_bits.append((257, width))  # EOD
+    acc = bits = 0
+    buf = bytearray()
+    for code, wd in out_bits:
+        acc = (acc << wd) | code
+        bits += wd
+        while bits >= 8:
+            bits -= 8
+            buf.append((acc >> bits) & 0xFF)
+    if bits:
+        buf.append((acc << (8 - bits)) & 0xFF)
+    return bytes(buf)
+
+
+def test_extra_stream_filters_roundtrip():
+    """ASCII85 / RunLength / LZW streams decode (older real-world PDFs);
+    image codecs still reject cleanly."""
+    import base64 as _b64
+
+    ops = b"BT (filter roundtrip works) Tj ET"
+
+    def one(filter_name: bytes, payload: bytes) -> list[str]:
+        blob = (
+            b"%PDF-1.4\n"
+            b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+            b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+            b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+            + (b"4 0 obj << /Filter /" + filter_name + b" /Length %d >>\nstream\n" % len(payload))
+            + payload
+            + b"\nendstream endobj\n"
+        )
+        return pdf_doc.parse_pdf_pages(blob)
+
+    # ASCII85 (with and without z-groups via zero padding in content)
+    import struct as _s
+
+    a85 = bytearray()
+    for i in range(0, len(ops), 4):
+        chunk = ops[i : i + 4]
+        pad = 4 - len(chunk)
+        acc = int.from_bytes(chunk + b"\x00" * pad, "big")
+        digits = []
+        for _ in range(5):
+            acc, rem = divmod(acc, 85)
+            digits.append(rem + 0x21)
+        a85 += bytes(reversed(digits))[: 5 - pad]
+    assert one(b"ASCII85Decode", bytes(a85) + b"~>") == ["filter roundtrip works"]
+
+    # RunLength: literal runs of <=127 bytes + EOD
+    rl = bytearray()
+    for i in range(0, len(ops), 100):
+        chunk = ops[i : i + 100]
+        rl += bytes([len(chunk) - 1]) + chunk
+    rl.append(128)
+    assert one(b"RunLengthDecode", bytes(rl)) == ["filter roundtrip works"]
+    # repeat-run form
+    assert pdf_doc._runlength_decode(bytes([257 - 4, ord("x"), 128])) == b"xxxx"
+
+    # LZW round-trip incl. a payload long enough to force width growth
+    long_ops = b"BT " + b" ".join(b"(token%d) Tj" % i for i in range(300)) + b" ET"
+    for payload in (ops, long_ops):
+        assert pdf_doc._lzw_decode(_lzw_encode(payload)) == payload
+    assert one(b"LZWDecode", _lzw_encode(ops)) == ["filter roundtrip works"]
+
+    # image codecs reject into the error envelope
+    with pytest.raises(ValueError, match="Filter"):
+        one(b"DCTDecode", b"\xff\xd8\xff junk")
