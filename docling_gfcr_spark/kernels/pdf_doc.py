@@ -311,41 +311,21 @@ def _png_predictor(data: bytes, columns: int, colors: int, bpc: int) -> bytes:
 
 
 def _ascii85_decode(data: bytes) -> bytes:
-    """ASCII85Decode (`<~`..`~>` optional): 5 chars -> 4 bytes, 'z' = four
-    zero bytes, whitespace ignored; partial final group per spec."""
+    """ASCII85Decode (`<~`..`~>` optional) via stdlib ``base64.a85decode``
+    — z-groups, whitespace, partial final groups and group-overflow all
+    handled there, and every malformed input raises ValueError (the
+    module's error contract)."""
+    import base64
+
     body = data.split(b"~>")[0]
     if body.startswith(b"<~"):
         body = body[2:]
-    out = bytearray()
-    group: list[int] = []
-    for ch in body:
-        if ch in _WS:
-            continue
-        if ch == 0x7A:  # 'z'
-            if group:
-                raise ValueError("ASCII85: 'z' inside a group")
-            out += b"\x00\x00\x00\x00"
-            continue
-        if not (0x21 <= ch <= 0x75):
-            raise ValueError(f"ASCII85: invalid byte 0x{ch:02x}")
-        group.append(ch - 0x21)
-        if len(group) == 5:
-            acc = 0
-            for g in group:
-                acc = acc * 85 + g
-            if acc > 0xFFFFFFFF:
-                raise ValueError("ASCII85: group overflow")
-            out += acc.to_bytes(4, "big")
-            group = []
-    if group:
-        if len(group) == 1:
-            raise ValueError("ASCII85: lone trailing character")
-        n = len(group)
-        acc = 0
-        for g in group + [84] * (5 - n):
-            acc = acc * 85 + g
-        out += acc.to_bytes(4, "big")[: n - 1]
-    return bytes(out)
+    try:
+        return base64.a85decode(body, ignorechars=_WS)
+    except ValueError:
+        raise
+    except Exception as e:  # stdlib raises ValueError, but keep the contract
+        raise ValueError(f"ASCII85: {e}") from e
 
 
 def _runlength_decode(data: bytes) -> bytes:
@@ -369,10 +349,11 @@ def _runlength_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _lzw_decode(data: bytes) -> bytes:
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
     """LZWDecode, PDF/TIFF variant: 8-bit data, clear code 256, EOD 257,
-    code width grows 9->12 bits with EARLY change (width bumps one code
-    before the table fills)."""
+    code width grows 9->12 bits. ``early_change=1`` (the default, and the
+    PDF default for /DecodeParms /EarlyChange) bumps the width one code
+    before the table fills; ``0`` bumps exactly at the boundary."""
     out = bytearray()
     table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
     width = 9
@@ -384,6 +365,9 @@ def _lzw_decode(data: bytes) -> bytes:
         while bits >= width:
             bits -= width
             code = (acc >> bits) & ((1 << width) - 1)
+            # drop consumed high bits: an unbounded bigint accumulator makes
+            # decoding O(n^2) in stream length (measured 40s on 450 KB)
+            acc &= (1 << bits) - 1
             if code == 256:  # clear
                 table = table[:258]
                 width = 9
@@ -405,8 +389,7 @@ def _lzw_decode(data: bytes) -> bytes:
                 raise ValueError("LZW: code out of range")
             out += entry
             prev = entry
-            # EARLY change: width bumps when the NEXT code would overflow
-            if len(table) + 1 >= (1 << width) and width < 12:
+            if len(table) + early_change >= (1 << width) and width < 12:
                 width += 1
     return bytes(out)
 
@@ -441,7 +424,8 @@ def _apply_filters(raw: bytes, sdict: dict, resolve) -> bytes:
         elif flt == "RunLengthDecode":
             data = _runlength_decode(data)
         elif flt == "LZWDecode":
-            data = _lzw_decode(data)
+            ec = resolve(pm.get("EarlyChange")) if isinstance(pm, dict) else None
+            data = _lzw_decode(data, early_change=1 if ec is None else int(ec))
         else:
             # DCTDecode/JPXDecode/JBIG2/CCITT are image codecs — no text
             raise ValueError(f"unsupported content-stream /Filter {flt}")

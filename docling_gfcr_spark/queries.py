@@ -2372,8 +2372,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- tier 3 (past the driver's ~50-entry cap this round; every entry was
     # driver-gated hash-green in CORRECTNESS_r04.json and is re-verified by
     # the full check_oracle run each session; membership rotates back in
-    # next round — the six q2/q6/q12/q13/q16/q21 additions displaced six
-    # r4-green family reps into this tail) -----------------------------------
+    # next round — the nine q2/q6/q8/q12/q13/q15/q16/q20/q21 additions
+    # displaced nine r4-green family reps into this tail) -------------------
     "doc_chunks": doc_chunks,
     "latest_order_per_customer": latest_order_per_customer,
     "status_priority_pivot": status_priority_pivot,

@@ -431,12 +431,13 @@ def _lzw_encode(data: bytes) -> bytes:
             w += c
             continue
         out_bits.append((table[w], width))
-        table[w + c] = nxt
-        nxt += 1
-        # decoder lags one table entry behind: its early change (2^w - 1)
-        # pairs with an encoder bump at 2^w
-        if nxt >= (1 << width) and width < 12:
-            width += 1
+        if nxt < 4096:  # freeze at the 12-bit ceiling (real encoders clear
+            table[w + c] = nxt  # or freeze; emitting codes >= 4096 would
+            nxt += 1  # silently truncate in 12 bits)
+            # decoder lags one table entry behind: its early change
+            # (2^w - 1) pairs with an encoder bump at 2^w
+            if nxt >= (1 << width) and width < 12:
+                width += 1
         w = c
     if w:
         out_bits.append((table[w], width))
@@ -457,8 +458,6 @@ def _lzw_encode(data: bytes) -> bytes:
 def test_extra_stream_filters_roundtrip():
     """ASCII85 / RunLength / LZW streams decode (older real-world PDFs);
     image codecs still reject cleanly."""
-    import base64 as _b64
-
     ops = b"BT (filter roundtrip works) Tj ET"
 
     def one(filter_name: bytes, payload: bytes) -> list[str]:
@@ -474,8 +473,6 @@ def test_extra_stream_filters_roundtrip():
         return pdf_doc.parse_pdf_pages(blob)
 
     # ASCII85 (with and without z-groups via zero padding in content)
-    import struct as _s
-
     a85 = bytearray()
     for i in range(0, len(ops), 4):
         chunk = ops[i : i + 4]
@@ -498,11 +495,18 @@ def test_extra_stream_filters_roundtrip():
     # repeat-run form
     assert pdf_doc._runlength_decode(bytes([257 - 4, ord("x"), 128])) == b"xxxx"
 
-    # LZW round-trip incl. a payload long enough to force width growth
+    # LZW round-trip incl. payloads forcing width growth AND table freeze
+    import random as _random
+
+    _rng = _random.Random(9)
     long_ops = b"BT " + b" ".join(b"(token%d) Tj" % i for i in range(300)) + b" ET"
-    for payload in (ops, long_ops):
+    big = bytes(_rng.randrange(64) for _ in range(20_000))  # >4096 phrases
+    for payload in (ops, long_ops, big):
         assert pdf_doc._lzw_decode(_lzw_encode(payload)) == payload
     assert one(b"LZWDecode", _lzw_encode(ops)) == ["filter roundtrip works"]
+    # malformed ASCII85 trailer overflow stays a ValueError (not Overflow)
+    with pytest.raises(ValueError):
+        pdf_doc._ascii85_decode(b"uu~>")
 
     # image codecs reject into the error envelope
     with pytest.raises(ValueError, match="Filter"):
