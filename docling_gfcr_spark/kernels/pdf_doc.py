@@ -168,7 +168,11 @@ _NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
 _KW_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]+")
 
 
-def _next_token(buf: bytes, i: int):
+_MAX_NEST = 128  # grammar nesting cap: hostile '[[[[…' must ValueError, not
+# RecursionError (the pipeline's pdf_b64 route catches only ValueError)
+
+
+def _next_token(buf: bytes, i: int, depth: int = 0):
     """-> (kind, value, j): kind 'obj' for a complete object, 'kw' for a
     bare keyword/operator, 'close' for ']'/'>>' markers."""
     i = _skip_ws(buf, i)
@@ -180,7 +184,7 @@ def _next_token(buf: bytes, i: int):
         return "obj", s, j
     if c == 0x3C:  # < or <<
         if buf[i + 1 : i + 2] == b"<":
-            d, j = _parse_dict(buf, i + 2)
+            d, j = _parse_dict(buf, i + 2, depth + 1)
             return "obj", d, j
         s, j = _scan_hex_string(buf, i)
         return "obj", s, j
@@ -189,7 +193,7 @@ def _next_token(buf: bytes, i: int):
             return "close", ">>", i + 2
         raise ValueError("stray '>'")
     if c == 0x5B:  # [
-        a, j = _parse_array(buf, i + 1)
+        a, j = _parse_array(buf, i + 1, depth + 1)
         return "obj", a, j
     if c == 0x5D:  # ]
         return "close", "]", i + 1
@@ -231,10 +235,12 @@ def _next_token(buf: bytes, i: int):
     raise ValueError(f"unparseable byte 0x{c:02x} at offset {i}")
 
 
-def _parse_array(buf: bytes, i: int) -> tuple[list, int]:
+def _parse_array(buf: bytes, i: int, depth: int = 0) -> tuple[list, int]:
+    if depth > _MAX_NEST:
+        raise ValueError("object nesting too deep")
     out: list = []
     while True:
-        kind, val, i = _next_token(buf, i)
+        kind, val, i = _next_token(buf, i, depth)
         if kind == "close":
             if val != "]":
                 raise ValueError("mismatched ']'")
@@ -244,17 +250,19 @@ def _parse_array(buf: bytes, i: int) -> tuple[list, int]:
         out.append(val)
 
 
-def _parse_dict(buf: bytes, i: int) -> tuple[dict, int]:
+def _parse_dict(buf: bytes, i: int, depth: int = 0) -> tuple[dict, int]:
+    if depth > _MAX_NEST:
+        raise ValueError("object nesting too deep")
     out: dict = {}
     while True:
-        kind, key, i = _next_token(buf, i)
+        kind, key, i = _next_token(buf, i, depth)
         if kind == "close":
             if key != ">>":
                 raise ValueError("mismatched '>>'")
             return out, i
         if not isinstance(key, Name):
             raise ValueError("dict key is not a name")
-        kind, val, i = _next_token(buf, i)
+        kind, val, i = _next_token(buf, i, depth)
         if kind != "obj":
             raise ValueError(f"dict value for /{key} is '{val}'")
         out[str(key)] = val
@@ -273,8 +281,15 @@ def _parse_obj(buf: bytes, i: int):
 
 
 def _png_predictor(data: bytes, columns: int, colors: int, bpc: int) -> bytes:
+    if columns <= 0 or colors <= 0 or bpc <= 0:
+        raise ValueError("invalid PNG predictor parameters")
     bpp = max(1, colors * bpc // 8)
     rowlen = (columns * colors * bpc + 7) // 8
+    # a crafted /Columns (e.g. 2**40) must not allocate rowlen-sized rows:
+    # every real row occupies rowlen+1 bytes of data, so rowlen > len(data)
+    # means the declared geometry cannot describe this stream
+    if rowlen > len(data):
+        raise ValueError("PNG predictor row length exceeds stream data")
     out = bytearray()
     prev = bytearray(rowlen)
     for r in range(0, len(data), rowlen + 1):
@@ -679,9 +694,17 @@ class PdfDocument:
             if not any(v is not None for v in self.xref.values()):
                 raise ValueError("empty xref")
         except ValueError:
+            # encrypted files usually have a VALID xref, but a garbled chain
+            # must not silently brute-scan ciphertext into nonsense either
+            if self.trailer.get("Encrypt") is not None:
+                raise ValueError("encrypted PDF (/Encrypt) is not supported")
             self.xref = {}
             self.trailer = {}
             self._brute_scan()
+        if self.trailer.get("Encrypt") is not None:
+            # no decryption support: route to a clean parse_failed envelope
+            # instead of garbling RC4/AES ciphertext streams downstream
+            raise ValueError("encrypted PDF (/Encrypt) is not supported")
         if not self.xref:
             raise ValueError("no PDF objects found")
 
@@ -701,18 +724,38 @@ class PdfDocument:
             seen.add(off)
             i = _skip_ws(self.blob, off)
             if self.blob[i : i + 4] == b"xref":
-                trailer = self._parse_xref_table(i + 4)
+                trailer, entries = self._parse_xref_table(i + 4)
+                # hybrid-reference precedence (ISO 32000-1 7.5.8.4): the
+                # section's /XRefStm stream must be applied BEFORE its table
+                # entries — hybrids commonly list ObjStm-compressed objects
+                # as free in the classic table, and applying the table first
+                # would mask them to tombstones
+                xstm = trailer.get("XRefStm")
+                if isinstance(xstm, int) and xstm not in seen and 0 <= xstm < len(self.blob):
+                    seen.add(xstm)
+                    try:
+                        sd = self._parse_xref_stream_at(_skip_ws(self.blob, xstm))
+                        v = sd.get("Prev")
+                        if isinstance(v, int):
+                            queue.append(v)
+                    except ValueError:
+                        pass  # broken hybrid stream: the table still stands
+                for num, val in entries:
+                    self.xref.setdefault(num, val)
             else:
                 trailer = self._parse_xref_stream_at(i)
-            for key in ("XRefStm", "Prev"):
-                v = trailer.get(key)
-                if isinstance(v, int):
-                    queue.append(v)
+            v = trailer.get("Prev")
+            if isinstance(v, int):
+                queue.append(v)
             for k, v in trailer.items():
                 self.trailer.setdefault(k, v)
 
-    def _parse_xref_table(self, i: int) -> dict:
+    def _parse_xref_table(self, i: int) -> tuple[dict, list]:
+        """Parse a classic xref section; returns (trailer, entries) WITHOUT
+        applying the entries, so the caller can give the section's /XRefStm
+        stream precedence over them (hybrid-reference files)."""
         blob = self.blob
+        entries: list = []
         while True:
             i = _skip_ws(blob, i)
             kind, val, j = _next_token(blob, i)
@@ -720,7 +763,7 @@ class PdfDocument:
                 trailer, _ = _parse_obj(blob, j)
                 if not isinstance(trailer, dict):
                     raise ValueError("xref trailer is not a dict")
-                return trailer
+                return trailer, entries
             if kind != "obj" or not isinstance(val, int):
                 raise ValueError("malformed xref subsection header")
             start = val
@@ -733,12 +776,12 @@ class PdfDocument:
                 if not m:
                     raise ValueError("malformed xref entry")
                 if m.group(3) == b"n":
-                    self.xref.setdefault(start + k, ("f", int(m.group(1))))
+                    entries.append((start + k, ("f", int(m.group(1)))))
                 else:
                     # FREE entry = tombstone: a newer update's deletion must
                     # mask the older section's in-use offset ('newest wins'),
                     # not resurrect stale content
-                    self.xref.setdefault(start + k, None)
+                    entries.append((start + k, None))
                 i = _skip_ws(blob, m.end())
 
     def _parse_xref_stream_at(self, i: int) -> dict:
@@ -753,6 +796,11 @@ class PdfDocument:
         w = [int(x) for x in sd.get("W") or []]
         if len(w) != 3:
             raise ValueError("xref stream missing /W")
+        # w[1] carries the offset/objstm-number field: width 0 would make
+        # every entry's offset None and surface later as a TypeError; huge
+        # widths are nonsense (offsets fit in 8 bytes)
+        if w[1] < 1 or any(x < 0 or x > 8 for x in w):
+            raise ValueError(f"invalid xref stream /W widths {w}")
         size = int(self._resolve_simple(sd.get("Size")) or 0)
         index = sd.get("Index") or [0, size]
         rowlen = sum(w)
@@ -1082,16 +1130,23 @@ def parse_pdf_pages(blob: bytes, strict: bool = True) -> list[str]:
     operator, fonts decoded). ``strict=True`` raises ``ValueError`` on any
     broken page (the pipeline error-envelope contract); ``strict=False``
     degrades individual page failures to empty strings so one bad page
-    cannot void a large document."""
-    doc = PdfDocument(blob)
-    pages = doc.pages(strict=strict)
+    cannot void a large document.
+
+    Error contract: ValueError ONLY. The grammar caps nesting depth and the
+    predictors validate geometry, but as the module boundary this also
+    converts any residual RecursionError/MemoryError from hostile payloads
+    into ValueError so the pipeline's error envelope always catches it."""
+    try:
+        doc = PdfDocument(blob)
+        pages = doc.pages(strict=strict)
+    except (RecursionError, MemoryError) as e:
+        raise ValueError(f"pdf parse failed: {type(e).__name__}") from None
     out: list[str] = []
     for page, inh in pages:
-        if strict:
+        try:
             out.append(doc.page_text(page, inh))
-        else:
-            try:
-                out.append(doc.page_text(page, inh))
-            except ValueError:
-                out.append("")
+        except (ValueError, RecursionError, MemoryError) as e:
+            if strict:
+                raise ValueError(f"pdf page parse failed: {e}") from None
+            out.append("")
     return out

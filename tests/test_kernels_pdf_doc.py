@@ -511,3 +511,115 @@ def test_extra_stream_filters_roundtrip():
     # image codecs reject into the error envelope
     with pytest.raises(ValueError, match="Filter"):
         one(b"DCTDecode", b"\xff\xd8\xff junk")
+
+
+# ---------------------------------------------------------------------------
+# round-6 hardening: hostile payloads stay inside the ValueError contract
+# (ADVICE r5 high), /Encrypt routes cleanly, hybrid XRefStm precedence
+# ---------------------------------------------------------------------------
+
+
+def test_hostile_nesting_raises_valueerror_not_recursionerror():
+    """~1KB of '[' brackets previously blew the recursive grammar into a
+    RecursionError that escaped parse_pdf_pages; the depth cap must convert
+    it to ValueError (the only type the pipeline envelope catches)."""
+    deep = b"[" * 5000 + b"]" * 5000
+    with pytest.raises(ValueError):
+        pdf_doc._parse_obj(deep, 0)
+    blob = b"%PDF-1.4\n1 0 obj " + deep + b" endobj\n"
+    with pytest.raises(ValueError):
+        pdf_doc.parse_pdf_pages(blob)
+    # nested dicts hit the same cap
+    with pytest.raises(ValueError):
+        pdf_doc._parse_obj(b"<< /A " * 3000 + b"1" + b" >>" * 3000, 0)
+    # legitimate nesting well under the cap still parses
+    ok = b"[" * 50 + b"1" + b"]" * 50
+    val, _ = pdf_doc._parse_obj(ok, 0)
+    for _ in range(50):
+        assert isinstance(val, list)
+        val = val[0]
+    assert val == 1
+
+
+def test_crafted_predictor_columns_raises_valueerror_not_memoryerror():
+    """/DecodeParms /Columns 2**40 previously allocated a 2**40-byte row
+    buffer (MemoryError); geometry is now validated against the data."""
+    with pytest.raises(ValueError):
+        pdf_doc._png_predictor(b"\x00abc", 2**40, 1, 8)
+    with pytest.raises(ValueError):
+        pdf_doc._png_predictor(b"\x00abc", 0, 1, 8)
+    # end-to-end: a valid 1.5 file whose xref DecodeParms is inflated must
+    # not kill the task (brute-scan recovery or ValueError are both fine)
+    blob = build_pdf15(b"BT /F1 12 Tf <0041> Tj ET", _CMAP)
+    bad = blob.replace(b"/Columns 4", b"/Columns 1099511627776")
+    try:
+        pdf_doc.parse_pdf_pages(bad)
+    except ValueError:
+        pass
+
+
+def test_xref_stream_zero_offset_width_no_typeerror():
+    """W [1 0 1] makes every offset field None; the old code stored
+    ('f', None) and died later with TypeError. Now the stream is rejected
+    (ValueError) and the brute scan may still recover the document."""
+    blob = build_pdf15(b"BT /F1 12 Tf <00410042> Tj ET", _CMAP)
+    bad = blob.replace(b"/W [1 2 1]", b"/W [1 0 1]")
+    try:
+        pages = pdf_doc.parse_pdf_pages(bad)
+        assert isinstance(pages, list)
+    except ValueError:
+        pass
+
+
+def test_encrypted_pdf_routes_to_clean_valueerror():
+    """A /Encrypt trailer must be detected explicitly and refused with a
+    clean ValueError — never garble-and-hope through ciphertext streams."""
+    blob = build_pdf15(b"BT /F1 12 Tf <0041> Tj ET", _CMAP)
+    enc = blob.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
+    with pytest.raises(ValueError, match="encrypted"):
+        pdf_doc.parse_pdf_pages(enc)
+    # classic-table trailer form too
+    classic = pdf_binary.build_pdf([["hello"]])
+    enc2 = classic.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
+    if enc2 != classic:  # builder emits a trailer dict with /Root
+        with pytest.raises(ValueError, match="encrypted"):
+            pdf_doc.parse_pdf_pages(enc2)
+
+
+def _hybrid_pdf(content_ops: bytes, cmap_body: bytes) -> bytes:
+    """Hybrid-reference file (ISO 32000-1 7.5.8.4): a CLASSIC xref table that
+    lists the ObjStm-packed objects (1,2,3,5) as FREE, plus an /XRefStm
+    stream mapping them as type-2 entries. Readers that honor the stream see
+    the document; table-only readers see free slots."""
+    blob = bytearray(build_pdf15(content_ops, cmap_body))
+    # strip the trailing "startxref\nN\n%%EOF\n" from the 1.5 builder
+    sx = blob.rindex(b"startxref")
+    xrefstm_off = int(blob[sx:].split()[1])
+    del blob[sx:]
+    table_at = len(blob)
+    # offsets of the file-level objects, recovered from the blob itself
+    offs = {}
+    for num in (4, 6, 7, 8):
+        offs[num] = blob.index(b"%d 0 obj" % num)
+    lines = [b"xref\n0 9\n", b"0000000000 65535 f \n"]
+    for num in range(1, 9):
+        if num in offs:
+            lines.append(b"%010d 00000 n \n" % offs[num])
+        else:  # the hybrid compat pattern: ObjStm members listed as free
+            lines.append(b"0000000000 00001 f \n")
+    lines.append(
+        b"trailer\n<< /Size 9 /Root 1 0 R /XRefStm %d >>\n" % xrefstm_off
+    )
+    lines.append(b"startxref\n%d\n%%%%EOF\n" % table_at)
+    blob.extend(b"".join(lines))
+    return bytes(blob)
+
+
+def test_hybrid_xrefstm_takes_precedence_over_free_tombstones():
+    """The section's /XRefStm must be applied BEFORE its table entries:
+    hybrids list ObjStm-compressed objects as free in the classic table, and
+    table-first order masked them to null (r5 ADVICE low) — strict parse
+    failed and lenient silently returned empty text."""
+    blob = _hybrid_pdf(b"BT /F1 12 Tf <00410042> Tj ET", _CMAP)
+    assert b"\nxref\n" in b"\n" + blob[-400:]  # startxref targets the table
+    assert pdf_doc.parse_pdf_pages(blob, strict=True) == ["ZÉ"]
