@@ -69,8 +69,8 @@ HEADLINE = [
     "skewed_hot_key_join",
     "quality_model_scores",
     "source_mixed_sample",
-    # round-5 ops (incremental entry times commit+mine — that IS the op)
-    "dedup_incremental_pairs",
+    # round-5 ops (round 6 split the incremental entry into commit vs mine
+    # below — the r5 single number couldn't attribute cost)
     "multimodal_assembled_convs",
 ]
 
@@ -239,6 +239,45 @@ def main() -> None:
     )
     print(f"# dedup_ngram_capped: {results['dedup_ngram_capped']}s ({n} rows)", file=sys.stderr)
 
+    # incremental dedup, SPLIT (r5 verdict item 4): commit = sign the standing
+    # 80% corpus + write the bucketed band table (dominated by the table
+    # write); mine = dedup today's 20% batch against it (the recurring daily
+    # cost — commit of the corpus happens once, amortized). xxhash64 fast
+    # path, same as the other bench dedup entries.
+    import hashlib as _hashlib
+    import tempfile as _tempfile
+
+    from docling_gfcr_spark.operators import sampling as _sampling
+
+    inc_new = docs.where(_sampling.sample_predicate(0.2, salt="incr"))
+    inc_old = docs.where(~_sampling.sample_predicate(0.2, salt="incr"))
+    itable = "bench_incr_bands_" + _hashlib.md5(SF_DIR.encode()).hexdigest()[:8]
+    ipath = os.path.join(_tempfile.gettempdir(), f"docling_gfcr_{itable}")
+
+    def commit_pass() -> int:
+        _dedup.commit_minhash_bands(
+            inc_old, itable, ipath, n_hashes=32, bands=8, k=5, hash_fn="xxhash64"
+        )
+        return 0
+
+    results["dedup_incremental_commit"], _n = timed(commit_pass, "dedup_incremental_commit")
+    print(f"# dedup_incremental_commit: {results['dedup_incremental_commit']}s", file=sys.stderr)
+    results["dedup_incremental_mine"], n = timed(
+        lambda: _dedup.incremental_minhash_pairs(
+            spark, itable, inc_new, n_hashes=32, bands=8, k=5, hash_fn="xxhash64"
+        ).count(),
+        "dedup_incremental_mine",
+    )
+    print(f"# dedup_incremental_mine: {results['dedup_incremental_mine']}s ({n} rows)", file=sys.stderr)
+    spark.sql(f"DROP TABLE IF EXISTS {itable}")
+
+    # emb_neardup_lsh drifted 1.36->1.97s in r5 (within spread); re-run it
+    # LAST in the query section so first-vs-last brackets host drift within
+    # one record (stats-only: not added to the headline total)
+    q_lsh = Q.QUERIES["emb_neardup_lsh"]
+    lsh_late, _n = timed(lambda: q_lsh(spark, SF_DIR).count(), "emb_neardup_lsh_late")
+    print(f"# emb_neardup_lsh_late: {lsh_late}s (first-run was {results['emb_neardup_lsh']}s)", file=sys.stderr)
+
     tpath = _materialize_transcripts(spark)
 
     # ordering + skew-safe two-phase conversation assembly (the shuffle path)
@@ -284,17 +323,19 @@ def main() -> None:
         }
         for name, ts in samples.items()
     }
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # full self-describing record FIRST (for humans + BENCH.md archaeology)…
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total",
+                "metric": "headline_queries_total_full",
                 "value": total,
                 "unit": "sec",
                 "passes": PASSES,  # min-of-3 for every query entry
                 "passes_extract": PASSES_EXTRACT,  # extraction child: fresh JVM, parent stopped
                 "queries": results,
                 "stats": stats,  # per-entry median + spread of the raw passes
-                "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+                "sf": sf,
                 "throughput": {
                     "extracted_turns_per_sec": turns_per_sec,
                     "n_turns": n_turns,
@@ -306,6 +347,32 @@ def main() -> None:
                 # and end; >>1s or start/end divergence = contended host
                 "spin_sec": {"start": spin_start, "end": spin_end},
             }
+        )
+    )
+    # …then a COMPACT headline as the LAST stdout line: the driver's capture
+    # keeps only a tail of stdout, and the enormous full record made every
+    # prior round's BENCH_r{N}.json unparseable ("parsed": null, r5 verdict
+    # item 2). Everything the driver contract needs, nothing unbounded.
+    top5 = dict(
+        sorted(((k, v["med"]) for k, v in stats.items()), key=lambda kv: -kv[1])[:5]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": sf,
+                "extracted_turns_per_sec": turns_per_sec,
+                "n_turns": n_turns,
+                "cpus": CPUS,
+                "corpus_fingerprint": corpus.get("generator_fingerprint"),
+                "corpus_digest": corpus.get("xxh64_sum"),
+                "top5_medians": top5,
+                "spin_sec": {"start": spin_start, "end": spin_end},
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -326,9 +326,59 @@ def commit_minhash_bands(
         if df is None:
             raise ValueError("pass df or banded")
         banded = minhash_band_keys(df, text_col, id_col, n_hashes, bands, k, hash_fn)
+    spark = banded.sparkSession
+    if mode == "append" and spark.catalog.tableExists(table):
+        # appending keys built with different signature parameters would mix
+        # incomparable band hashes into one index — refuse before writing
+        _check_signature_params(
+            spark, table, n_hashes, bands, k, hash_fn, "commit_minhash_bands"
+        )
     if hot_band_cap is not None:
         banded = _cap_band_keys(banded, hot_band_cap)
     gio.write_bucketed(banded, table, path, key="band_hash", n_buckets=n_buckets, mode=mode)
+    _write_signature_params(spark, table, n_hashes, bands, k, hash_fn)
+
+
+_SIG_PARAM_KEYS = ("n_hashes", "bands", "k", "hash_fn")
+
+
+def _write_signature_params(spark, table: str, n_hashes, bands, k, hash_fn) -> None:
+    """Stamp the minhash signature parameters on the committed band table
+    (TBLPROPERTIES) so later ingests can prove their keys are comparable."""
+    props = ", ".join(
+        f"'minhash.{key}'='{val}'"
+        for key, val in zip(_SIG_PARAM_KEYS, (n_hashes, bands, k, hash_fn))
+    )
+    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({props})")
+
+
+def _read_signature_params(spark, table: str) -> dict[str, str]:
+    try:
+        rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    except Exception:
+        return {}
+    props = {str(r.key): str(r.value) for r in rows}
+    return {
+        key: props[f"minhash.{key}"]
+        for key in _SIG_PARAM_KEYS
+        if f"minhash.{key}" in props
+    }
+
+
+def _check_signature_params(spark, table: str, n_hashes, bands, k, hash_fn, context: str) -> None:
+    """Band keys are only comparable when BOTH sides used the same
+    (n_hashes, bands, k, hash_fn): a mismatch makes the index join silently
+    yield ~no candidates and duplicates get committed undetected — the same
+    failure class the allow_missing_table guard exists for. Tables written
+    before stamping existed (no properties) are allowed through."""
+    have = _read_signature_params(spark, table)
+    want = dict(zip(_SIG_PARAM_KEYS, (str(n_hashes), str(bands), str(k), str(hash_fn))))
+    if have and have != want:
+        raise ValueError(
+            f"{context}: committed band table {table!r} was built with minhash "
+            f"params {have} but this call uses {want} — band keys would be "
+            "incomparable and dedup would silently find nothing"
+        )
 
 
 def _cap_band_keys(banded: DataFrame, cap: int) -> DataFrame:
@@ -363,6 +413,9 @@ def recap_band_index(
 
     if n_buckets is None:
         n_buckets = _table_bucket_count(spark, table) or 16
+    # the overwrite saveAsTable below recreates the table, dropping the
+    # stamped signature parameters — carry them across the rewrite
+    sig = _read_signature_params(spark, table)
     tmp_table, tmp_path = f"{table}_recap", path.rstrip("/") + "_recap"
     capped = _cap_band_keys(spark.table(table), hot_band_cap)
     gio.write_bucketed(
@@ -375,6 +428,8 @@ def recap_band_index(
         n_buckets=n_buckets, mode="overwrite",
     )
     spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+    if len(sig) == len(_SIG_PARAM_KEYS):
+        _write_signature_params(spark, table, *[sig[key] for key in _SIG_PARAM_KEYS])
     spark.catalog.refreshTable(table)
 
 
@@ -430,6 +485,9 @@ def incremental_minhash_pairs(
         new_banded = minhash_band_keys(new_df, text_col, id_col, n_hashes, bands, k, hash_fn)
     cross = None
     if spark.catalog.tableExists(table):
+        _check_signature_params(
+            spark, table, n_hashes, bands, k, hash_fn, "incremental_minhash_pairs"
+        )
         committed = spark.table(table)
         # new-vs-corpus: every committed id sharing a band key with a batch id
         cross = (

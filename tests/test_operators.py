@@ -1057,3 +1057,40 @@ def test_recap_band_index_tightens_append_drift(spark, tmp_path):
     ids = sorted(int(r.id) for r in spark.table(table).select("id").distinct().collect())
     assert ids == [0, 1, 2]
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+def test_incremental_signature_params_stamped_and_validated(spark, tmp_path):
+    """Band keys are only comparable under identical (n_hashes, bands, k,
+    hash_fn); a mismatched call previously joined incomparable keys and
+    silently found ~no candidates (r5 ADVICE). Commit stamps the params as
+    table properties; mine/append refuse on mismatch; recap preserves them."""
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon word{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon word1")], "doc_id long, text string"
+    )
+    table, path = "sigcheck_bands", str(tmp_path / "bands")
+    dedup.commit_minhash_bands(docs, table, path, n_hashes=32, bands=8, k=3, hash_fn="md5")
+    assert dedup._read_signature_params(spark, table) == {
+        "n_hashes": "32", "bands": "8", "k": "3", "hash_fn": "md5",
+    }
+    # mismatched mine: every divergent parameter refuses
+    for kw in ({"n_hashes": 16}, {"bands": 4}, {"k": 5}, {"hash_fn": "xxhash64"}):
+        params = {"n_hashes": 32, "bands": 8, "k": 3, "hash_fn": "md5", **kw}
+        with pytest.raises(ValueError, match="incomparable"):
+            dedup.incremental_minhash_pairs(spark, table, batch, **params)
+    # mismatched append refuses BEFORE writing anything
+    with pytest.raises(ValueError, match="incomparable"):
+        dedup.commit_minhash_bands(
+            batch, table, path, n_hashes=32, bands=8, k=5, hash_fn="md5", mode="append"
+        )
+    # matching params still work end-to-end
+    got = dedup.incremental_minhash_pairs(
+        spark, table, batch, n_hashes=32, bands=8, k=3, hash_fn="md5"
+    ).toPandas()
+    assert len(got) >= 1
+    # maintenance rewrite carries the stamp across the overwrite
+    dedup.recap_band_index(spark, table, path, hot_band_cap=3)
+    assert dedup._read_signature_params(spark, table)["hash_fn"] == "md5"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
