@@ -237,6 +237,25 @@ def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return df.select(*cols)
 
 
+def pii_redacted_text(text_col: str = "text") -> Column:
+    """The fully-redacted TEXT itself (same chained family order as
+    :func:`pii_scrub`) — what a corpus-build pipeline carries forward after
+    the scrub stage; pii_scrub's md5 is md5 of exactly this column."""
+    cur = F.col(text_col)
+    for _name, pat, placeholder in PII_FAMILIES:
+        cur = F.regexp_replace(cur, pat, placeholder)
+    return cur
+
+
+def pii_redacted_text_sql(text_expr: str = "text") -> str:
+    """DuckDB twin of :func:`pii_redacted_text`, generated from the same
+    family table (zero drift)."""
+    cur = text_expr
+    for _name, pat, placeholder in PII_FAMILIES:
+        cur = f"regexp_replace({cur}, '{pat}', '{placeholder}', 'g')"
+    return cur
+
+
 def pii_scrub_sql(table: str, text_expr: str = "text", id_col: str = "doc_id") -> str:
     """The exact DuckDB twin of :func:`pii_scrub`, generated from the same
     family table so the patterns can never drift between engines."""

@@ -1416,6 +1416,107 @@ def resume_extraction_job(spark, sf_dir):
     )
 
 
+def corpus_build_end_to_end(spark, sf_dir):
+    """The composed corpus-build job (jobs/corpus_build.py) END-TO-END with
+    an injected mid-pipeline crash + resume, value-checked: extract ->
+    assemble -> exact dedup -> near dedup -> decontaminate -> PII scrub ->
+    mix -> pack, one lineage row per stage.
+
+    Input: the deterministic transcripts corpus PLUS planted duplicates —
+    three whole-conversation copies (exact dups after cli-mode extraction,
+    whose output is name-independent) and two first-turn-dropped copies
+    (near dups for the MinHash stage). run1 crashes after dedup_near; the
+    heldout set is then drawn from the surviving docs (hash sample, salt
+    'held') so decontamination provably bites; run2 resumes and must skip
+    the four committed stages.
+
+    Output: one row per stage (stage_idx, stage, committed_by run, n_out)
+    crossed with the final packed-table audit (rows, total tokens, and an
+    order-insensitive md5 digest over every packed row) — the fixture
+    oracle replays the whole chain with pure Python + DuckDB twins.
+    """
+    import shutil
+    import tempfile
+
+    from docling_gfcr_spark.operators import sampling
+    from jobs import corpus_build
+
+    out_dir = tempfile.mkdtemp(prefix="corpus_build_audit_")
+    try:
+        base = transcripts.make_transcripts(
+            spark, 40, mean_turns=5, seed=13, mega_every=25, skew_factor=8, parallelism=8
+        )
+        dup_ids = [f"conv-{i:08d}" for i in (1, 2, 3)]
+        nd_ids = [f"conv-{i:08d}" for i in (4, 5)]
+        copies = base.where(F.col("conv_id").isin(dup_ids)).withColumn(
+            "conv_id", F.concat(F.col("conv_id"), F.lit("-copy"))
+        )
+        nd = base.where(F.col("conv_id").isin(nd_ids) & (F.col("turn_idx") > 0)).withColumn(
+            "conv_id", F.concat(F.col("conv_id"), F.lit("-nd"))
+        )
+        tdf = base.unionByName(copies).unionByName(nd)
+        mix_weights = {"html": 0.6, "json": 0.5}
+        kwargs = dict(
+            n_parts=4, n_waves=2, mode="cli", mix_weights=mix_weights,
+            mix_default=1.0, pack_budget=2048, minhash=(32, 8, 5, "md5"),
+            decontam_k=8,
+        )
+        placeholder = spark.createDataFrame([("",)], "text string")
+        try:
+            corpus_build.run_corpus_build(
+                spark, tdf, placeholder, out_dir, run_id="run1",
+                fail_after_stage="dedup_near", **kwargs
+            )
+        except RuntimeError:
+            pass  # the injected crash
+        survivors = spark.read.parquet(corpus_build.stage_dir(out_dir, "dedup_near"))
+        heldout = sampling.hash_sample(
+            survivors, 0.15, id_col="conv_id", salt="held"
+        ).select(F.col("conv_text").alias("text"))
+        corpus_build.run_corpus_build(
+            spark, tdf, heldout, out_dir, run_id="run2", **kwargs
+        )
+        packed = corpus_build.read_packed(spark, out_dir)
+        row_hash = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.col("conv_id"), F.col("n_tokens"),
+                            F.col("tokens_before"), F.col("seq_bin"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(10**12)
+        )
+        audit = packed.agg(
+            F.count("*").alias("packed_rows"),
+            F.sum("n_tokens").alias("packed_total_tokens"),
+            F.sum(row_hash).alias("packed_digest"),
+        )
+        lin = (
+            corpus_build.read_stage_lineage(spark, out_dir)
+            .where(F.col("status") == "committed")
+            .select(
+                "stage_idx", "stage", F.col("run_id").alias("committed_by"),
+                "n_out",
+            )
+        )
+        pdf = lin.crossJoin(audit).orderBy("stage_idx").toPandas()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf,
+        "stage_idx int, stage string, committed_by string, n_out long, "
+        "packed_rows long, packed_total_tokens long, packed_digest long",
+    )
+
+
 def multimodal_features(spark, sf_dir):
     """Real container-header decode over binary media columns (PNG/JPEG/WAV/
     MP4 parsed with kernels/media.py); value-checked against a fixture
@@ -2306,74 +2407,20 @@ GROUP BY c_mktsegment
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # The driver's correctness gate checks the first ~50 entries in
-    # iteration order. Ordering policy (rounds 3-5, unchanged): tier 1 =
+    # iteration order. Ordering policy (rounds 3-6, unchanged): tier 1 =
     # new/changed this round; rotated-in = the PREVIOUS round's tail, so
     # every query is periodically re-gated by the driver (not only by the
     # mandatory full tools/check_oracle.py pre-commit run); tier 2 = one
     # representative per operator family; tier 3 (past the cap) = redundant
     # family members, each hash-green in the previous round's driver gate.
-    # -- tier 1: new/changed in round 5 (pdf_doc parser rewired the pdf_b64
-    # route; office kernels changed; two brand-new ops) ---------------------
+    # -- tier 1: new/changed in round 6 (the composed corpus-build job is
+    # new; pdf_doc was hardened, which feeds extract_transcripts' pdf_b64
+    # route; the minhash commit path gained signature stamping) ------------
+    "corpus_build_end_to_end": corpus_build_end_to_end,
     "extract_transcripts": extract_transcripts,
-    "extract_transcripts_streamed": extract_transcripts_streamed,
-    "extract_assembled_convs": extract_assembled_convs,
-    "multimodal_assembled_convs": multimodal_assembled_convs,
     "dedup_incremental_pairs": dedup_incremental_pairs,
-    "resume_extraction_job": resume_extraction_job,
-    "office_bytes_roundtrip": office_bytes_roundtrip,
-    "q2_min_cost_supplier": q2_min_cost_supplier,
-    "q6_forecast_revenue": q6_forecast_revenue,
-    "q12_late_shipment_priority": q12_late_shipment_priority,
-    "q13_customer_order_distribution": q13_customer_order_distribution,
-    "q16_part_supplier_variety": q16_part_supplier_variety,
-    "q21_last_shipper_waiting": q21_last_shipper_waiting,
-    "q15_top_revenue_supplier": q15_top_revenue_supplier,
-    "q20_heavy_shippers_of_small_parts": q20_heavy_shippers_of_small_parts,
-    "q8_national_market_share": q8_national_market_share,
-    # -- rotated IN: the whole r4 tail (19 entries), per the standing
-    # rotation discipline. approx_distinct_stats stays rows-only by design
-    # (sketch internals engine-specific; HLL/GK pytest tolerance +
-    # mergeability checks are its value gate) -------------------------------
-    "approx_distinct_stats": approx_distinct_stats,
-    "dedup_exact": dedup_exact,
-    "token_counts": token_counts,
-    "top_customer_per_nation": top_customer_per_nation,
-    "customers_with_urgent_orders": customers_with_urgent_orders,
-    "rollup_order_stats": rollup_order_stats,
-    "grouping_sets_sql": grouping_sets_sql,
-    "union_active_parties": union_active_parties,
-    "events_hourly": events_hourly,
-    "orders_with_late_shipments": orders_with_late_shipments,
-    "q22_idle_rich_customers": q22_idle_rich_customers,
-    "repetition_signals": repetition_signals,
-    "split_train_val_test": split_train_val_test,
-    "split_contamination": split_contamination,
-    "assemble_by_source": assemble_by_source,
-    "ann_cosine_topk": ann_cosine_topk,
-    "dedup_simhash": dedup_simhash,
-    "emb_neardup_exact": emb_neardup_exact,
-    "emb_neardup_lsh": emb_neardup_lsh,
-    # -- tier 2: one per remaining operator family ---------------------------
-    "multimodal_features": multimodal_features,
-    "pii_redaction": pii_redaction,
-    "lang_id_docs": lang_id_docs,
-    "q1_pricing_summary": q1_pricing_summary,
-    "q3_shipping_priority": q3_shipping_priority,
-    "asof_error_after_click": asof_error_after_click,
-    "skewed_hot_key_join": skewed_hot_key_join,
-    "events_session_window": events_session_window,
-    "order_value_percentiles": order_value_percentiles,
-    "events_variant_stats": events_variant_stats,
-    "dedup_minhash_pairs": dedup_minhash_pairs,
-    "dedup_clusters": dedup_clusters,
-    "dedup_ngram_topk": dedup_ngram_topk,
-    "ann_ivf_topk": ann_ivf_topk,
-    "pack_training_sequences": pack_training_sequences,
-    # -- tier 3 (past the driver's ~50-entry cap this round; every entry was
-    # driver-gated hash-green in CORRECTNESS_r04.json and is re-verified by
-    # the full check_oracle run each session; membership rotates back in
-    # next round — the nine q2/q6/q8/q12/q13/q15/q16/q20/q21 additions
-    # displaced nine r4-green family reps into this tail) -------------------
+    # -- rotated IN: the whole r5 tail (30 entries, last driver-gated in
+    # CORRECTNESS_r04) -----------------------------------------------------
     "doc_chunks": doc_chunks,
     "latest_order_per_customer": latest_order_per_customer,
     "status_priority_pivot": status_priority_pivot,
@@ -2404,7 +2451,61 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": text_quality,
     "dedup_clusters_star": dedup_clusters_star,
     "multimodal_transformed": multimodal_transformed,
+    # -- tier 2: one representative per remaining operator family ----------
+    "extract_transcripts_streamed": extract_transcripts_streamed,
+    "multimodal_assembled_convs": multimodal_assembled_convs,
+    "resume_extraction_job": resume_extraction_job,
+    "office_bytes_roundtrip": office_bytes_roundtrip,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "top_customer_per_nation": top_customer_per_nation,
+    "events_session_window": events_session_window,
+    "asof_error_after_click": asof_error_after_click,
+    "skewed_hot_key_join": skewed_hot_key_join,
+    "order_value_percentiles": order_value_percentiles,
+    "events_variant_stats": events_variant_stats,
+    "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_clusters": dedup_clusters,
+    "ann_ivf_topk": ann_ivf_topk,
+    "pack_training_sequences": pack_training_sequences,
+    # -- tier 3 (past the driver's ~50-entry cap this round; every entry was
+    # driver-gated hash-green in CORRECTNESS_r05.json and is re-verified by
+    # the full check_oracle run each session; membership rotates back in
+    # next round) ----------------------------------------------------------
+    "extract_assembled_convs": extract_assembled_convs,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q12_late_shipment_priority": q12_late_shipment_priority,
+    "q13_customer_order_distribution": q13_customer_order_distribution,
+    "q16_part_supplier_variety": q16_part_supplier_variety,
+    "q21_last_shipper_waiting": q21_last_shipper_waiting,
+    "q15_top_revenue_supplier": q15_top_revenue_supplier,
+    "q20_heavy_shippers_of_small_parts": q20_heavy_shippers_of_small_parts,
+    "q8_national_market_share": q8_national_market_share,
+    "approx_distinct_stats": approx_distinct_stats,
+    "dedup_exact": dedup_exact,
+    "token_counts": token_counts,
+    "customers_with_urgent_orders": customers_with_urgent_orders,
+    "rollup_order_stats": rollup_order_stats,
+    "grouping_sets_sql": grouping_sets_sql,
+    "union_active_parties": union_active_parties,
+    "events_hourly": events_hourly,
+    "orders_with_late_shipments": orders_with_late_shipments,
+    "q22_idle_rich_customers": q22_idle_rich_customers,
+    "repetition_signals": repetition_signals,
+    "split_train_val_test": split_train_val_test,
+    "split_contamination": split_contamination,
+    "assemble_by_source": assemble_by_source,
+    "ann_cosine_topk": ann_cosine_topk,
+    "dedup_simhash": dedup_simhash,
+    "emb_neardup_exact": emb_neardup_exact,
+    "emb_neardup_lsh": emb_neardup_lsh,
+    "multimodal_features": multimodal_features,
+    "pii_redaction": pii_redaction,
+    "lang_id_docs": lang_id_docs,
+    "dedup_ngram_topk": dedup_ngram_topk,
 }
+
 
 ORACLES: dict[str, str] = {
     "q1_pricing_summary": Q1_SQL,
@@ -2492,6 +2593,7 @@ ORACLES: dict[str, str] = {
     "multimodal_features": _FIXTURE_SQL.format(name="multimodal_features"),
     "multimodal_transformed": _FIXTURE_SQL.format(name="multimodal_transformed"),
     "office_bytes_roundtrip": _FIXTURE_SQL.format(name="office_bytes_roundtrip"),
+    "corpus_build_end_to_end": _FIXTURE_SQL.format(name="corpus_build_end_to_end"),
     # no oracle (rows-only): approx_distinct_stats — HLL++/GK sketch
     # internals are engine-specific; exact twins are value-checked in
     # q1_pricing_summary / order_value_percentiles.

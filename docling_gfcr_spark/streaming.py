@@ -307,6 +307,7 @@ def stream_ingest_neardup(
             )
             dedup.commit_minhash_bands(
                 None, bands_table, bands_path,
+                n_hashes=n_hashes, bands=bands, k=k, hash_fn=hash_fn,
                 mode="append" if spark.catalog.tableExists(bands_table) else "overwrite",
                 hot_band_cap=hot_band_cap,
                 banded=surv_banded,

@@ -352,3 +352,45 @@ def test_upsert_refuses_data_without_lineage(spark, tmp_path):
     cols = [c for c in before.columns if c != "part_id"]
     with pytest.raises(ValueError, match="lineage"):
         lineage.upsert_extracted(spark, out, before.limit(1).select(*cols), n_parts=4)
+
+
+# ---------------------------------------------------------------------------
+# composed corpus-build job (jobs/corpus_build.py) — stage-level resume
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_build_stage_resume_and_idempotence(spark, tmp_path):
+    """The composed extract->dedup->decontaminate->scrub->mix->pack job:
+    run1 crashes after dedup_exact; run2 must skip exactly the committed
+    stages and finish; a third run with everything committed is a no-op
+    that still reports the packed table. (The VALUE check — per-stage
+    counts + packed digest vs a pure-Python/DuckDB replay — is the
+    corpus_build_end_to_end driver-gate query.)"""
+    from jobs import corpus_build
+
+    out = str(tmp_path / "cbuild")
+    tdf = transcripts.make_transcripts(spark, 12, mean_turns=4, seed=21, parallelism=2)
+    held = spark.createDataFrame([("no overlap with anything here at all ok",)], "text string")
+    kwargs = dict(n_parts=2, n_waves=1, mode="cli", pack_budget=1024)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        corpus_build.run_corpus_build(
+            spark, tdf, held, out, run_id="r1", fail_after_stage="dedup_exact", **kwargs
+        )
+    r2 = corpus_build.run_corpus_build(spark, tdf, held, out, run_id="r2", **kwargs)
+    assert r2["stages_skipped_on_resume"] == ["extract", "assemble", "dedup_exact"]
+    assert r2["stages_run"] == ["dedup_near", "decontaminate", "scrub", "mix", "pack"]
+    assert r2["packed_rows"] > 0
+    # fully-committed rerun: nothing recomputed, same packed table
+    r3 = corpus_build.run_corpus_build(spark, tdf, held, out, run_id="r3", **kwargs)
+    assert r3["stages_run"] == []
+    assert len(r3["stages_skipped_on_resume"]) == len(corpus_build.STAGES)
+    assert r3["packed_rows"] == r2["packed_rows"]
+    # every stage has exactly one committed lineage row, in stage order
+    lin = corpus_build.read_stage_lineage(spark, out).toPandas()
+    assert sorted(lin.stage) == sorted(corpus_build.STAGES)
+    assert set(lin.status) == {"committed"}
+    # unknown crash stage refuses up front
+    with pytest.raises(ValueError, match="unknown stage"):
+        corpus_build.run_corpus_build(
+            spark, tdf, held, out, fail_after_stage="nope", **kwargs
+        )

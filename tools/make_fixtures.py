@@ -397,6 +397,161 @@ def compute_office_bytes_roundtrip() -> pd.DataFrame:
     return df
 
 
+def compute_corpus_build_end_to_end() -> pd.DataFrame:
+    """Local oracle for queries.corpus_build_end_to_end: the ENTIRE
+    extract -> assemble -> dedup -> decontaminate -> scrub -> mix -> pack
+    chain replayed with no Spark — pure-Python kernels for the stages DuckDB
+    cannot express (extraction, assembly, union-find) and the validated
+    DuckDB twins for the rest (minhash banding, PII regexps, token counts).
+    committed_by follows from the deterministic crash point (run1 crashes
+    after dedup_near; run2 resumes)."""
+    import hashlib
+
+    import duckdb
+
+    from docling_gfcr_spark import pipeline, transcripts
+    from docling_gfcr_spark.operators.text_analysis import pii_redacted_text_sql
+    from docling_gfcr_spark.queries import MINHASH_PAIRS_SQL
+
+    # stages 1-2: cli-mode extraction (name-independent output) + assembly
+    convs: dict[str, list] = {}
+    for c in range(40):
+        rows = transcripts.gen_conv_rows(13, c, mean_turns=5, mega_every=25, skew_factor=8)
+        cid = rows[0]["conv_id"]
+        convs[cid] = [(r["turn_idx"], r["tool"], r["text"]) for r in rows]
+    for i in (1, 2, 3):  # whole-conversation copies -> exact dups
+        cid = f"conv-{i:08d}"
+        convs[cid + "-copy"] = list(convs[cid])
+    for i in (4, 5):  # first-turn-dropped copies -> near dups
+        cid = f"conv-{i:08d}"
+        convs[cid + "-nd"] = [t for t in convs[cid] if t[0] > 0]
+    n_extract = sum(len(v) for v in convs.values())
+    docs: dict[str, tuple[str, str]] = {}  # conv_id -> (source, conv_text)
+    for cid, turns in convs.items():
+        turns = sorted(turns)
+        parts = []
+        for turn_idx, tool, text in turns:
+            name = f"{cid}-{turn_idx:06d}".replace(" ", "_")
+            parts.append(pipeline.extract_one(text, tool, name, "cli")["extracted_text"])
+        docs[cid] = (turns[0][1], "\n".join(parts))
+    n_assemble = len(docs)
+
+    # stage 3: exact dedup — min conv_id per content hash survives
+    byhash: dict[str, str] = {}
+    for cid in sorted(docs):
+        byhash.setdefault(hashlib.md5(docs[cid][1].encode("utf-8")).hexdigest(), cid)
+    docs = {cid: v for cid, v in docs.items() if cid in set(byhash.values())}
+    n_exact = len(docs)
+
+    # stage 4: near dedup — the SAME DuckDB banding SQL the minhash oracle
+    # uses (32 hashes / 8 bands / 5-word shingles / md5), union-find, keep
+    # the min-id representative per cluster
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": list(docs), "text": [docs[c][1] for c in docs]}),
+    )
+    pairs = con.execute(MINHASH_PAIRS_SQL).fetchdf()
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(str(a)), find(str(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    losers = {node for node in parent if find(node) != node}
+    docs = {cid: v for cid, v in docs.items() if cid not in losers}
+    n_near = len(docs)
+
+    # stage 5: decontaminate vs a heldout hash-sample of the survivors
+    thr = format(int(0.15 * 2**32), "08x")
+    held = [c for c in docs if hashlib.md5(f"held:{c}".encode()).hexdigest()[:8] < thr]
+
+    def shingles(text: str, k: int = 8) -> set:
+        w = text.split(" ")
+        return {" ".join(w[i : i + k]) for i in range(max(1, len(w) - (k - 1)))}
+
+    held_sh: set = set()
+    for c in held:
+        held_sh |= shingles(docs[c][1])
+    docs = {c: v for c, v in docs.items() if not (shingles(v[1]) & held_sh)}
+    n_decon = len(docs)
+
+    # stages 6 + token counts: validated DuckDB regexp twins
+    con2 = duckdb.connect()
+    con2.register(
+        "docs",
+        pd.DataFrame(
+            {
+                "doc_id": list(docs),
+                "source": [docs[c][0] for c in docs],
+                "text": [docs[c][1] for c in docs],
+            }
+        ),
+    )
+    scrub = con2.execute(
+        f"WITH s AS (SELECT doc_id, source, {pii_redacted_text_sql('text')} AS text FROM docs) "
+        "SELECT doc_id, source, "
+        "len(string_split_regex(trim(text), '\\s+')) AS n_tokens FROM s"
+    ).fetchdf()
+    n_scrub = len(scrub)
+
+    # stage 7: per-source md5-threshold mixing
+    weights = {"html": 0.6, "json": 0.5}
+
+    def keep_mix(src: str, cid: str) -> bool:
+        frac = weights.get(src, 1.0)
+        if frac >= 1.0:
+            return True
+        t = format(min(int(frac * 2**32), 2**32 - 1), "08x")
+        return hashlib.md5(f"mix:{cid}".encode()).hexdigest()[:8] < t
+
+    mixed = [
+        (str(c), int(n))
+        for c, s, n in zip(scrub["doc_id"], scrub["source"], scrub["n_tokens"])
+        if keep_mix(str(s), str(c))
+    ]
+    n_mix = len(mixed)
+
+    # stage 8: greedy packing in (md5('pack:'||id), id) order, budget 2048
+    order = sorted((hashlib.md5(f"pack:{c}".encode()).hexdigest(), c, n) for c, n in mixed)
+    before = total = digest = 0
+    for _h, c, n in order:
+        sb = before // 2048
+        key = f"{c}|{n}|{before}|{sb}"
+        digest += int(hashlib.md5(key.encode("utf-8")).hexdigest()[:15], 16) % 10**12
+        total += n
+        before += n
+
+    stages = [
+        ("extract", n_extract, "run1"),
+        ("assemble", n_assemble, "run1"),
+        ("dedup_exact", n_exact, "run1"),
+        ("dedup_near", n_near, "run1"),
+        ("decontaminate", n_decon, "run2"),
+        ("scrub", n_scrub, "run2"),
+        ("mix", n_mix, "run2"),
+        ("pack", n_mix, "run2"),
+    ]
+    df = pd.DataFrame(
+        [
+            {"stage_idx": i, "stage": s, "committed_by": r, "n_out": n}
+            for i, (s, n, r) in enumerate(stages)
+        ]
+    )
+    df["stage_idx"] = df["stage_idx"].astype(np.int32)
+    df["n_out"] = df["n_out"].astype(np.int64)
+    df["packed_rows"] = np.int64(n_mix)
+    df["packed_total_tokens"] = np.int64(total)
+    df["packed_digest"] = np.int64(digest)
+    return df
+
+
 COMPUTE = {
     "extract_transcripts": compute_extract_transcripts,
     "extract_assembled_convs": compute_extract_assembled_convs,
@@ -409,6 +564,7 @@ COMPUTE = {
     "multimodal_features": compute_multimodal_features,
     "multimodal_transformed": compute_multimodal_transformed,
     "office_bytes_roundtrip": compute_office_bytes_roundtrip,
+    "corpus_build_end_to_end": compute_corpus_build_end_to_end,
 }
 
 
