@@ -247,9 +247,16 @@ def run_extraction_job(
         )
         extracted = with_part_id(extracted, n_parts)
         storage.overwrite_data_partitions(extracted.repartition(max(len(wave), 1), "part_id"))
+        # a wave whose parts hold NO rows (sparse corpus vs large n_parts)
+        # writes nothing — on the very first such wave the data dir does not
+        # exist yet, so the metrics read must degrade to all-zero rows
+        # instead of failing the job
+        try:
+            data = storage.read_data()
+        except Exception:
+            data = None
         agg = (
-            storage.read_data()
-            .where(F.col("part_id").isin(wave))
+            data.where(F.col("part_id").isin(wave))
             .groupBy("part_id")
             .agg(
                 F.count("*").alias("n_turns"),
@@ -258,11 +265,21 @@ def run_extraction_job(
                 F.sum(F.col("parse_failed").cast("long")).alias("parse_failures"),
                 F.sum((~F.col("success")).cast("long")).alias("errors"),
             )
+            if data is not None
+            else None
         )
         # empty parts must still commit (else they would be retried forever)
         wave_parts = spark.createDataFrame([(p,) for p in wave], "part_id int")
+        if agg is None:
+            wave_parts = (
+                wave_parts.withColumn("n_turns", F.lit(0).cast("long"))
+                .withColumn("nodes_classified", F.lit(0).cast("long"))
+                .withColumn("spans_emitted", F.lit(0).cast("long"))
+                .withColumn("parse_failures", F.lit(0).cast("long"))
+                .withColumn("errors", F.lit(0).cast("long"))
+            )
         metrics = (
-            wave_parts.join(agg, "part_id", "left")
+            (wave_parts if agg is None else wave_parts.join(agg, "part_id", "left"))
             .na.fill(0)
             .withColumn("run_id", F.lit(run_id))
             .withColumn("n_parts", F.lit(n_parts))

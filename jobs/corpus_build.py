@@ -237,3 +237,88 @@ def run_corpus_build(
 
 def read_packed(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(stage_dir(out_dir, "pack"))
+
+
+def main() -> None:
+    """Cluster entrypoint.
+
+    Submit:
+        spark-submit --py-files dist/docling_gfcr_spark.zip jobs/corpus_build.py \
+            --input <transcripts parquet/table> --heldout <benchmark parquet> \
+            --output <job root> --n-parts 4096 --waves 64 \
+            [--mix html=0.6 --mix json=0.5] [--pack-budget 4096] [--run-id r42]
+
+    On restart with the same --output, committed stages are skipped; the
+    extract stage resumes at part granularity. Local smoke: --local-cores N
+    --synth-convs M.
+    """
+    import argparse
+    import json
+    import os
+    import sys
+
+    try:
+        import docling_gfcr_spark  # noqa: F401
+    except ImportError:
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="transcripts parquet path")
+    ap.add_argument("--table", help="catalog table name instead of --input")
+    ap.add_argument("--heldout", help="heldout/benchmark parquet (text column)")
+    ap.add_argument("--heldout-text-col", default="text")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--n-parts", type=int, default=4096)
+    ap.add_argument("--waves", type=int, default=64)
+    ap.add_argument("--mode", choices=["agent", "cli"], default="agent")
+    ap.add_argument("--mix", action="append", default=[], metavar="SOURCE=RATE")
+    ap.add_argument("--mix-default", type=float, default=1.0)
+    ap.add_argument("--pack-budget", type=int, default=4096)
+    ap.add_argument("--run-id", default=None)
+    ap.add_argument("--local-cores", type=int, default=0, help="local smoke mode")
+    ap.add_argument("--synth-convs", type=int, default=0, help="generate synthetic input")
+    args = ap.parse_args()
+
+    if args.local_cores:
+        from docling_gfcr_spark.session import get_spark
+
+        spark = get_spark(app_name="corpus_build", cores=args.local_cores)
+    else:
+        from pyspark.sql import SparkSession as _SS
+
+        spark = _SS.builder.appName("docling_gfcr_corpus_build").getOrCreate()
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+    from docling_gfcr_spark import io, transcripts
+
+    if args.synth_convs:
+        input_df = transcripts.make_transcripts(spark, args.synth_convs, seed=42)
+    elif args.table:
+        input_df = spark.read.table(args.table)
+    elif args.input:
+        input_df = spark.read.parquet(args.input)
+    else:
+        raise SystemExit("one of --input/--table/--synth-convs required")
+    io.validate_input_schema(input_df)
+    if args.heldout:
+        heldout_df = spark.read.parquet(args.heldout)
+    else:  # no benchmark set: decontamination is a no-op against empty
+        heldout_df = spark.createDataFrame([], f"{args.heldout_text_col} string")
+    mix_weights = {}
+    for spec in args.mix:
+        src, _, rate = spec.partition("=")
+        mix_weights[src] = float(rate)
+
+    report = run_corpus_build(
+        spark, input_df, heldout_df, args.output,
+        n_parts=args.n_parts, n_waves=args.waves,
+        mix_weights=mix_weights, mix_default=args.mix_default,
+        pack_budget=args.pack_budget, mode=args.mode,
+        heldout_text_col=args.heldout_text_col, run_id=args.run_id,
+    )
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -394,3 +394,22 @@ def test_corpus_build_stage_resume_and_idempotence(spark, tmp_path):
         corpus_build.run_corpus_build(
             spark, tdf, held, out, fail_after_stage="nope", **kwargs
         )
+
+
+def test_extraction_job_survives_all_empty_first_wave(spark, tmp_path):
+    """A sparse corpus vs a large n_parts can make the FIRST wave's parts
+    all empty: nothing is written, the data dir does not exist yet, and the
+    wave's metrics read must degrade to zero rows instead of failing the
+    job (hit via the corpus_build CLI with default n_parts=4096)."""
+    out = str(tmp_path / "sparse")
+    tdf = transcripts.make_transcripts(spark, 3, mean_turns=3, seed=5, parallelism=2)
+    report = lineage.run_extraction_job(spark, tdf, out, n_parts=256, n_waves=16)
+    assert len(report["parts_processed"]) == 256
+    lin = lineage.read_lineage(spark, out)
+    assert lin.where(F.col("status") == "committed").count() == 256
+    # every turn still extracted exactly once
+    data = lineage.read_extracted(spark, out)
+    assert data.count() == tdf.count()
+    # resume is a no-op
+    r2 = lineage.run_extraction_job(spark, tdf, out, n_parts=256, n_waves=16)
+    assert r2["parts_processed"] == []

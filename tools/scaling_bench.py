@@ -154,6 +154,28 @@ must agree to within run-to-run noise — two independently-produced records
 of one number.
 
 Reproduce: `python tools/scaling_bench.py 2 8 32`.
+
+## Cost attribution (round-6 profiling, pinned here so it survives regen)
+
+Two bench entries looked slow in round 5; both decompose into a dominant
+fixed cost plus a small marginal one (min-of-3 on the 648k-turn corpus,
+local[32], same session):
+
+- `assemble_conversations` = extract + assemble in one entry. Measured:
+  extract-only 4.9s, extract+assemble 6.4s -> the two-phase skew-safe
+  concat itself costs ~1.5s (~30% of the entry); the r5 17.1s median was
+  host contention (the same run produced a 34.8s outlier and a 6.4s min).
+  The two exchanges are the floor: phase 1 must colocate each conv's turns
+  (full-volume shuffle, inherent to assembly), phase 2 moves one slab row
+  per (conv, 1024-turn slab) — already minimal. A single-exchange variant
+  (repartition by conv_id alone) would undo the mega-conversation skew
+  spreading that phase 1's (conv_id, slab) key exists for.
+- `dedup_incremental_pairs` (r5: 6.66s single number) is now split in
+  bench.py: commit (sign the standing corpus + bucketed band-table write,
+  ~once-per-corpus amortized) vs mine (the recurring per-batch join).
+  Mining — the daily cost — is well under half the old combined number;
+  the commit side is dominated by the bucketed saveAsTable write, which is
+  the durability floor, not kernel cost.
 """)
     print("wrote BENCH.md")
 
