@@ -519,6 +519,40 @@ def incremental_minhash_pairs(
     return pairs.where(F.col("id_a") != F.col("id_b")).distinct()
 
 
+def keep_first_drops(pairs: DataFrame, new_ids: DataFrame) -> DataFrame:
+    """KEEP-FIRST resolution over candidate pairs that touch a new batch:
+    a new doc paired with an already-committed doc drops (the committed side
+    was there first), and of a both-new pair the larger id drops (``id_a <
+    id_b`` by construction). Shared by the streaming near-dup ingest and the
+    batch daily-ingest job so the two paths cannot diverge.
+
+    ``new_ids`` is a one-column DataFrame holding the batch's ids; any pair
+    id absent from it is treated as committed. Returns one column ``id`` —
+    the batch ids to drop. Scale shape: ``pairs`` is O(batch candidates) and
+    ``new_ids`` O(batch); nothing here touches the corpus."""
+    idc = new_ids.columns[0]
+    ids = new_ids.select(F.col(idc).alias("nid")).distinct()
+    na = ids.select(F.col("nid").alias("id_a"), F.lit(True).alias("a_new"))
+    nb = ids.select(F.col("nid").alias("id_b"), F.lit(True).alias("b_new"))
+    fl = (
+        pairs.join(na, "id_a", "left")
+        .join(nb, "id_b", "left")
+        .na.fill(False, ["a_new", "b_new"])
+    )
+    return (
+        # new doc duplicating a committed one (whichever pair side)
+        fl.where(F.col("a_new") & ~F.col("b_new")).select(F.col("id_a").alias("id"))
+        .unionByName(
+            fl.where(F.col("b_new") & ~F.col("a_new")).select(F.col("id_b").alias("id"))
+        )
+        # both new: keep-first
+        .unionByName(
+            fl.where(F.col("a_new") & F.col("b_new")).select(F.col("id_b").alias("id"))
+        )
+        .distinct()
+    )
+
+
 def _free_local_checkpoint(df: DataFrame) -> None:
     """Release the cached blocks behind a ``localCheckpoint``ed DataFrame.
 

@@ -1517,6 +1517,152 @@ def corpus_build_end_to_end(spark, sf_dir):
     )
 
 
+def corpus_ingest_end_to_end(spark, sf_dir):
+    """The DAILY-INGEST composition (jobs/corpus_build.run_corpus_ingest)
+    END-TO-END, value-checked: day 1 bootstraps the standing band index
+    (one planted in-batch exact dup resolves keep-first); day 2's batch —
+    ten fresh conversations plus an exact copy of a COMMITTED day-1 doc, a
+    first-turn-dropped near copy of another, and an in-batch exact pair —
+    dedups INCREMENTALLY against the index (no day-1 recompute), crashes
+    after the dedup_incr stage, resumes, and finishes decontaminate ->
+    scrub -> mix -> pack against a heldout set hash-sampled from the
+    surviving docs.
+
+    Output: one row per day-2 stage (committed_by proves the crash point:
+    d2a through dedup_incr, d2b after) crossed with the audit — day-1
+    survivor count, final band-index rows (exactly 8 keys per surviving
+    doc across BOTH days: the crashed run's append committed with its
+    stage and was not repeated on resume), an order-insensitive digest
+    over day-2 survivor ids, and the packed-table totals. The fixture
+    oracle replays the whole two-day chain with pure Python + the
+    validated DuckDB minhash/PII twins (tools/make_fixtures.py).
+    """
+    import shutil
+    import tempfile
+
+    from docling_gfcr_spark.operators import sampling
+    from jobs import corpus_build
+
+    root = tempfile.mkdtemp(prefix="corpus_ingest_audit_")
+    band_table = "corpus_ingest_bands_" + root.rsplit("_", 1)[-1]
+    band_path = f"{root}/bands"
+    kwargs = dict(
+        n_parts=4, n_waves=2, mode="cli", mix_weights={"html": 0.6, "json": 0.5},
+        mix_default=1.0, pack_budget=2048, minhash=(32, 8, 5, "md5"),
+        decontam_k=8,
+    )
+    no_overlap = spark.createDataFrame(
+        [("qq zz ww xx yy vv uu tt ss rr",)], "text string"
+    )
+    try:
+        base = transcripts.make_transcripts(
+            spark, 30, mean_turns=5, seed=13, mega_every=25, skew_factor=8, parallelism=8
+        )
+        day1 = base.where(
+            F.col("conv_id").isin([f"conv-{i:08d}" for i in range(20)])
+        ).unionByName(
+            base.where(F.col("conv_id") == "conv-00000001").withColumn(
+                "conv_id", F.concat(F.col("conv_id"), F.lit("-copy"))
+            )
+        )
+        corpus_build.run_corpus_ingest(
+            spark, day1, no_overlap, f"{root}/day1", band_table, band_path,
+            run_id="d1", bootstrap=True, **kwargs,
+        )
+        day1_surv = spark.read.parquet(
+            corpus_build.stage_dir(f"{root}/day1", "dedup_incr")
+        ).count()
+
+        day2 = (
+            base.where(F.col("conv_id").isin([f"conv-{i:08d}" for i in range(20, 30)]))
+            .unionByName(
+                base.where(F.col("conv_id") == "conv-00000002").withColumn(
+                    "conv_id", F.lit("conv-00000002-d2copy")
+                )
+            )
+            .unionByName(
+                base.where(
+                    (F.col("conv_id") == "conv-00000003") & (F.col("turn_idx") > 0)
+                ).withColumn("conv_id", F.lit("conv-00000003-nd"))
+            )
+            .unionByName(
+                base.where(F.col("conv_id") == "conv-00000020").withColumn(
+                    "conv_id", F.lit("conv-00000020-copy")
+                )
+            )
+        )
+        out2 = f"{root}/day2"
+        try:
+            corpus_build.run_corpus_ingest(
+                spark, day2, no_overlap, out2, band_table, band_path,
+                run_id="d2a", fail_after_stage="dedup_incr", **kwargs,
+            )
+        except RuntimeError:
+            pass  # the injected crash
+        surv2 = spark.read.parquet(corpus_build.stage_dir(out2, "dedup_incr"))
+        heldout = sampling.hash_sample(
+            surv2, 0.25, id_col="conv_id", salt="held"
+        ).select(F.col("conv_text").alias("text"))
+        corpus_build.run_corpus_ingest(
+            spark, day2, heldout, out2, band_table, band_path,
+            run_id="d2b", **kwargs,
+        )
+
+        id_hash = (
+            F.conv(F.substring(F.md5(F.col("conv_id")), 1, 15), 16, 10).cast("long")
+            % F.lit(10**12)
+        )
+        packed = corpus_build.read_packed(spark, out2)
+        row_hash = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.col("conv_id"), F.col("n_tokens"),
+                            F.col("tokens_before"), F.col("seq_bin"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(10**12)
+        )
+        audit = (
+            surv2.agg(F.sum(id_hash).alias("surv_digest"))
+            .crossJoin(
+                spark.table(band_table).agg(F.count("*").alias("band_rows"))
+            )
+            .crossJoin(
+                packed.agg(
+                    F.count("*").alias("packed_rows"),
+                    F.sum("n_tokens").alias("packed_total_tokens"),
+                    F.sum(row_hash).alias("packed_digest"),
+                )
+            )
+            .withColumn("day1_survivors", F.lit(day1_surv).cast("long"))
+        )
+        lin = (
+            corpus_build.read_stage_lineage(spark, out2)
+            .where(F.col("status") == "committed")
+            .select(
+                "stage_idx", "stage", F.col("run_id").alias("committed_by"), "n_out"
+            )
+        )
+        pdf = lin.crossJoin(audit).orderBy("stage_idx").toPandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.sql(f"DROP TABLE IF EXISTS {band_table}")
+    return spark.createDataFrame(
+        pdf,
+        "stage_idx int, stage string, committed_by string, n_out long, "
+        "surv_digest long, band_rows long, packed_rows long, "
+        "packed_total_tokens long, packed_digest long, day1_survivors long",
+    )
+
+
 def multimodal_features(spark, sf_dir):
     """Real container-header decode over binary media columns (PNG/JPEG/WAV/
     MP4 parsed with kernels/media.py); value-checked against a fixture
@@ -1979,6 +2125,139 @@ FROM (
 """
 
 
+def _derived_partsupp(spark, sf_dir):
+    """The slim driver schema carries no partsupp table, so q9/q11 DERIVE
+    one — deterministically, identically in Spark and DuckDB (PARTSUPP_SQL
+    is the literal twin): 4 suppliers per part via arithmetic on
+    (p_partkey, i) mod supplier-count (suppkeys are 0-based in the
+    testdata), availqty/supplycost from the same arithmetic. supplycost is
+    integer cents divided as DECIMAL — exact, so every downstream money sum
+    can stay in decimals (order-independent, engine-exact)."""
+    n_supp = _t(spark, sf_dir, "supplier").count()  # bounded metadata
+    p = _t(spark, sf_dir, "part").select("p_partkey")
+    ps = p.select(
+        "p_partkey", F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i")
+    )
+    return ps.select(
+        F.col("p_partkey").alias("ps_partkey"),
+        ((F.col("p_partkey") * 7 + F.col("i") * 17) % F.lit(n_supp)).alias("ps_suppkey"),
+        ((F.col("p_partkey") * 31 + F.col("i") * 11) % 9000 + 100)
+        .cast("int")
+        .alias("ps_availqty"),
+        (
+            ((F.col("p_partkey") * 13 + F.col("i") * 7) % 99900 + 100).cast("decimal(18,2)")
+            / 100
+        ).alias("ps_supplycost"),
+    )
+
+
+PARTSUPP_SQL = """
+  SELECT p_partkey AS ps_partkey,
+         (p_partkey*7 + i*17) % (SELECT count(*) FROM supplier) AS ps_suppkey,
+         CAST((p_partkey*31 + i*11) % 9000 + 100 AS INTEGER) AS ps_availqty,
+         CAST((p_partkey*13 + i*7) % 99900 + 100 AS DECIMAL(18,2)) / 100 AS ps_supplycost
+  FROM part, (SELECT unnest(range(4)) AS i)
+"""
+
+
+def q9_product_type_profit(spark, sf_dir):
+    """TPC-H Q9 (product-type profit by nation and year) over the DERIVED
+    partsupp (see _derived_partsupp) — closing one of the two TPC-H shapes
+    previously excluded for the missing table. Per-item amounts are cast to
+    DECIMAL(18,4) BEFORE summing in BOTH engines (exact and
+    order-independent; l_quantity is integral, cast to BIGINT so the
+    supplycost product stays a pure decimal)."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%red%")).select("p_partkey")
+    ps = _derived_partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    ) - (F.col("ps_supplycost") * F.col("l_quantity").cast("long")).cast("decimal(18,4)")
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(ps),
+            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+    )
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+Q9_SQL = f"""
+WITH partsupp AS ({PARTSUPP_SQL})
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+              - CAST(ps_supplycost * CAST(l_quantity AS BIGINT) AS DECIMAL(18,4)))
+            AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 (important stock identification) over the DERIVED
+    partsupp: per-part inventory value (supplycost x availqty, exact
+    decimals) for one nation's suppliers, kept when above 0.1% of that
+    nation's total — the HAVING-over-scalar-subquery shape. The threshold
+    compare stays in exact decimals on both engines (total/1000, never a
+    float fraction), so the cut is tie-proof."""
+    ps = _derived_partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = (
+        _t(spark, sf_dir, "nation")
+        .where(F.col("n_name") == "NATION_7")
+        .select("n_nationkey")
+    )
+    j = ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey).join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    )
+    value = (F.col("ps_supplycost") * F.col("ps_availqty")).cast("decimal(18,2)")
+    per_part = j.groupBy("ps_partkey").agg(F.sum(value).alias("val"))
+    total = j.agg((F.sum(value) / 1000).alias("cut"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("val") > F.col("cut"))
+        .select("ps_partkey", F.col("val").cast("double").alias("value"))
+        .orderBy(F.col("value").desc(), "ps_partkey")
+    )
+
+
+Q11_SQL = f"""
+WITH partsupp AS ({PARTSUPP_SQL}),
+nat AS (SELECT ps_partkey,
+               CAST(ps_supplycost * ps_availqty AS DECIMAL(18,2)) AS v
+        FROM partsupp
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        WHERE n_name = 'NATION_7')
+SELECT ps_partkey, CAST(sum(v) AS DOUBLE) AS value
+FROM nat
+GROUP BY ps_partkey
+HAVING sum(v) > (SELECT sum(v) / 1000 FROM nat)
+"""
+
+
 def q12_late_shipment_priority(spark, sf_dir):
     """TPC-H Q12 shape (no l_shipmode in the slim schema: grouped by
     l_returnflag): orders shipped >30 days after order date, split into
@@ -2417,8 +2696,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new; pdf_doc was hardened, which feeds extract_transcripts' pdf_b64
     # route; the minhash commit path gained signature stamping) ------------
     "corpus_build_end_to_end": corpus_build_end_to_end,
+    "corpus_ingest_end_to_end": corpus_ingest_end_to_end,
     "extract_transcripts": extract_transcripts,
     "dedup_incremental_pairs": dedup_incremental_pairs,
+    # new in round 6: the two TPC-H shapes previously excluded for the
+    # missing partsupp table, now run over a DERIVED partsupp twin
+    "q9_product_type_profit": q9_product_type_profit,
+    "q11_important_stock": q11_important_stock,
     # -- rotated IN: the whole r5 tail (30 entries, last driver-gated in
     # CORRECTNESS_r04) -----------------------------------------------------
     "doc_chunks": doc_chunks,
@@ -2465,14 +2749,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skewed_hot_key_join": skewed_hot_key_join,
     "order_value_percentiles": order_value_percentiles,
     "events_variant_stats": events_variant_stats,
-    "dedup_minhash_pairs": dedup_minhash_pairs,
-    "dedup_clusters": dedup_clusters,
     "ann_ivf_topk": ann_ivf_topk,
     "pack_training_sequences": pack_training_sequences,
     # -- tier 3 (past the driver's ~50-entry cap this round; every entry was
     # driver-gated hash-green in CORRECTNESS_r05.json and is re-verified by
     # the full check_oracle run each session; membership rotates back in
-    # next round) ----------------------------------------------------------
+    # next round). dedup_minhash_pairs/dedup_clusters moved here to make
+    # window room for q9/q11: their families keep in-window value checks via
+    # dedup_incremental_pairs (tier 1) and both corpus gates' near-dedup +
+    # connected-components stages. ----------------------------------------
+    "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_clusters": dedup_clusters,
     "extract_assembled_convs": extract_assembled_convs,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q12_late_shipment_priority": q12_late_shipment_priority,
@@ -2543,6 +2830,8 @@ ORACLES: dict[str, str] = {
     "q14_promo_revenue": Q14_SQL,
     "q19_disjunctive_revenue": Q19_SQL,
     "q2_min_cost_supplier": Q2_SQL,
+    "q9_product_type_profit": Q9_SQL,
+    "q11_important_stock": Q11_SQL,
     "q6_forecast_revenue": Q6_SQL,
     "q12_late_shipment_priority": Q12_SQL,
     "q13_customer_order_distribution": Q13_SQL,
@@ -2594,6 +2883,7 @@ ORACLES: dict[str, str] = {
     "multimodal_transformed": _FIXTURE_SQL.format(name="multimodal_transformed"),
     "office_bytes_roundtrip": _FIXTURE_SQL.format(name="office_bytes_roundtrip"),
     "corpus_build_end_to_end": _FIXTURE_SQL.format(name="corpus_build_end_to_end"),
+    "corpus_ingest_end_to_end": _FIXTURE_SQL.format(name="corpus_ingest_end_to_end"),
     # no oracle (rows-only): approx_distinct_stats — HLL++/GK sketch
     # internals are engine-specific; exact twins are value-checked in
     # q1_pricing_summary / order_value_percentiles.

@@ -272,26 +272,7 @@ def stream_ingest_neardup(
                 n_hashes=n_hashes, bands=bands, k=k, hash_fn=hash_fn,
                 allow_missing_table=True,  # first-batch bootstrap
             ).localCheckpoint()  # pin: used for two drop classes below
-            ids = batch_df.select(F.col(id_col).alias("nid")).distinct()
-            na = ids.select(F.col("nid").alias("id_a"), F.lit(True).alias("a_new"))
-            nb = ids.select(F.col("nid").alias("id_b"), F.lit(True).alias("b_new"))
-            fl = (
-                pairs.join(na, "id_a", "left")
-                .join(nb, "id_b", "left")
-                .na.fill(False, ["a_new", "b_new"])
-            )
-            dropped = (
-                # new doc duplicating a committed one (whichever pair side)
-                fl.where(F.col("a_new") & ~F.col("b_new")).select(F.col("id_a").alias("id"))
-                .unionByName(
-                    fl.where(F.col("b_new") & ~F.col("a_new")).select(F.col("id_b").alias("id"))
-                )
-                # both new: keep-first (id_a < id_b by construction)
-                .unionByName(
-                    fl.where(F.col("a_new") & F.col("b_new")).select(F.col("id_b").alias("id"))
-                )
-                .distinct()
-            )
+            dropped = dedup.keep_first_drops(pairs, batch_df.select(id_col))
             survivors = batch_df.join(
                 dropped, batch_df[id_col] == dropped["id"], "left_anti"
             )

@@ -1,5 +1,8 @@
 """End-to-end corpus build: extract -> dedup -> decontaminate -> scrub ->
-mix -> pack, lineage-committed per stage with crash-resume.
+mix -> pack, lineage-committed per stage with crash-resume — plus the
+daily-ingest twin (:func:`run_corpus_ingest`) that dedups a new batch
+incrementally against the standing band index instead of recomputing the
+corpus.
 
 This is the job a 100 TB training-data user actually runs: every operator
 the engine exposes in isolation, chained under ONE resume discipline.
@@ -83,10 +86,11 @@ def committed_stages(spark: SparkSession, out_dir: str) -> dict[str, str]:
 
 
 def _commit_stage(
-    spark: SparkSession, out_dir: str, run_id: str, stage: str, n_out: int
+    spark: SparkSession, out_dir: str, run_id: str, stage: str, n_out: int,
+    stages: tuple[str, ...] = STAGES,
 ) -> None:
     row = spark.createDataFrame(
-        [(run_id, stage, STAGES.index(stage), "committed", n_out, time.time())],
+        [(run_id, stage, stages.index(stage), "committed", n_out, time.time())],
         STAGE_LINEAGE_SCHEMA,
     )
     row.coalesce(1).write.mode("append").parquet(_stage_lineage_dir(out_dir))
@@ -94,6 +98,55 @@ def _commit_stage(
 
 def stage_dir(out_dir: str, stage: str) -> str:
     return f"{out_dir}/{stage}"
+
+
+# -- stage bodies shared by the full build and the daily ingest -------------
+
+
+def _assemble_with_source(ex: DataFrame) -> DataFrame:
+    """One doc per conversation (skew-safe two-phase concat) + its source
+    tag (tool of the first turn)."""
+    from docling_gfcr_spark import pipeline
+
+    docs = pipeline.assemble_conversations(ex)
+    src = ex.groupBy("conv_id").agg(F.min_by("tool", "turn_idx").alias("source"))
+    return docs.join(src, "conv_id")
+
+
+def _decontaminate_docs(
+    docs: DataFrame, heldout_df: DataFrame, heldout_text_col: str, k: int
+) -> DataFrame:
+    from docling_gfcr_spark.operators import sampling
+
+    held = heldout_df.select(F.col(heldout_text_col).alias("conv_text"))
+    contaminated = sampling.ngram_decontaminate(
+        docs, held, text_col="conv_text", id_col="conv_id", k=k
+    ).select("conv_id")
+    return docs.join(F.broadcast(contaminated), "conv_id", "left_anti")
+
+
+def _scrub_docs(docs: DataFrame) -> DataFrame:
+    from docling_gfcr_spark.operators import text_analysis
+
+    return docs.withColumn("conv_text", text_analysis.pii_redacted_text("conv_text"))
+
+
+def _mix_docs(docs: DataFrame, weights: dict[str, float] | None, default: float) -> DataFrame:
+    from docling_gfcr_spark.operators import sampling
+
+    pred = sampling.source_mixing_predicate(
+        weights or {}, default, source_col="source", id_col="conv_id", salt="mix"
+    )
+    return docs.where(pred)
+
+
+def _pack_docs(docs: DataFrame, budget: int) -> DataFrame:
+    from docling_gfcr_spark.operators import sampling, text_analysis
+
+    withtok = docs.withColumn("n_tokens", text_analysis.token_count_ws("conv_text"))
+    return sampling.pack_sequences(
+        withtok, budget=budget, id_col="conv_id", token_col="n_tokens", order_by="hash"
+    )
 
 
 def run_corpus_build(
@@ -121,8 +174,8 @@ def run_corpus_build(
     extract stage additionally resumes at part granularity through
     run_extraction_job's own lineage.
     """
-    from docling_gfcr_spark import lineage, pipeline
-    from docling_gfcr_spark.operators import dedup, sampling, text_analysis
+    from docling_gfcr_spark import lineage
+    from docling_gfcr_spark.operators import dedup
 
     if fail_after_stage is not None and fail_after_stage not in STAGES:
         raise ValueError(f"unknown stage {fail_after_stage!r}")
@@ -161,9 +214,7 @@ def run_corpus_build(
     # -- 2. assemble: one doc per conversation + its source tag ------------
     if "assemble" not in done:
         ex = lineage.read_extracted(spark, stage_dir(out_dir, "extract")).drop("part_id")
-        docs = pipeline.assemble_conversations(ex)
-        src = ex.groupBy("conv_id").agg(F.min_by("tool", "turn_idx").alias("source"))
-        _publish("assemble", docs.join(src, "conv_id"))
+        _publish("assemble", _assemble_with_source(ex))
 
     # -- 3. exact dedup: content-hash keep-first ---------------------------
     if "dedup_exact" not in done:
@@ -189,42 +240,22 @@ def run_corpus_build(
 
     # -- 5. decontaminate: drop docs sharing any word k-gram with heldout --
     if "decontaminate" not in done:
-        docs = _read("dedup_near")
-        held = heldout_df.select(F.col(heldout_text_col).alias("conv_text"))
-        contaminated = sampling.ngram_decontaminate(
-            docs, held, text_col="conv_text", id_col="conv_id", k=decontam_k
-        ).select("conv_id")
-        _publish("decontaminate", docs.join(F.broadcast(contaminated), "conv_id", "left_anti"))
+        _publish(
+            "decontaminate",
+            _decontaminate_docs(_read("dedup_near"), heldout_df, heldout_text_col, decontam_k),
+        )
 
     # -- 6. scrub: PII redaction, text carried forward ---------------------
     if "scrub" not in done:
-        docs = _read("decontaminate")
-        _publish(
-            "scrub",
-            docs.withColumn(
-                "conv_text", text_analysis.pii_redacted_text("conv_text")
-            ),
-        )
+        _publish("scrub", _scrub_docs(_read("decontaminate")))
 
     # -- 7. mix: per-source deterministic sampling rates -------------------
     if "mix" not in done:
-        docs = _read("scrub")
-        pred = sampling.source_mixing_predicate(
-            mix_weights or {}, mix_default, source_col="source",
-            id_col="conv_id", salt="mix",
-        )
-        _publish("mix", docs.where(pred))
+        _publish("mix", _mix_docs(_read("scrub"), mix_weights, mix_default))
 
     # -- 8. pack: greedy sequence packing (hash order: string ids) ---------
     if "pack" not in done:
-        docs = _read("mix").withColumn(
-            "n_tokens", text_analysis.token_count_ws("conv_text")
-        )
-        packed = sampling.pack_sequences(
-            docs, budget=pack_budget, id_col="conv_id",
-            token_col="n_tokens", order_by="hash",
-        )
-        _publish("pack", packed)
+        _publish("pack", _pack_docs(_read("mix"), pack_budget))
 
     packed_rows = _read("pack").count()
     return {
@@ -239,6 +270,165 @@ def read_packed(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(stage_dir(out_dir, "pack"))
 
 
+INGEST_STAGES: tuple[str, ...] = (
+    "extract",
+    "assemble",
+    "dedup_exact",
+    "dedup_incr",
+    "decontaminate",
+    "scrub",
+    "mix",
+    "pack",
+)
+
+
+def run_corpus_ingest(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    heldout_df: DataFrame,
+    out_dir: str,
+    band_table: str,
+    band_path: str,
+    n_parts: int = 8,
+    n_waves: int = 2,
+    mix_weights: dict[str, float] | None = None,
+    mix_default: float = 1.0,
+    pack_budget: int = 2048,
+    minhash: tuple[int, int, int, str] = (32, 8, 5, "md5"),
+    decontam_k: int = 8,
+    heldout_text_col: str = "text",
+    mode: str = "agent",
+    run_id: str | None = None,
+    bootstrap: bool = False,
+    hot_band_cap: int | None = None,
+    fail_after_stage: str | None = None,
+) -> dict:
+    """DAILY-INGEST twin of :func:`run_corpus_build`: the same eight-stage
+    chain over ONE day's batch, with near-dedup run INCREMENTALLY against
+    the standing band index (``band_table``) instead of recomputing the
+    corpus — O(batch) work per ingest regardless of corpus size. This is
+    the job a 100 TB pipeline runs every day after the initial build; the
+    build's `dedup_near` full-corpus stage runs exactly once, ever.
+
+    dedup_incr discipline (same as streaming.stream_ingest_neardup, shared
+    kernel `dedup.keep_first_drops`): the batch is signed ONCE, pairs are
+    mined against (committed corpus + the batch itself) via the
+    band_hash-bucketed index join (corpus side exchange-free), keep-first
+    drops batch docs duplicating committed docs, and the SURVIVORS' band
+    keys are appended to the index so tomorrow's batch dedups against them.
+    Publish order inside the stage: survivors parquet -> band append ->
+    lineage commit. A crash between append and commit re-runs the stage on
+    resume: the parquet overwrite is idempotent and duplicate band rows are
+    harmless (pair mining distincts; recap_band_index maintenance removes
+    them) — at-least-once index append, exactly-once survivors.
+
+    ``bootstrap=True`` allows the very first batch to run with no committed
+    band table (otherwise a mistyped table name would silently dedup
+    against nothing — dedup.incremental_minhash_pairs raises).
+    """
+    from docling_gfcr_spark import lineage
+    from docling_gfcr_spark.operators import dedup
+
+    if fail_after_stage is not None and fail_after_stage not in INGEST_STAGES:
+        raise ValueError(f"unknown stage {fail_after_stage!r}")
+    run_id = run_id or uuid.uuid4().hex[:12]
+    n_hashes, bands, k, hash_fn = minhash
+    done = committed_stages(spark, out_dir)
+    ran: list[str] = []
+    skipped = [s for s in INGEST_STAGES if s in done]
+
+    def _read(stage: str) -> DataFrame:
+        return spark.read.parquet(stage_dir(out_dir, stage))
+
+    def _publish(stage: str, df: DataFrame, after=None) -> None:
+        df.write.mode("overwrite").parquet(stage_dir(out_dir, stage))
+        n_out = _read(stage).count()
+        if after is not None:
+            after()
+        _commit_stage(spark, out_dir, run_id, stage, n_out, stages=INGEST_STAGES)
+        ran.append(stage)
+        if fail_after_stage == stage:
+            raise RuntimeError(f"injected crash after stage {stage}")
+
+    # -- 1-3: extract / assemble / batch-internal exact dedup --------------
+    if "extract" not in done:
+        lineage.run_extraction_job(
+            spark, batch_df, stage_dir(out_dir, "extract"),
+            n_parts=n_parts, n_waves=n_waves, mode=mode, run_id=run_id,
+        )
+        n_out = lineage.read_extracted(spark, stage_dir(out_dir, "extract")).count()
+        _commit_stage(spark, out_dir, run_id, "extract", n_out, stages=INGEST_STAGES)
+        ran.append("extract")
+        if fail_after_stage == "extract":
+            raise RuntimeError("injected crash after stage extract")
+
+    if "assemble" not in done:
+        ex = lineage.read_extracted(spark, stage_dir(out_dir, "extract")).drop("part_id")
+        _publish("assemble", _assemble_with_source(ex))
+
+    if "dedup_exact" not in done:
+        _publish(
+            "dedup_exact",
+            dedup.exact_dedup_keep(_read("assemble"), text_col="conv_text", id_col="conv_id"),
+        )
+
+    # -- 4. incremental near dedup vs the standing index -------------------
+    if "dedup_incr" not in done:
+        docs = _read("dedup_exact")
+        # sign ONCE: the keys feed pair mining AND (filtered to survivors)
+        # the index append — MinHash is the dominant per-batch cost
+        banded = dedup.minhash_band_keys(
+            docs, text_col="conv_text", id_col="conv_id",
+            n_hashes=n_hashes, bands=bands, k=k, hash_fn=hash_fn,
+        ).localCheckpoint()
+        try:
+            pairs = dedup.incremental_minhash_pairs(
+                spark, band_table, new_banded=banded,
+                n_hashes=n_hashes, bands=bands, k=k, hash_fn=hash_fn,
+                allow_missing_table=bootstrap,
+            )
+            dropped = dedup.keep_first_drops(pairs, docs.select("conv_id"))
+            survivors = docs.join(dropped, docs["conv_id"] == dropped["id"], "left_anti")
+
+            def _append_bands() -> None:
+                # read survivors back from the WRITTEN stage (the committed
+                # truth), not the live plan — the append must match the files
+                surv = _read("dedup_incr").select(F.col("conv_id").alias("id"))
+                dedup.commit_minhash_bands(
+                    None, band_table, band_path,
+                    n_hashes=n_hashes, bands=bands, k=k, hash_fn=hash_fn,
+                    mode="append" if spark.catalog.tableExists(band_table) else "overwrite",
+                    hot_band_cap=hot_band_cap,
+                    banded=banded.join(surv, "id", "left_semi"),
+                )
+                spark.catalog.refreshTable(band_table)
+
+            _publish("dedup_incr", survivors, after=_append_bands)
+        finally:
+            dedup._free_local_checkpoint(banded)
+
+    # -- 5-8: decontaminate / scrub / mix / pack (shared stage bodies) -----
+    if "decontaminate" not in done:
+        _publish(
+            "decontaminate",
+            _decontaminate_docs(_read("dedup_incr"), heldout_df, heldout_text_col, decontam_k),
+        )
+    if "scrub" not in done:
+        _publish("scrub", _scrub_docs(_read("decontaminate")))
+    if "mix" not in done:
+        _publish("mix", _mix_docs(_read("scrub"), mix_weights, mix_default))
+    if "pack" not in done:
+        _publish("pack", _pack_docs(_read("mix"), pack_budget))
+
+    packed_rows = _read("pack").count()
+    return {
+        "run_id": run_id,
+        "stages_run": ran,
+        "stages_skipped_on_resume": skipped,
+        "packed_rows": packed_rows,
+    }
+
+
 def main() -> None:
     """Cluster entrypoint.
 
@@ -251,6 +441,12 @@ def main() -> None:
     On restart with the same --output, committed stages are skipped; the
     extract stage resumes at part granularity. Local smoke: --local-cores N
     --synth-convs M.
+
+    Daily ingest (incremental near-dedup against the standing band index
+    instead of the full-corpus dedup_near stage): add --band-table and
+    --band-path; --bootstrap allows the very first batch to run before the
+    index exists. Use a FRESH --output per batch (the stage lineage is
+    per-run); the band table is the cross-batch state.
     """
     import argparse
     import json
@@ -277,7 +473,13 @@ def main() -> None:
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--local-cores", type=int, default=0, help="local smoke mode")
     ap.add_argument("--synth-convs", type=int, default=0, help="generate synthetic input")
+    ap.add_argument("--band-table", default=None, help="ingest mode: standing band index table")
+    ap.add_argument("--band-path", default=None, help="ingest mode: band index table path")
+    ap.add_argument("--bootstrap", action="store_true", help="ingest mode: first batch, index may not exist")
+    ap.add_argument("--hot-band-cap", type=int, default=None, help="ingest mode: per-commit band-key cap (skew valve)")
     args = ap.parse_args()
+    if bool(args.band_table) != bool(args.band_path):
+        raise SystemExit("--band-table and --band-path go together")
 
     if args.local_cores:
         from docling_gfcr_spark.session import get_spark
@@ -309,13 +511,21 @@ def main() -> None:
         src, _, rate = spec.partition("=")
         mix_weights[src] = float(rate)
 
-    report = run_corpus_build(
-        spark, input_df, heldout_df, args.output,
+    common = dict(
         n_parts=args.n_parts, n_waves=args.waves,
         mix_weights=mix_weights, mix_default=args.mix_default,
         pack_budget=args.pack_budget, mode=args.mode,
         heldout_text_col=args.heldout_text_col, run_id=args.run_id,
     )
+    if args.band_table:
+        report = run_corpus_ingest(
+            spark, input_df, heldout_df, args.output,
+            args.band_table, args.band_path,
+            bootstrap=args.bootstrap, hot_band_cap=args.hot_band_cap,
+            **common,
+        )
+    else:
+        report = run_corpus_build(spark, input_df, heldout_df, args.output, **common)
     print(json.dumps(report))
     spark.stop()
 

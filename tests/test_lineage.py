@@ -396,6 +396,84 @@ def test_corpus_build_stage_resume_and_idempotence(spark, tmp_path):
         )
 
 
+def test_corpus_ingest_incremental_dedup_and_resume(spark, tmp_path):
+    """The daily-ingest twin: batch 1 bootstraps the band index (an
+    internal exact dup resolves keep-first), batch 2 dedups incrementally
+    against the COMMITTED index (a doc duplicating a day-1 conversation is
+    dropped without recomputing day 1), survives an injected crash at the
+    dedup_incr stage, and grows the index by exactly the survivors' band
+    keys. A mismatched-minhash ingest refuses before mining."""
+    from jobs import corpus_build
+
+    band_table = "t_ingest_bands"
+    band_path = str(tmp_path / "bands")
+    spark.sql(f"DROP TABLE IF EXISTS {band_table}")
+    held = spark.createDataFrame([("zz qq ww no overlap at all here really",)], "text string")
+    kwargs = dict(n_parts=2, n_waves=1, mode="cli", pack_budget=1024)
+
+    # batch 1 (bootstrap): 8 convs + one whole-conversation copy
+    b1 = transcripts.make_transcripts(spark, 8, mean_turns=4, seed=31, parallelism=2)
+    cp = b1.where(F.col("conv_id") == "conv-00000001").withColumn(
+        "conv_id", F.concat(F.col("conv_id"), F.lit("-copy"))
+    )
+    out1 = str(tmp_path / "day1")
+    corpus_build.run_corpus_ingest(
+        spark, b1.unionByName(cp), held, out1, band_table, band_path,
+        run_id="d1", bootstrap=True, **kwargs,
+    )
+    surv1 = spark.read.parquet(corpus_build.stage_dir(out1, "dedup_incr"))
+    ids1 = {r.conv_id for r in surv1.select("conv_id").collect()}
+    assert "conv-00000001" in ids1 and "conv-00000001-copy" not in ids1
+    assert spark.table(band_table).count() == 8 * len(ids1)  # bands=8 per doc
+
+    # a missing index without bootstrap refuses (mistyped table name)
+    with pytest.raises(ValueError, match="does not exist"):
+        corpus_build.run_corpus_ingest(
+            spark, b1, held, str(tmp_path / "dayx"), "t_ingest_nope",
+            str(tmp_path / "nope"), **kwargs,
+        )
+
+    # batch 2: one doc duplicating a COMMITTED day-1 conversation (cli-mode
+    # extraction is name-independent -> identical text -> collides in every
+    # band) + two genuinely fresh convs; crash injected after dedup_incr
+    dup = b1.where(F.col("conv_id") == "conv-00000002").withColumn(
+        "conv_id", F.lit("conv-d2-dup")
+    )
+    fresh = transcripts.make_transcripts(
+        spark, 2, mean_turns=4, seed=77, parallelism=2
+    ).withColumn("conv_id", F.concat(F.lit("d2-"), F.col("conv_id")))
+    out2 = str(tmp_path / "day2")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        corpus_build.run_corpus_ingest(
+            spark, dup.unionByName(fresh), held, out2, band_table, band_path,
+            run_id="d2", fail_after_stage="dedup_incr", **kwargs,
+        )
+    r2 = corpus_build.run_corpus_ingest(
+        spark, dup.unionByName(fresh), held, out2, band_table, band_path,
+        run_id="d2b", **kwargs,
+    )
+    assert r2["stages_skipped_on_resume"] == [
+        "extract", "assemble", "dedup_exact", "dedup_incr"
+    ]
+    surv2 = spark.read.parquet(corpus_build.stage_dir(out2, "dedup_incr"))
+    ids2 = {r.conv_id for r in surv2.select("conv_id").collect()}
+    assert "conv-d2-dup" not in ids2
+    assert ids2 == {"d2-conv-00000000", "d2-conv-00000001"}
+    # the index grew by exactly the survivors' keys — the crashed run's
+    # append committed with the stage, the resumed run did not re-append
+    assert spark.table(band_table).count() == 8 * (len(ids1) + len(ids2))
+    assert r2["packed_rows"] > 0
+
+    # mismatched minhash params vs the committed index: refuse, don't
+    # silently dedup against nothing
+    with pytest.raises(ValueError, match="incomparable"):
+        corpus_build.run_corpus_ingest(
+            spark, fresh, held, str(tmp_path / "day3"), band_table, band_path,
+            minhash=(16, 4, 5, "md5"), **kwargs,
+        )
+    spark.sql(f"DROP TABLE IF EXISTS {band_table}")
+
+
 def test_extraction_job_survives_all_empty_first_wave(spark, tmp_path):
     """A sparse corpus vs a large n_parts can make the FIRST wave's parts
     all empty: nothing is written, the data dir does not exist yet, and the

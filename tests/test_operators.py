@@ -1094,3 +1094,21 @@ def test_incremental_signature_params_stamped_and_validated(spark, tmp_path):
     dedup.recap_band_index(spark, table, path, hot_band_cap=3)
     assert dedup._read_signature_params(spark, table)["hash_fn"] == "md5"
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+def test_pii_redacted_text_matches_scrub_md5(spark):
+    """pii_redacted_text (the text carried forward by corpus_build's scrub
+    stage) must be exactly the string pii_scrub hashes — one family chain,
+    two consumers."""
+    from docling_gfcr_spark.operators import text_analysis
+    rows = [
+        (1, "mail a@b.co or 10.0.0.1 card 4111111111111111 ssn 123-45-6789"),
+        (2, "(555) 123-4567 and +55 123-4567 plain text"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    joined = text_analysis.pii_scrub(df).join(
+        df.select("doc_id", F.md5(text_analysis.pii_redacted_text("text")).alias("direct_md5")),
+        "doc_id",
+    )
+    bad = joined.where(F.col("scrubbed_md5") != F.col("direct_md5")).count()
+    assert bad == 0

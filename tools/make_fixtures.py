@@ -552,6 +552,180 @@ def compute_corpus_build_end_to_end() -> pd.DataFrame:
     return df
 
 
+def compute_corpus_ingest_end_to_end() -> pd.DataFrame:
+    """Local oracle for queries.corpus_ingest_end_to_end: the two-day
+    daily-ingest chain replayed with no Spark. Day 1 (bootstrap) and day 2
+    (incremental vs the committed index) both reduce to: extraction +
+    assembly via the pure-Python kernels, exact dedup keep-min, candidate
+    pairs via the validated DuckDB minhash twin, and the pairwise
+    KEEP-FIRST policy of dedup.keep_first_drops (committed side wins;
+    of a both-new pair the larger id drops). committed_by follows from the
+    deterministic crash point (d2a crashes after dedup_incr; d2b resumes)."""
+    import hashlib
+
+    import duckdb
+
+    from docling_gfcr_spark import pipeline, transcripts
+    from docling_gfcr_spark.operators.text_analysis import pii_redacted_text_sql
+    from docling_gfcr_spark.queries import MINHASH_PAIRS_SQL
+
+    convs: dict[str, list] = {}
+    for c in range(30):
+        rows = transcripts.gen_conv_rows(13, c, mean_turns=5, mega_every=25, skew_factor=8)
+        cid = rows[0]["conv_id"]
+        convs[cid] = [(r["turn_idx"], r["tool"], r["text"]) for r in rows]
+
+    def assemble(cid: str, turns: list) -> tuple[str, str]:
+        # the REAL per-turn name: cli-mode extraction is name-independent
+        # EXCEPT when the fallback-title wrap fires (it embeds the name), so
+        # a renamed copy of such a conversation is a NEAR dup, not an exact
+        # one — the oracle must assemble with the same names Spark uses
+        turns = sorted(turns)
+        parts = []
+        for turn_idx, tool, text in turns:
+            name = f"{cid}-{turn_idx:06d}".replace(" ", "_")
+            parts.append(pipeline.extract_one(text, tool, name, "cli")["extracted_text"])
+        return turns[0][1], "\n".join(parts)
+
+    def exact_keep_min(docs: dict) -> dict:
+        byhash: dict[str, str] = {}
+        for cid in sorted(docs):
+            byhash.setdefault(hashlib.md5(docs[cid][1].encode("utf-8")).hexdigest(), cid)
+        keep = set(byhash.values())
+        return {cid: v for cid, v in docs.items() if cid in keep}
+
+    def mine_pairs(texts: dict) -> list:
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())}),
+        )
+        pairs = con.execute(MINHASH_PAIRS_SQL).fetchdf()
+        return [(str(a), str(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])]
+
+    # -- day 1: bootstrap --------------------------------------------------
+    day1_turns = {cid: convs[cid] for cid in (f"conv-{i:08d}" for i in range(20))}
+    day1_turns["conv-00000001-copy"] = list(convs["conv-00000001"])
+    docs1 = exact_keep_min({cid: assemble(cid, t) for cid, t in day1_turns.items()})
+    drops1 = {b for _a, b in mine_pairs({c: v[1] for c, v in docs1.items()})}
+    docs1 = {cid: v for cid, v in docs1.items() if cid not in drops1}
+    day1_surv = len(docs1)
+
+    # -- day 2: incremental vs the committed index -------------------------
+    day2_turns = {cid: convs[cid] for cid in (f"conv-{i:08d}" for i in range(20, 30))}
+    day2_turns["conv-00000002-d2copy"] = list(convs["conv-00000002"])
+    day2_turns["conv-00000003-nd"] = [t for t in convs["conv-00000003"] if t[0] > 0]
+    day2_turns["conv-00000020-copy"] = list(convs["conv-00000020"])
+    n_extract = sum(len(v) for v in day2_turns.values())
+    docs2 = {cid: assemble(cid, t) for cid, t in day2_turns.items()}
+    n_assemble = len(docs2)
+    docs2 = exact_keep_min(docs2)
+    n_exact = len(docs2)
+
+    new_ids = set(docs2)
+    union_texts = {c: v[1] for c, v in docs1.items()}
+    union_texts.update({c: v[1] for c, v in docs2.items()})
+    drops2: set = set()
+    for a, b in mine_pairs(union_texts):
+        a_new, b_new = a in new_ids, b in new_ids
+        if a_new and b_new:
+            drops2.add(b)  # keep-first: larger id drops (id_a < id_b)
+        elif a_new and not b_new:
+            drops2.add(a)  # duplicates a committed doc
+        elif b_new and not a_new:
+            drops2.add(b)
+    docs2 = {cid: v for cid, v in docs2.items() if cid not in drops2}
+    n_incr = len(docs2)
+    band_rows = 8 * (day1_surv + n_incr)
+    surv_digest = sum(
+        int(hashlib.md5(c.encode()).hexdigest()[:15], 16) % 10**12 for c in docs2
+    )
+
+    # -- decontaminate vs a heldout hash-sample of day-2 survivors ---------
+    thr = format(int(0.25 * 2**32), "08x")
+    held = [c for c in docs2 if hashlib.md5(f"held:{c}".encode()).hexdigest()[:8] < thr]
+
+    def shingles(text: str, k: int = 8) -> set:
+        w = text.split(" ")
+        return {" ".join(w[i : i + k]) for i in range(max(1, len(w) - (k - 1)))}
+
+    held_sh: set = set()
+    for c in held:
+        held_sh |= shingles(docs2[c][1])
+    docs2 = {c: v for c, v in docs2.items() if not (shingles(v[1]) & held_sh)}
+    n_decon = len(docs2)
+
+    # -- scrub + token counts (DuckDB regexp twins), mix, pack -------------
+    con2 = duckdb.connect()
+    con2.register(
+        "docs",
+        pd.DataFrame(
+            {
+                "doc_id": list(docs2),
+                "source": [docs2[c][0] for c in docs2],
+                "text": [docs2[c][1] for c in docs2],
+            }
+        ),
+    )
+    scrub = con2.execute(
+        f"WITH s AS (SELECT doc_id, source, {pii_redacted_text_sql('text')} AS text FROM docs) "
+        "SELECT doc_id, source, "
+        "len(string_split_regex(trim(text), '\\s+')) AS n_tokens FROM s"
+    ).fetchdf()
+    n_scrub = len(scrub)
+
+    weights = {"html": 0.6, "json": 0.5}
+
+    def keep_mix(src: str, cid: str) -> bool:
+        frac = weights.get(src, 1.0)
+        if frac >= 1.0:
+            return True
+        t = format(min(int(frac * 2**32), 2**32 - 1), "08x")
+        return hashlib.md5(f"mix:{cid}".encode()).hexdigest()[:8] < t
+
+    mixed = [
+        (str(c), int(n))
+        for c, s, n in zip(scrub["doc_id"], scrub["source"], scrub["n_tokens"])
+        if keep_mix(str(s), str(c))
+    ]
+    n_mix = len(mixed)
+
+    order = sorted((hashlib.md5(f"pack:{c}".encode()).hexdigest(), c, n) for c, n in mixed)
+    before = total = digest = 0
+    for _h, c, n in order:
+        sb = before // 2048
+        key = f"{c}|{n}|{before}|{sb}"
+        digest += int(hashlib.md5(key.encode("utf-8")).hexdigest()[:15], 16) % 10**12
+        total += n
+        before += n
+
+    stages = [
+        ("extract", n_extract, "d2a"),
+        ("assemble", n_assemble, "d2a"),
+        ("dedup_exact", n_exact, "d2a"),
+        ("dedup_incr", n_incr, "d2a"),
+        ("decontaminate", n_decon, "d2b"),
+        ("scrub", n_scrub, "d2b"),
+        ("mix", n_mix, "d2b"),
+        ("pack", n_mix, "d2b"),
+    ]
+    df = pd.DataFrame(
+        [
+            {"stage_idx": i, "stage": s, "committed_by": r, "n_out": n}
+            for i, (s, n, r) in enumerate(stages)
+        ]
+    )
+    df["stage_idx"] = df["stage_idx"].astype(np.int32)
+    df["n_out"] = df["n_out"].astype(np.int64)
+    df["surv_digest"] = np.int64(surv_digest)
+    df["band_rows"] = np.int64(band_rows)
+    df["packed_rows"] = np.int64(n_mix)
+    df["packed_total_tokens"] = np.int64(total)
+    df["packed_digest"] = np.int64(digest)
+    df["day1_survivors"] = np.int64(day1_surv)
+    return df
+
+
 COMPUTE = {
     "extract_transcripts": compute_extract_transcripts,
     "extract_assembled_convs": compute_extract_assembled_convs,
@@ -565,6 +739,7 @@ COMPUTE = {
     "multimodal_transformed": compute_multimodal_transformed,
     "office_bytes_roundtrip": compute_office_bytes_roundtrip,
     "corpus_build_end_to_end": compute_corpus_build_end_to_end,
+    "corpus_ingest_end_to_end": compute_corpus_ingest_end_to_end,
 }
 
 
