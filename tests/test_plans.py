@@ -47,6 +47,25 @@ def test_anti_join_is_broadcast(spark):
     assert "LeftAnti" in p
 
 
+def test_q9_dims_broadcast_facts_shuffle(spark):
+    """q9's 6-way join: every dimension side (filtered part, the derived
+    partsupp, supplier, nation) must arrive via BroadcastHashJoin — at 100x
+    the only shuffles this plan may carry are the lineitem-orders fact join
+    and the final aggregate."""
+    p = plan_of(queries.q9_product_type_profit(spark, SF))
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in p
+
+
+def test_q11_single_pass_threshold_broadcast(spark):
+    """q11's HAVING-over-total: the per-part aggregate joins the one-row
+    total via broadcast (BroadcastNestedLoopJoin over a single row is fine);
+    no CartesianProduct of two large sides."""
+    p = plan_of(queries.q11_important_stock(spark, SF))
+    assert "Broadcast" in p
+    assert "CartesianProduct" not in p
+
+
 def test_extraction_single_python_boundary_no_shuffle(spark):
     tdf = transcripts.make_transcripts(spark, 10, seed=1, parallelism=2)
     p = plan_of(pipeline.extract_turns(tdf))
