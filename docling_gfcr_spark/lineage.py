@@ -34,6 +34,7 @@ from __future__ import annotations
 import time
 import uuid
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -249,11 +250,20 @@ def run_extraction_job(
         storage.overwrite_data_partitions(extracted.repartition(max(len(wave), 1), "part_id"))
         # a wave whose parts hold NO rows (sparse corpus vs large n_parts)
         # writes nothing — on the very first such wave the data dir does not
-        # exist yet, so the metrics read must degrade to all-zero rows
-        # instead of failing the job
+        # exist yet, so the metrics read must degrade to all-zero rows. ONLY
+        # the missing-path/table case may degrade: any other read failure
+        # (permissions, corrupt footer) must fail the wave, not commit it
+        # with fabricated all-zero metrics
         try:
             data = storage.read_data()
-        except Exception:
+        except AnalysisException as e:
+            # missing dir -> PATH_NOT_FOUND; dir created but no files yet ->
+            # UNABLE_TO_INFER_SCHEMA; Iceberg twin -> TABLE_OR_VIEW_NOT_FOUND
+            cond = e.getCondition() if hasattr(e, "getCondition") else None
+            if cond not in (
+                "PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA", "TABLE_OR_VIEW_NOT_FOUND"
+            ):
+                raise
             data = None
         agg = (
             data.where(F.col("part_id").isin(wave))

@@ -353,10 +353,12 @@ def _write_signature_params(spark, table: str, n_hashes, bands, k, hash_fn) -> N
 
 
 def _read_signature_params(spark, table: str) -> dict[str, str]:
-    try:
-        rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
-    except Exception:
-        return {}
+    # callers guard table existence; a FAILING properties read must raise,
+    # not silently disable the param-mismatch guard (a swallowed metastore
+    # error here would let incomparable band keys dedup against nothing —
+    # the exact failure the stamp exists to prevent). Pre-stamping legacy
+    # tables still pass: SHOW succeeds and simply lacks the minhash.* keys.
+    rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
     props = {str(r.key): str(r.value) for r in rows}
     return {
         key: props[f"minhash.{key}"]

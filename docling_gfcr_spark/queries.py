@@ -39,6 +39,18 @@ FIXTURE_DIR = "/root/repo/fixtures"
 _FIXTURE_SQL = f"SELECT * FROM read_parquet('{FIXTURE_DIR}/{{name}}.parquet')"
 
 
+def _md5_digest_col(*cols):
+    """The fixture digest convention, in ONE place: md5 over the '|'-joined
+    values, first 15 hex digits as a base-10 long, mod 1e12 — summed by the
+    caller for an order-insensitive content digest that fits a BIGINT
+    exactly in both engines. The make_fixtures oracles mirror this literally
+    (int(md5(key)[:15], 16) % 10**12); change BOTH or fixtures mismatch."""
+    return (
+        F.conv(F.substring(F.md5(F.concat_ws("|", *cols)), 1, 15), 16, 10).cast("long")
+        % F.lit(10**12)
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational core (TPC-H-ish)
 # ---------------------------------------------------------------------------
@@ -1366,21 +1378,8 @@ def resume_extraction_job(spark, sf_dir):
         )
         lin = lineage.read_lineage(spark, out_dir).where(F.col("status") == "committed")
         data = lineage.read_extracted(spark, out_dir)
-        row_hash = (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            "|", F.col("conv_id"), F.col("turn_idx"), F.col("extracted_text")
-                        )
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % F.lit(10**12)
+        row_hash = _md5_digest_col(
+            F.col("conv_id"), F.col("turn_idx"), F.col("extracted_text")
         )
         audit = (
             data.agg(
@@ -1477,22 +1476,9 @@ def corpus_build_end_to_end(spark, sf_dir):
             spark, tdf, heldout, out_dir, run_id="run2", **kwargs
         )
         packed = corpus_build.read_packed(spark, out_dir)
-        row_hash = (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            "|", F.col("conv_id"), F.col("n_tokens"),
-                            F.col("tokens_before"), F.col("seq_bin"),
-                        )
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % F.lit(10**12)
+        row_hash = _md5_digest_col(
+            F.col("conv_id"), F.col("n_tokens"),
+            F.col("tokens_before"), F.col("seq_bin"),
         )
         audit = packed.agg(
             F.count("*").alias("packed_rows"),
@@ -1608,27 +1594,11 @@ def corpus_ingest_end_to_end(spark, sf_dir):
             run_id="d2b", **kwargs,
         )
 
-        id_hash = (
-            F.conv(F.substring(F.md5(F.col("conv_id")), 1, 15), 16, 10).cast("long")
-            % F.lit(10**12)
-        )
+        id_hash = _md5_digest_col(F.col("conv_id"))
         packed = corpus_build.read_packed(spark, out2)
-        row_hash = (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            "|", F.col("conv_id"), F.col("n_tokens"),
-                            F.col("tokens_before"), F.col("seq_bin"),
-                        )
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % F.lit(10**12)
+        row_hash = _md5_digest_col(
+            F.col("conv_id"), F.col("n_tokens"),
+            F.col("tokens_before"), F.col("seq_bin"),
         )
         audit = (
             surv2.agg(F.sum(id_hash).alias("surv_digest"))
@@ -2220,8 +2190,9 @@ def q11_important_stock(spark, sf_dir):
     partsupp: per-part inventory value (supplycost x availqty, exact
     decimals) for one nation's suppliers, kept when above 0.1% of that
     nation's total — the HAVING-over-scalar-subquery shape. The threshold
-    compare stays in exact decimals on both engines (total/1000, never a
-    float fraction), so the cut is tie-proof."""
+    compare is val*1000 > total: MULTIPLICATION keeps both engines in exact
+    decimals (DuckDB's decimal division returns DOUBLE, which would make
+    the cut float-rounded there and exact here), so the cut is tie-proof."""
     ps = _derived_partsupp(spark, sf_dir)
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = (
@@ -2234,10 +2205,10 @@ def q11_important_stock(spark, sf_dir):
     )
     value = (F.col("ps_supplycost") * F.col("ps_availqty")).cast("decimal(18,2)")
     per_part = j.groupBy("ps_partkey").agg(F.sum(value).alias("val"))
-    total = j.agg((F.sum(value) / 1000).alias("cut"))
+    total = j.agg(F.sum(value).alias("tot"))
     return (
         per_part.crossJoin(F.broadcast(total))
-        .where(F.col("val") > F.col("cut"))
+        .where(F.col("val") * 1000 > F.col("tot"))
         .select("ps_partkey", F.col("val").cast("double").alias("value"))
         .orderBy(F.col("value").desc(), "ps_partkey")
     )
@@ -2254,7 +2225,7 @@ nat AS (SELECT ps_partkey,
 SELECT ps_partkey, CAST(sum(v) AS DOUBLE) AS value
 FROM nat
 GROUP BY ps_partkey
-HAVING sum(v) > (SELECT sum(v) / 1000 FROM nat)
+HAVING sum(v) * 1000 > (SELECT sum(v) FROM nat)
 """
 
 

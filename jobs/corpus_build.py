@@ -226,17 +226,23 @@ def run_corpus_build(
     # -- 4. near dedup: LSH pairs -> connected components -> keep reps -----
     if "dedup_near" not in done:
         docs = _read("dedup_exact")
+        # pin the mined pairs: the empty-probe AND connected components both
+        # consume them, and the minhash/banding shuffles are this stage's
+        # dominant cost — without the checkpoint they would run twice
         pairs = dedup.minhash_lsh_pairs(
             docs, text_col="conv_text", id_col="conv_id",
             n_hashes=n_hashes, bands=bands, k=k, hash_fn=hash_fn,
-        )
-        if pairs.take(1):
-            comps = dedup.connected_components(pairs)
-            losers = comps.where(F.col("node") != F.col("comp")).select(
-                F.col("node").alias("conv_id")
-            )
-            docs = docs.join(F.broadcast(losers), "conv_id", "left_anti")
-        _publish("dedup_near", docs)
+        ).localCheckpoint()
+        try:
+            if pairs.take(1):
+                comps = dedup.connected_components(pairs)
+                losers = comps.where(F.col("node") != F.col("comp")).select(
+                    F.col("node").alias("conv_id")
+                )
+                docs = docs.join(F.broadcast(losers), "conv_id", "left_anti")
+            _publish("dedup_near", docs)
+        finally:
+            dedup._free_local_checkpoint(pairs)
 
     # -- 5. decontaminate: drop docs sharing any word k-gram with heldout --
     if "decontaminate" not in done:
@@ -470,6 +476,12 @@ def main() -> None:
     ap.add_argument("--mix", action="append", default=[], metavar="SOURCE=RATE")
     ap.add_argument("--mix-default", type=float, default=1.0)
     ap.add_argument("--pack-budget", type=int, default=4096)
+    ap.add_argument(
+        "--minhash", default="32,8,5,md5", metavar="N,BANDS,K,FN",
+        help="minhash signature params; MUST match a standing band index "
+        "(ingest refuses incomparable keys). fn: md5|xxhash64",
+    )
+    ap.add_argument("--decontam-k", type=int, default=8)
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--local-cores", type=int, default=0, help="local smoke mode")
     ap.add_argument("--synth-convs", type=int, default=0, help="generate synthetic input")
@@ -511,10 +523,15 @@ def main() -> None:
         src, _, rate = spec.partition("=")
         mix_weights[src] = float(rate)
 
+    mh = args.minhash.split(",")
+    if len(mh) != 4:
+        raise SystemExit("--minhash wants N,BANDS,K,FN")
     common = dict(
         n_parts=args.n_parts, n_waves=args.waves,
         mix_weights=mix_weights, mix_default=args.mix_default,
         pack_budget=args.pack_budget, mode=args.mode,
+        minhash=(int(mh[0]), int(mh[1]), int(mh[2]), mh[3]),
+        decontam_k=args.decontam_k,
         heldout_text_col=args.heldout_text_col, run_id=args.run_id,
     )
     if args.band_table:

@@ -397,6 +397,112 @@ def compute_office_bytes_roundtrip() -> pd.DataFrame:
     return df
 
 
+# -- shared helpers for the two corpus-chain oracles (build + ingest): the
+# -- decontaminate / scrub / mix / pack conventions exist ONCE so the twin
+# -- fixtures cannot silently desynchronize --------------------------------
+
+
+def _oracle_assemble(cid: str, turns: list) -> tuple:
+    """(source, conv_text) for one conversation: cli-mode extraction with
+    the REAL per-turn names Spark derives — cli output is name-independent
+    EXCEPT when the fallback-title wrap fires (the title embeds the name)."""
+    from docling_gfcr_spark import pipeline
+
+    turns = sorted(turns)
+    parts = []
+    for turn_idx, tool, text in turns:
+        name = f"{cid}-{turn_idx:06d}".replace(" ", "_")
+        parts.append(pipeline.extract_one(text, tool, name, "cli")["extracted_text"])
+    return turns[0][1], "\n".join(parts)
+
+
+def _oracle_exact_keep_min(docs: dict) -> dict:
+    """Exact dedup, keep-first (min id per content hash)."""
+    import hashlib
+
+    byhash: dict = {}
+    for cid in sorted(docs):
+        byhash.setdefault(hashlib.md5(docs[cid][1].encode("utf-8")).hexdigest(), cid)
+    keep = set(byhash.values())
+    return {cid: v for cid, v in docs.items() if cid in keep}
+
+
+def _oracle_shingles(text: str, k: int = 8) -> set:
+    w = text.split(" ")
+    return {" ".join(w[i : i + k]) for i in range(max(1, len(w) - (k - 1)))}
+
+
+def _hex_threshold(frac: float) -> str:
+    """The md5-threshold convention of sampling.py (incl. the 2**32-1 clamp)."""
+    return format(min(int(frac * 2**32), 2**32 - 1), "08x")
+
+
+def _oracle_decontaminate(docs: dict, held_ids: list) -> dict:
+    """Drop docs sharing any word-8-gram with the heldout texts (heldout
+    members drop themselves: they share all their shingles)."""
+    held_sh: set = set()
+    for c in held_ids:
+        held_sh |= _oracle_shingles(docs[c][1])
+    return {c: v for c, v in docs.items() if not (_oracle_shingles(v[1]) & held_sh)}
+
+
+def _oracle_scrub_tokens(docs: dict) -> pd.DataFrame:
+    """PII-scrub + whitespace token counts via the validated DuckDB twins."""
+    import duckdb
+
+    from docling_gfcr_spark.operators.text_analysis import pii_redacted_text_sql
+
+    con = duckdb.connect()
+    con.register(
+        "docs",
+        pd.DataFrame(
+            {
+                "doc_id": list(docs),
+                "source": [docs[c][0] for c in docs],
+                "text": [docs[c][1] for c in docs],
+            }
+        ),
+    )
+    return con.execute(
+        f"WITH s AS (SELECT doc_id, source, {pii_redacted_text_sql('text')} AS text FROM docs) "
+        "SELECT doc_id, source, "
+        "len(string_split_regex(trim(text), '\\s+')) AS n_tokens FROM s"
+    ).fetchdf()
+
+
+def _oracle_mix(scrub: pd.DataFrame, weights: dict) -> list:
+    """Per-source md5-threshold sampling (salt 'mix') -> [(doc_id, n_tokens)]."""
+    import hashlib
+
+    def keep(src: str, cid: str) -> bool:
+        frac = weights.get(src, 1.0)
+        if frac >= 1.0:
+            return True
+        return hashlib.md5(f"mix:{cid}".encode()).hexdigest()[:8] < _hex_threshold(frac)
+
+    return [
+        (str(c), int(n))
+        for c, s, n in zip(scrub["doc_id"], scrub["source"], scrub["n_tokens"])
+        if keep(str(s), str(c))
+    ]
+
+
+def _oracle_pack(mixed: list, budget: int = 2048) -> tuple:
+    """Greedy packing in (md5('pack:'||id), id) order -> (total_tokens,
+    digest) with the 15-hex/1e12 row-digest convention (queries._md5_digest_col)."""
+    import hashlib
+
+    order = sorted((hashlib.md5(f"pack:{c}".encode()).hexdigest(), c, n) for c, n in mixed)
+    before = total = digest = 0
+    for _h, c, n in order:
+        sb = before // budget
+        key = f"{c}|{n}|{before}|{sb}"
+        digest += int(hashlib.md5(key.encode("utf-8")).hexdigest()[:15], 16) % 10**12
+        total += n
+        before += n
+    return total, digest
+
+
 def compute_corpus_build_end_to_end() -> pd.DataFrame:
     """Local oracle for queries.corpus_build_end_to_end: the ENTIRE
     extract -> assemble -> dedup -> decontaminate -> scrub -> mix -> pack
@@ -409,11 +515,10 @@ def compute_corpus_build_end_to_end() -> pd.DataFrame:
 
     import duckdb
 
-    from docling_gfcr_spark import pipeline, transcripts
-    from docling_gfcr_spark.operators.text_analysis import pii_redacted_text_sql
+    from docling_gfcr_spark import transcripts
     from docling_gfcr_spark.queries import MINHASH_PAIRS_SQL
 
-    # stages 1-2: cli-mode extraction (name-independent output) + assembly
+    # stages 1-2: cli-mode extraction + assembly (shared helper)
     convs: dict[str, list] = {}
     for c in range(40):
         rows = transcripts.gen_conv_rows(13, c, mean_turns=5, mega_every=25, skew_factor=8)
@@ -426,21 +531,11 @@ def compute_corpus_build_end_to_end() -> pd.DataFrame:
         cid = f"conv-{i:08d}"
         convs[cid + "-nd"] = [t for t in convs[cid] if t[0] > 0]
     n_extract = sum(len(v) for v in convs.values())
-    docs: dict[str, tuple[str, str]] = {}  # conv_id -> (source, conv_text)
-    for cid, turns in convs.items():
-        turns = sorted(turns)
-        parts = []
-        for turn_idx, tool, text in turns:
-            name = f"{cid}-{turn_idx:06d}".replace(" ", "_")
-            parts.append(pipeline.extract_one(text, tool, name, "cli")["extracted_text"])
-        docs[cid] = (turns[0][1], "\n".join(parts))
+    docs = {cid: _oracle_assemble(cid, turns) for cid, turns in convs.items()}
     n_assemble = len(docs)
 
     # stage 3: exact dedup — min conv_id per content hash survives
-    byhash: dict[str, str] = {}
-    for cid in sorted(docs):
-        byhash.setdefault(hashlib.md5(docs[cid][1].encode("utf-8")).hexdigest(), cid)
-    docs = {cid: v for cid, v in docs.items() if cid in set(byhash.values())}
+    docs = _oracle_exact_keep_min(docs)
     n_exact = len(docs)
 
     # stage 4: near dedup — the SAME DuckDB banding SQL the minhash oracle
@@ -468,65 +563,18 @@ def compute_corpus_build_end_to_end() -> pd.DataFrame:
     docs = {cid: v for cid, v in docs.items() if cid not in losers}
     n_near = len(docs)
 
-    # stage 5: decontaminate vs a heldout hash-sample of the survivors
-    thr = format(int(0.15 * 2**32), "08x")
-    held = [c for c in docs if hashlib.md5(f"held:{c}".encode()).hexdigest()[:8] < thr]
-
-    def shingles(text: str, k: int = 8) -> set:
-        w = text.split(" ")
-        return {" ".join(w[i : i + k]) for i in range(max(1, len(w) - (k - 1)))}
-
-    held_sh: set = set()
-    for c in held:
-        held_sh |= shingles(docs[c][1])
-    docs = {c: v for c, v in docs.items() if not (shingles(v[1]) & held_sh)}
-    n_decon = len(docs)
-
-    # stages 6 + token counts: validated DuckDB regexp twins
-    con2 = duckdb.connect()
-    con2.register(
-        "docs",
-        pd.DataFrame(
-            {
-                "doc_id": list(docs),
-                "source": [docs[c][0] for c in docs],
-                "text": [docs[c][1] for c in docs],
-            }
-        ),
-    )
-    scrub = con2.execute(
-        f"WITH s AS (SELECT doc_id, source, {pii_redacted_text_sql('text')} AS text FROM docs) "
-        "SELECT doc_id, source, "
-        "len(string_split_regex(trim(text), '\\s+')) AS n_tokens FROM s"
-    ).fetchdf()
-    n_scrub = len(scrub)
-
-    # stage 7: per-source md5-threshold mixing
-    weights = {"html": 0.6, "json": 0.5}
-
-    def keep_mix(src: str, cid: str) -> bool:
-        frac = weights.get(src, 1.0)
-        if frac >= 1.0:
-            return True
-        t = format(min(int(frac * 2**32), 2**32 - 1), "08x")
-        return hashlib.md5(f"mix:{cid}".encode()).hexdigest()[:8] < t
-
-    mixed = [
-        (str(c), int(n))
-        for c, s, n in zip(scrub["doc_id"], scrub["source"], scrub["n_tokens"])
-        if keep_mix(str(s), str(c))
+    # stages 5-8: decontaminate / scrub / mix / pack (shared helpers)
+    held = [
+        c for c in docs
+        if hashlib.md5(f"held:{c}".encode()).hexdigest()[:8] < _hex_threshold(0.15)
     ]
+    docs = _oracle_decontaminate(docs, held)
+    n_decon = len(docs)
+    scrub = _oracle_scrub_tokens(docs)
+    n_scrub = len(scrub)
+    mixed = _oracle_mix(scrub, {"html": 0.6, "json": 0.5})
     n_mix = len(mixed)
-
-    # stage 8: greedy packing in (md5('pack:'||id), id) order, budget 2048
-    order = sorted((hashlib.md5(f"pack:{c}".encode()).hexdigest(), c, n) for c, n in mixed)
-    before = total = digest = 0
-    for _h, c, n in order:
-        sb = before // 2048
-        key = f"{c}|{n}|{before}|{sb}"
-        digest += int(hashlib.md5(key.encode("utf-8")).hexdigest()[:15], 16) % 10**12
-        total += n
-        before += n
+    total, digest = _oracle_pack(mixed, budget=2048)
 
     stages = [
         ("extract", n_extract, "run1"),
@@ -565,8 +613,7 @@ def compute_corpus_ingest_end_to_end() -> pd.DataFrame:
 
     import duckdb
 
-    from docling_gfcr_spark import pipeline, transcripts
-    from docling_gfcr_spark.operators.text_analysis import pii_redacted_text_sql
+    from docling_gfcr_spark import transcripts
     from docling_gfcr_spark.queries import MINHASH_PAIRS_SQL
 
     convs: dict[str, list] = {}
@@ -574,25 +621,6 @@ def compute_corpus_ingest_end_to_end() -> pd.DataFrame:
         rows = transcripts.gen_conv_rows(13, c, mean_turns=5, mega_every=25, skew_factor=8)
         cid = rows[0]["conv_id"]
         convs[cid] = [(r["turn_idx"], r["tool"], r["text"]) for r in rows]
-
-    def assemble(cid: str, turns: list) -> tuple[str, str]:
-        # the REAL per-turn name: cli-mode extraction is name-independent
-        # EXCEPT when the fallback-title wrap fires (it embeds the name), so
-        # a renamed copy of such a conversation is a NEAR dup, not an exact
-        # one — the oracle must assemble with the same names Spark uses
-        turns = sorted(turns)
-        parts = []
-        for turn_idx, tool, text in turns:
-            name = f"{cid}-{turn_idx:06d}".replace(" ", "_")
-            parts.append(pipeline.extract_one(text, tool, name, "cli")["extracted_text"])
-        return turns[0][1], "\n".join(parts)
-
-    def exact_keep_min(docs: dict) -> dict:
-        byhash: dict[str, str] = {}
-        for cid in sorted(docs):
-            byhash.setdefault(hashlib.md5(docs[cid][1].encode("utf-8")).hexdigest(), cid)
-        keep = set(byhash.values())
-        return {cid: v for cid, v in docs.items() if cid in keep}
 
     def mine_pairs(texts: dict) -> list:
         con = duckdb.connect()
@@ -606,7 +634,9 @@ def compute_corpus_ingest_end_to_end() -> pd.DataFrame:
     # -- day 1: bootstrap --------------------------------------------------
     day1_turns = {cid: convs[cid] for cid in (f"conv-{i:08d}" for i in range(20))}
     day1_turns["conv-00000001-copy"] = list(convs["conv-00000001"])
-    docs1 = exact_keep_min({cid: assemble(cid, t) for cid, t in day1_turns.items()})
+    docs1 = _oracle_exact_keep_min(
+        {cid: _oracle_assemble(cid, t) for cid, t in day1_turns.items()}
+    )
     drops1 = {b for _a, b in mine_pairs({c: v[1] for c, v in docs1.items()})}
     docs1 = {cid: v for cid, v in docs1.items() if cid not in drops1}
     day1_surv = len(docs1)
@@ -617,9 +647,9 @@ def compute_corpus_ingest_end_to_end() -> pd.DataFrame:
     day2_turns["conv-00000003-nd"] = [t for t in convs["conv-00000003"] if t[0] > 0]
     day2_turns["conv-00000020-copy"] = list(convs["conv-00000020"])
     n_extract = sum(len(v) for v in day2_turns.values())
-    docs2 = {cid: assemble(cid, t) for cid, t in day2_turns.items()}
+    docs2 = {cid: _oracle_assemble(cid, t) for cid, t in day2_turns.items()}
     n_assemble = len(docs2)
-    docs2 = exact_keep_min(docs2)
+    docs2 = _oracle_exact_keep_min(docs2)
     n_exact = len(docs2)
 
     new_ids = set(docs2)
@@ -641,63 +671,18 @@ def compute_corpus_ingest_end_to_end() -> pd.DataFrame:
         int(hashlib.md5(c.encode()).hexdigest()[:15], 16) % 10**12 for c in docs2
     )
 
-    # -- decontaminate vs a heldout hash-sample of day-2 survivors ---------
-    thr = format(int(0.25 * 2**32), "08x")
-    held = [c for c in docs2 if hashlib.md5(f"held:{c}".encode()).hexdigest()[:8] < thr]
-
-    def shingles(text: str, k: int = 8) -> set:
-        w = text.split(" ")
-        return {" ".join(w[i : i + k]) for i in range(max(1, len(w) - (k - 1)))}
-
-    held_sh: set = set()
-    for c in held:
-        held_sh |= shingles(docs2[c][1])
-    docs2 = {c: v for c, v in docs2.items() if not (shingles(v[1]) & held_sh)}
-    n_decon = len(docs2)
-
-    # -- scrub + token counts (DuckDB regexp twins), mix, pack -------------
-    con2 = duckdb.connect()
-    con2.register(
-        "docs",
-        pd.DataFrame(
-            {
-                "doc_id": list(docs2),
-                "source": [docs2[c][0] for c in docs2],
-                "text": [docs2[c][1] for c in docs2],
-            }
-        ),
-    )
-    scrub = con2.execute(
-        f"WITH s AS (SELECT doc_id, source, {pii_redacted_text_sql('text')} AS text FROM docs) "
-        "SELECT doc_id, source, "
-        "len(string_split_regex(trim(text), '\\s+')) AS n_tokens FROM s"
-    ).fetchdf()
-    n_scrub = len(scrub)
-
-    weights = {"html": 0.6, "json": 0.5}
-
-    def keep_mix(src: str, cid: str) -> bool:
-        frac = weights.get(src, 1.0)
-        if frac >= 1.0:
-            return True
-        t = format(min(int(frac * 2**32), 2**32 - 1), "08x")
-        return hashlib.md5(f"mix:{cid}".encode()).hexdigest()[:8] < t
-
-    mixed = [
-        (str(c), int(n))
-        for c, s, n in zip(scrub["doc_id"], scrub["source"], scrub["n_tokens"])
-        if keep_mix(str(s), str(c))
+    # -- decontaminate / scrub / mix / pack (shared helpers) ---------------
+    held = [
+        c for c in docs2
+        if hashlib.md5(f"held:{c}".encode()).hexdigest()[:8] < _hex_threshold(0.25)
     ]
+    docs2 = _oracle_decontaminate(docs2, held)
+    n_decon = len(docs2)
+    scrub = _oracle_scrub_tokens(docs2)
+    n_scrub = len(scrub)
+    mixed = _oracle_mix(scrub, {"html": 0.6, "json": 0.5})
     n_mix = len(mixed)
-
-    order = sorted((hashlib.md5(f"pack:{c}".encode()).hexdigest(), c, n) for c, n in mixed)
-    before = total = digest = 0
-    for _h, c, n in order:
-        sb = before // 2048
-        key = f"{c}|{n}|{before}|{sb}"
-        digest += int(hashlib.md5(key.encode("utf-8")).hexdigest()[:15], 16) % 10**12
-        total += n
-        before += n
+    total, digest = _oracle_pack(mixed, budget=2048)
 
     stages = [
         ("extract", n_extract, "d2a"),

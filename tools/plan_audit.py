@@ -59,6 +59,15 @@ def main() -> None:
             queries.q3_shipping_priority(spark, SF),
         ),
         (
+            "q9 product-type profit (derived-dimension join strategy)",
+            "Six-way join over a DERIVED partsupp: all four dimension sides "
+            "(filtered part, derived partsupp, supplier, nation) must arrive "
+            "via BroadcastHashJoin; the only shuffles are the lineitem-orders "
+            "fact join and the final aggregate. Pinned by "
+            "test_plans::test_q9_dims_broadcast_facts_shuffle.",
+            queries.q9_product_type_profit(spark, SF),
+        ),
+        (
             "n-gram Jaccard pairs (dedup family plan shape)",
             "NO join operator of any kind: one shuffle clusters ids per "
             "shingle, pairs are enumerated worker-side from the aggregated "
