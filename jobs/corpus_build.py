@@ -453,6 +453,19 @@ def main() -> None:
     --band-path; --bootstrap allows the very first batch to run before the
     index exists. Use a FRESH --output per batch (the stage lineage is
     per-run); the band table is the cross-batch state.
+
+    Index maintenance (run periodically, like compaction; requires ingest
+    quiescence): --recap-cap N with --band-table/--band-path rewrites the
+    index keeping at most N ids per band key globally — per-commit
+    hot-band caps drift upward under append-mode ingest. No input/output
+    args needed in this mode.
+
+    NOTE: the standing band table (ingest + recap modes) lives in the Spark
+    CATALOG — cross-process use (daily spark-submit batches, a separate
+    maintenance run) requires a persistent metastore (Hive/Iceberg/Glue),
+    which is the normal cluster deployment; plain local-mode sessions have
+    an in-memory catalog, so local smoke runs must keep index producer and
+    consumer in ONE process.
     """
     import argparse
     import json
@@ -469,7 +482,7 @@ def main() -> None:
     ap.add_argument("--table", help="catalog table name instead of --input")
     ap.add_argument("--heldout", help="heldout/benchmark parquet (text column)")
     ap.add_argument("--heldout-text-col", default="text")
-    ap.add_argument("--output", required=True)
+    ap.add_argument("--output", default=None, help="job root (required except with --recap-cap)")
     ap.add_argument("--n-parts", type=int, default=4096)
     ap.add_argument("--waves", type=int, default=64)
     ap.add_argument("--mode", choices=["agent", "cli"], default="agent")
@@ -489,9 +502,14 @@ def main() -> None:
     ap.add_argument("--band-path", default=None, help="ingest mode: band index table path")
     ap.add_argument("--bootstrap", action="store_true", help="ingest mode: first batch, index may not exist")
     ap.add_argument("--hot-band-cap", type=int, default=None, help="ingest mode: per-commit band-key cap (skew valve)")
+    ap.add_argument("--recap-cap", type=int, default=None, help="maintenance mode: globally re-cap the band index and exit")
     args = ap.parse_args()
     if bool(args.band_table) != bool(args.band_path):
         raise SystemExit("--band-table and --band-path go together")
+    if args.recap_cap is not None and not args.band_table:
+        raise SystemExit("--recap-cap needs --band-table/--band-path")
+    if args.recap_cap is None and not args.output:
+        raise SystemExit("--output is required")
 
     if args.local_cores:
         from docling_gfcr_spark.session import get_spark
@@ -504,6 +522,18 @@ def main() -> None:
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
 
     from docling_gfcr_spark import io, transcripts
+
+    if args.recap_cap is not None:
+        # maintenance mode: globally re-tighten the hot-band cap, then exit
+        from docling_gfcr_spark.operators import dedup
+
+        before = spark.table(args.band_table).count()
+        dedup.recap_band_index(spark, args.band_table, args.band_path, args.recap_cap)
+        after = spark.table(args.band_table).count()
+        print(json.dumps({"recapped": args.band_table, "cap": args.recap_cap,
+                          "rows_before": before, "rows_after": after}))
+        spark.stop()
+        return
 
     if args.synth_convs:
         input_df = transcripts.make_transcripts(spark, args.synth_convs, seed=42)
