@@ -1095,7 +1095,23 @@ def test_incremental_signature_params_stamped_and_validated(spark, tmp_path):
     assert dedup._read_signature_params(spark, table)["hash_fn"] == "md5"
     spark.sql(f"DROP TABLE IF EXISTS {table}")
 
-def test_pii_redacted_text_matches_scrub_md5(spark):
+def test_keep_first_drops_semantics(spark):
+    """The shared keep-first kernel (batch ingest + streaming ingest): a
+    new id paired with a committed one drops regardless of pair side; of a
+    both-new pair the larger id drops; committed ids never appear."""
+    from docling_gfcr_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [("c1", "n1"),   # committed-new: n1 drops
+         ("n2", "n3"),   # both new: n3 drops
+         ("n4", "z9")],  # new-committed (new on the a side): n4 drops
+        "id_a string, id_b string",
+    )
+    new_ids = spark.createDataFrame(
+        [("n1",), ("n2",), ("n3",), ("n4",), ("n5",)], "conv_id string"
+    )
+    got = {r.id for r in dedup.keep_first_drops(pairs, new_ids).collect()}
+    assert got == {"n1", "n3", "n4"}
     """pii_redacted_text (the text carried forward by corpus_build's scrub
     stage) must be exactly the string pii_scrub hashes — one family chain,
     two consumers."""
