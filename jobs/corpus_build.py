@@ -307,6 +307,7 @@ def run_corpus_ingest(
     run_id: str | None = None,
     bootstrap: bool = False,
     hot_band_cap: int | None = None,
+    check_id_collision: bool = True,
     fail_after_stage: str | None = None,
 ) -> dict:
     """DAILY-INGEST twin of :func:`run_corpus_build`: the same eight-stage
@@ -331,6 +332,16 @@ def run_corpus_ingest(
     ``bootstrap=True`` allows the very first batch to run with no committed
     band table (otherwise a mistyped table name would silently dedup
     against nothing — dedup.incremental_minhash_pairs raises).
+
+    ``check_id_collision`` (default on) enforces the incremental-dedup
+    precondition that batch ids are DISJOINT from committed ids: a
+    double-ingested batch would otherwise pass silently (its docs pair
+    only with their own committed copies, and self-pairs are excluded) and
+    commit every document twice. Cost: one column-pruned scan of the index
+    probed by the broadcast batch ids, early-exiting on the first hit.
+    Turn it off ONLY when resuming a run that crashed BETWEEN the band
+    append and the stage commit — that re-run legitimately sees its own
+    ids in the index (the at-least-once append).
     """
     from docling_gfcr_spark import lineage
     from docling_gfcr_spark.operators import dedup
@@ -381,6 +392,21 @@ def run_corpus_ingest(
     # -- 4. incremental near dedup vs the standing index -------------------
     if "dedup_incr" not in done:
         docs = _read("dedup_exact")
+        if check_id_collision and spark.catalog.tableExists(band_table):
+            clash = (
+                spark.table(band_table)
+                .join(F.broadcast(docs.select(F.col("conv_id").alias("id"))), "id")
+                .take(1)
+            )
+            if clash:
+                raise ValueError(
+                    f"batch id {clash[0].id!r} is already committed in band "
+                    f"table {band_table!r} — incremental dedup requires "
+                    "disjoint batch ids (a double-ingested batch would "
+                    "silently commit every doc twice). If this run crashed "
+                    "between the band append and the stage commit, resume "
+                    "with check_id_collision=False."
+                )
         # sign ONCE: the keys feed pair mining AND (filtered to survivors)
         # the index append — MinHash is the dominant per-batch cost
         banded = dedup.minhash_band_keys(
@@ -501,6 +527,9 @@ def main() -> None:
     ap.add_argument("--band-table", default=None, help="ingest mode: standing band index table")
     ap.add_argument("--band-path", default=None, help="ingest mode: band index table path")
     ap.add_argument("--bootstrap", action="store_true", help="ingest mode: first batch, index may not exist")
+    ap.add_argument("--allow-id-collision", action="store_true",
+                    help="ingest mode: skip the duplicate-batch guard (ONLY for "
+                    "resuming a crash between band append and stage commit)")
     ap.add_argument("--hot-band-cap", type=int, default=None, help="ingest mode: per-commit band-key cap (skew valve)")
     ap.add_argument("--recap-cap", type=int, default=None, help="maintenance mode: globally re-cap the band index and exit")
     args = ap.parse_args()
@@ -569,6 +598,7 @@ def main() -> None:
             spark, input_df, heldout_df, args.output,
             args.band_table, args.band_path,
             bootstrap=args.bootstrap, hot_band_cap=args.hot_band_cap,
+            check_id_collision=not args.allow_id_collision,
             **common,
         )
     else:

@@ -465,11 +465,24 @@ def test_corpus_ingest_incremental_dedup_and_resume(spark, tmp_path):
     assert r2["packed_rows"] > 0
 
     # mismatched minhash params vs the committed index: refuse, don't
-    # silently dedup against nothing
+    # silently dedup against nothing (unseen ids so the id-collision guard,
+    # which runs first, stays quiet)
+    fresh3 = transcripts.make_transcripts(
+        spark, 1, mean_turns=3, seed=78, parallelism=1
+    ).withColumn("conv_id", F.concat(F.lit("d3-"), F.col("conv_id")))
     with pytest.raises(ValueError, match="incomparable"):
         corpus_build.run_corpus_ingest(
-            spark, fresh, held, str(tmp_path / "day3"), band_table, band_path,
+            spark, fresh3, held, str(tmp_path / "day3"), band_table, band_path,
             minhash=(16, 4, 5, "md5"), **kwargs,
+        )
+
+    # double-ingesting a committed batch (fresh out_dir, same ids) must
+    # refuse — its docs pair only with their own committed copies and
+    # self-pairs are excluded, so without the guard every doc commits twice
+    with pytest.raises(ValueError, match="already committed"):
+        corpus_build.run_corpus_ingest(
+            spark, dup.unionByName(fresh), held, str(tmp_path / "day2dup"),
+            band_table, band_path, run_id="d2c", **kwargs,
         )
     spark.sql(f"DROP TABLE IF EXISTS {band_table}")
 
