@@ -149,6 +149,95 @@ def _pack_docs(docs: DataFrame, budget: int) -> DataFrame:
     )
 
 
+class _StageRunner:
+    """Shared stage scaffolding for the build and ingest jobs: read a
+    committed stage, publish one stage's output (land parquet, count the
+    WRITTEN files — the committed truth — then append the lineage row),
+    honor the injected-crash test hook. One implementation so the two jobs'
+    resume discipline cannot drift."""
+
+    def __init__(self, spark, out_dir, run_id, stages, fail_after_stage):
+        if fail_after_stage is not None and fail_after_stage not in stages:
+            raise ValueError(f"unknown stage {fail_after_stage!r}")
+        self.spark, self.out_dir, self.run_id = spark, out_dir, run_id
+        self.stages, self.fail_after = stages, fail_after_stage
+        self.done = committed_stages(spark, out_dir)
+        self.ran: list[str] = []
+
+    @property
+    def skipped(self) -> list[str]:
+        return [s for s in self.stages if s in self.done]
+
+    def read(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(stage_dir(self.out_dir, stage))
+
+    def committed(self, stage: str, n_out: int) -> None:
+        _commit_stage(
+            self.spark, self.out_dir, self.run_id, stage, n_out, stages=self.stages
+        )
+        self.ran.append(stage)
+        if self.fail_after == stage:
+            raise RuntimeError(f"injected crash after stage {stage}")
+
+    def publish(self, stage: str, df: DataFrame, after=None) -> None:
+        df.write.mode("overwrite").parquet(stage_dir(self.out_dir, stage))
+        n_out = self.read(stage).count()
+        if after is not None:
+            after()
+        self.committed(stage, n_out)
+
+    def report(self) -> dict:
+        return {
+            "run_id": self.run_id,
+            "stages_run": self.ran,
+            "stages_skipped_on_resume": self.skipped,
+            "packed_rows": self.read("pack").count(),
+        }
+
+
+def _run_head_stages(r: _StageRunner, input_df: DataFrame, n_parts, n_waves, mode) -> None:
+    """Stages 1-3, shared by build and ingest: wave-committed extraction
+    (part-level resume INSIDE the stage), conversation assembly + source
+    tag, batch-internal exact dedup."""
+    from docling_gfcr_spark import lineage
+    from docling_gfcr_spark.operators import dedup
+
+    if "extract" not in r.done:
+        lineage.run_extraction_job(
+            r.spark, input_df, stage_dir(r.out_dir, "extract"),
+            n_parts=n_parts, n_waves=n_waves, mode=mode, run_id=r.run_id,
+        )
+        n_out = lineage.read_extracted(r.spark, stage_dir(r.out_dir, "extract")).count()
+        r.committed("extract", n_out)
+    if "assemble" not in r.done:
+        ex = lineage.read_extracted(r.spark, stage_dir(r.out_dir, "extract")).drop("part_id")
+        r.publish("assemble", _assemble_with_source(ex))
+    if "dedup_exact" not in r.done:
+        r.publish(
+            "dedup_exact",
+            dedup.exact_dedup_keep(r.read("assemble"), text_col="conv_text", id_col="conv_id"),
+        )
+
+
+def _run_tail_stages(
+    r: _StageRunner, near_stage: str, heldout_df, heldout_text_col, decontam_k,
+    mix_weights, mix_default, pack_budget,
+) -> None:
+    """Stages 5-8, shared by build and ingest: decontaminate (broadcast
+    heldout) -> PII scrub -> per-source mix -> sequence packing."""
+    if "decontaminate" not in r.done:
+        r.publish(
+            "decontaminate",
+            _decontaminate_docs(r.read(near_stage), heldout_df, heldout_text_col, decontam_k),
+        )
+    if "scrub" not in r.done:
+        r.publish("scrub", _scrub_docs(r.read("decontaminate")))
+    if "mix" not in r.done:
+        r.publish("mix", _mix_docs(r.read("scrub"), mix_weights, mix_default))
+    if "pack" not in r.done:
+        r.publish("pack", _pack_docs(r.read("mix"), pack_budget))
+
+
 def run_corpus_build(
     spark: SparkSession,
     transcripts_df: DataFrame,
@@ -174,58 +263,17 @@ def run_corpus_build(
     extract stage additionally resumes at part granularity through
     run_extraction_job's own lineage.
     """
-    from docling_gfcr_spark import lineage
     from docling_gfcr_spark.operators import dedup
 
-    if fail_after_stage is not None and fail_after_stage not in STAGES:
-        raise ValueError(f"unknown stage {fail_after_stage!r}")
     run_id = run_id or uuid.uuid4().hex[:12]
     n_hashes, bands, k, hash_fn = minhash
-    done = committed_stages(spark, out_dir)
-    ran: list[str] = []
-    skipped = [s for s in STAGES if s in done]
+    r = _StageRunner(spark, out_dir, run_id, STAGES, fail_after_stage)
 
-    def _read(stage: str) -> DataFrame:
-        return spark.read.parquet(stage_dir(out_dir, stage))
-
-    def _publish(stage: str, df: DataFrame) -> None:
-        """Land the stage output, then commit its lineage row. n_out is
-        counted from the files actually written (the committed truth, not
-        the plan we hoped to write)."""
-        df.write.mode("overwrite").parquet(stage_dir(out_dir, stage))
-        n_out = _read(stage).count()
-        _commit_stage(spark, out_dir, run_id, stage, n_out)
-        ran.append(stage)
-        if fail_after_stage == stage:
-            raise RuntimeError(f"injected crash after stage {stage}")
-
-    # -- 1. extract: wave-committed, part-level resume inside the stage ----
-    if "extract" not in done:
-        lineage.run_extraction_job(
-            spark, transcripts_df, stage_dir(out_dir, "extract"),
-            n_parts=n_parts, n_waves=n_waves, mode=mode, run_id=run_id,
-        )
-        n_out = lineage.read_extracted(spark, stage_dir(out_dir, "extract")).count()
-        _commit_stage(spark, out_dir, run_id, "extract", n_out)
-        ran.append("extract")
-        if fail_after_stage == "extract":
-            raise RuntimeError("injected crash after stage extract")
-
-    # -- 2. assemble: one doc per conversation + its source tag ------------
-    if "assemble" not in done:
-        ex = lineage.read_extracted(spark, stage_dir(out_dir, "extract")).drop("part_id")
-        _publish("assemble", _assemble_with_source(ex))
-
-    # -- 3. exact dedup: content-hash keep-first ---------------------------
-    if "dedup_exact" not in done:
-        _publish(
-            "dedup_exact",
-            dedup.exact_dedup_keep(_read("assemble"), text_col="conv_text", id_col="conv_id"),
-        )
+    _run_head_stages(r, transcripts_df, n_parts, n_waves, mode)
 
     # -- 4. near dedup: LSH pairs -> connected components -> keep reps -----
-    if "dedup_near" not in done:
-        docs = _read("dedup_exact")
+    if "dedup_near" not in r.done:
+        docs = r.read("dedup_exact")
         # pin the mined pairs: the empty-probe AND connected components both
         # consume them, and the minhash/banding shuffles are this stage's
         # dominant cost — without the checkpoint they would run twice
@@ -240,36 +288,15 @@ def run_corpus_build(
                     F.col("node").alias("conv_id")
                 )
                 docs = docs.join(F.broadcast(losers), "conv_id", "left_anti")
-            _publish("dedup_near", docs)
+            r.publish("dedup_near", docs)
         finally:
             dedup._free_local_checkpoint(pairs)
 
-    # -- 5. decontaminate: drop docs sharing any word k-gram with heldout --
-    if "decontaminate" not in done:
-        _publish(
-            "decontaminate",
-            _decontaminate_docs(_read("dedup_near"), heldout_df, heldout_text_col, decontam_k),
-        )
-
-    # -- 6. scrub: PII redaction, text carried forward ---------------------
-    if "scrub" not in done:
-        _publish("scrub", _scrub_docs(_read("decontaminate")))
-
-    # -- 7. mix: per-source deterministic sampling rates -------------------
-    if "mix" not in done:
-        _publish("mix", _mix_docs(_read("scrub"), mix_weights, mix_default))
-
-    # -- 8. pack: greedy sequence packing (hash order: string ids) ---------
-    if "pack" not in done:
-        _publish("pack", _pack_docs(_read("mix"), pack_budget))
-
-    packed_rows = _read("pack").count()
-    return {
-        "run_id": run_id,
-        "stages_run": ran,
-        "stages_skipped_on_resume": skipped,
-        "packed_rows": packed_rows,
-    }
+    _run_tail_stages(
+        r, "dedup_near", heldout_df, heldout_text_col, decontam_k,
+        mix_weights, mix_default, pack_budget,
+    )
+    return r.report()
 
 
 def read_packed(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -343,55 +370,17 @@ def run_corpus_ingest(
     append and the stage commit — that re-run legitimately sees its own
     ids in the index (the at-least-once append).
     """
-    from docling_gfcr_spark import lineage
     from docling_gfcr_spark.operators import dedup
 
-    if fail_after_stage is not None and fail_after_stage not in INGEST_STAGES:
-        raise ValueError(f"unknown stage {fail_after_stage!r}")
     run_id = run_id or uuid.uuid4().hex[:12]
     n_hashes, bands, k, hash_fn = minhash
-    done = committed_stages(spark, out_dir)
-    ran: list[str] = []
-    skipped = [s for s in INGEST_STAGES if s in done]
+    r = _StageRunner(spark, out_dir, run_id, INGEST_STAGES, fail_after_stage)
 
-    def _read(stage: str) -> DataFrame:
-        return spark.read.parquet(stage_dir(out_dir, stage))
-
-    def _publish(stage: str, df: DataFrame, after=None) -> None:
-        df.write.mode("overwrite").parquet(stage_dir(out_dir, stage))
-        n_out = _read(stage).count()
-        if after is not None:
-            after()
-        _commit_stage(spark, out_dir, run_id, stage, n_out, stages=INGEST_STAGES)
-        ran.append(stage)
-        if fail_after_stage == stage:
-            raise RuntimeError(f"injected crash after stage {stage}")
-
-    # -- 1-3: extract / assemble / batch-internal exact dedup --------------
-    if "extract" not in done:
-        lineage.run_extraction_job(
-            spark, batch_df, stage_dir(out_dir, "extract"),
-            n_parts=n_parts, n_waves=n_waves, mode=mode, run_id=run_id,
-        )
-        n_out = lineage.read_extracted(spark, stage_dir(out_dir, "extract")).count()
-        _commit_stage(spark, out_dir, run_id, "extract", n_out, stages=INGEST_STAGES)
-        ran.append("extract")
-        if fail_after_stage == "extract":
-            raise RuntimeError("injected crash after stage extract")
-
-    if "assemble" not in done:
-        ex = lineage.read_extracted(spark, stage_dir(out_dir, "extract")).drop("part_id")
-        _publish("assemble", _assemble_with_source(ex))
-
-    if "dedup_exact" not in done:
-        _publish(
-            "dedup_exact",
-            dedup.exact_dedup_keep(_read("assemble"), text_col="conv_text", id_col="conv_id"),
-        )
+    _run_head_stages(r, batch_df, n_parts, n_waves, mode)
 
     # -- 4. incremental near dedup vs the standing index -------------------
-    if "dedup_incr" not in done:
-        docs = _read("dedup_exact")
+    if "dedup_incr" not in r.done:
+        docs = r.read("dedup_exact")
         if check_id_collision and spark.catalog.tableExists(band_table):
             clash = (
                 spark.table(band_table)
@@ -425,7 +414,7 @@ def run_corpus_ingest(
             def _append_bands() -> None:
                 # read survivors back from the WRITTEN stage (the committed
                 # truth), not the live plan — the append must match the files
-                surv = _read("dedup_incr").select(F.col("conv_id").alias("id"))
+                surv = r.read("dedup_incr").select(F.col("conv_id").alias("id"))
                 dedup.commit_minhash_bands(
                     None, band_table, band_path,
                     n_hashes=n_hashes, bands=bands, k=k, hash_fn=hash_fn,
@@ -435,30 +424,15 @@ def run_corpus_ingest(
                 )
                 spark.catalog.refreshTable(band_table)
 
-            _publish("dedup_incr", survivors, after=_append_bands)
+            r.publish("dedup_incr", survivors, after=_append_bands)
         finally:
             dedup._free_local_checkpoint(banded)
 
-    # -- 5-8: decontaminate / scrub / mix / pack (shared stage bodies) -----
-    if "decontaminate" not in done:
-        _publish(
-            "decontaminate",
-            _decontaminate_docs(_read("dedup_incr"), heldout_df, heldout_text_col, decontam_k),
-        )
-    if "scrub" not in done:
-        _publish("scrub", _scrub_docs(_read("decontaminate")))
-    if "mix" not in done:
-        _publish("mix", _mix_docs(_read("scrub"), mix_weights, mix_default))
-    if "pack" not in done:
-        _publish("pack", _pack_docs(_read("mix"), pack_budget))
-
-    packed_rows = _read("pack").count()
-    return {
-        "run_id": run_id,
-        "stages_run": ran,
-        "stages_skipped_on_resume": skipped,
-        "packed_rows": packed_rows,
-    }
+    _run_tail_stages(
+        r, "dedup_incr", heldout_df, heldout_text_col, decontam_k,
+        mix_weights, mix_default, pack_budget,
+    )
+    return r.report()
 
 
 def main() -> None:
