@@ -386,6 +386,11 @@ def _check_signature_params(spark, table: str, n_hashes, bands, k, hash_fn, cont
 def _cap_band_keys(banded: DataFrame, cap: int) -> DataFrame:
     from pyspark.sql import Window
 
+    if int(cap) < 1:
+        # cap<=0 keeps NOTHING: under recap_band_index that would rewrite
+        # the standing index (the corpus' only cross-batch dedup state) to
+        # empty while printing a normal-looking report — refuse up front
+        raise ValueError(f"hot_band_cap must be >= 1, got {cap}")
     w = Window.partitionBy("band", "band_hash").orderBy("id")
     return (
         banded.withColumn("_rn", F.row_number().over(w))

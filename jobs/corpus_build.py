@@ -191,7 +191,7 @@ class _StageRunner:
             "run_id": self.run_id,
             "stages_run": self.ran,
             "stages_skipped_on_resume": self.skipped,
-            "packed_rows": self.read("pack").count(),
+            "packed_rows": self.read(self.stages[-1]).count(),
         }
 
 
@@ -364,11 +364,13 @@ def run_corpus_ingest(
     precondition that batch ids are DISJOINT from committed ids: a
     double-ingested batch would otherwise pass silently (its docs pair
     only with their own committed copies, and self-pairs are excluded) and
-    commit every document twice. Cost: one column-pruned scan of the index
-    probed by the broadcast batch ids, early-exiting on the first hit.
-    Turn it off ONLY when resuming a run that crashed BETWEEN the band
-    append and the stage commit — that re-run legitimately sees its own
-    ids in the index (the at-least-once append).
+    commit every document twice. The guard runs BEFORE extraction (one
+    column-pruned scan of the index probed by the broadcast batch ids,
+    early-exiting on the first hit) so a doomed re-submit refuses in
+    seconds instead of after the head stages. Turn it off ONLY when
+    resuming a run that crashed BETWEEN the band append and the stage
+    commit — that re-run legitimately sees its own ids in the index (the
+    at-least-once append).
     """
     from docling_gfcr_spark.operators import dedup
 
@@ -376,26 +378,38 @@ def run_corpus_ingest(
     n_hashes, bands, k, hash_fn = minhash
     r = _StageRunner(spark, out_dir, run_id, INGEST_STAGES, fail_after_stage)
 
+    # fail-fast BEFORE extraction (the dominant pipeline cost): a doomed
+    # double-ingest must refuse in seconds, not after hours of head stages.
+    # Skipped when dedup_incr is already committed — that resume
+    # legitimately sees its own ids in the index.
+    if (
+        check_id_collision
+        and "dedup_incr" not in r.done
+        and spark.catalog.tableExists(band_table)
+    ):
+        clash = (
+            spark.table(band_table)
+            .join(
+                F.broadcast(batch_df.select(F.col("conv_id").alias("id")).distinct()),
+                "id",
+            )
+            .take(1)
+        )
+        if clash:
+            raise ValueError(
+                f"batch id {clash[0].id!r} is already committed in band "
+                f"table {band_table!r} — incremental dedup requires "
+                "disjoint batch ids (a double-ingested batch would "
+                "silently commit every doc twice). If this run crashed "
+                "between the band append and the stage commit, resume "
+                "with check_id_collision=False."
+            )
+
     _run_head_stages(r, batch_df, n_parts, n_waves, mode)
 
     # -- 4. incremental near dedup vs the standing index -------------------
     if "dedup_incr" not in r.done:
         docs = r.read("dedup_exact")
-        if check_id_collision and spark.catalog.tableExists(band_table):
-            clash = (
-                spark.table(band_table)
-                .join(F.broadcast(docs.select(F.col("conv_id").alias("id"))), "id")
-                .take(1)
-            )
-            if clash:
-                raise ValueError(
-                    f"batch id {clash[0].id!r} is already committed in band "
-                    f"table {band_table!r} — incremental dedup requires "
-                    "disjoint batch ids (a double-ingested batch would "
-                    "silently commit every doc twice). If this run crashed "
-                    "between the band append and the stage commit, resume "
-                    "with check_id_collision=False."
-                )
         # sign ONCE: the keys feed pair mining AND (filtered to survivors)
         # the index append — MinHash is the dominant per-batch cost
         banded = dedup.minhash_band_keys(

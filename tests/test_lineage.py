@@ -487,6 +487,62 @@ def test_corpus_ingest_incremental_dedup_and_resume(spark, tmp_path):
     spark.sql(f"DROP TABLE IF EXISTS {band_table}")
 
 
+def test_corpus_ingest_append_crash_escape_hatch(spark, tmp_path):
+    """The documented recovery path for a crash BETWEEN the band append and
+    the dedup_incr stage commit: the guard refuses the plain resume (the
+    batch's own ids are in the index), check_id_collision=False resumes,
+    and the batch's docs are NOT dropped as duplicates of their own
+    crashed-append copies (self-pairs are excluded by id inequality)."""
+    from docling_gfcr_spark.operators import dedup
+    from jobs import corpus_build
+
+    band_table = "t_ingest_bands_eh"
+    band_path = str(tmp_path / "bands")
+    spark.sql(f"DROP TABLE IF EXISTS {band_table}")
+    held = spark.createDataFrame([("zz qq ww no overlap at all here really",)], "text string")
+    kwargs = dict(n_parts=2, n_waves=1, mode="cli", pack_budget=1024)
+
+    b1 = transcripts.make_transcripts(spark, 4, mean_turns=3, seed=41, parallelism=2)
+    corpus_build.run_corpus_ingest(
+        spark, b1, held, str(tmp_path / "day1"), band_table, band_path,
+        run_id="d1", bootstrap=True, **kwargs,
+    )
+
+    b2 = transcripts.make_transcripts(
+        spark, 2, mean_turns=3, seed=91, parallelism=2
+    ).withColumn("conv_id", F.concat(F.lit("eh-"), F.col("conv_id")))
+    out2 = str(tmp_path / "day2")
+    # crash after dedup_exact: dedup_incr did NOT commit...
+    with pytest.raises(RuntimeError, match="injected crash"):
+        corpus_build.run_corpus_ingest(
+            spark, b2, held, out2, band_table, band_path,
+            run_id="d2", fail_after_stage="dedup_exact", **kwargs,
+        )
+    # ...but simulate its band append having landed before the crash
+    docs2 = spark.read.parquet(corpus_build.stage_dir(out2, "dedup_exact"))
+    dedup.commit_minhash_bands(
+        docs2.select(F.col("conv_id").alias("doc_id"), F.col("conv_text").alias("text")),
+        band_table, band_path, mode="append",
+    )
+    spark.catalog.refreshTable(band_table)
+
+    # the plain resume refuses (and refuses FAST: before re-extraction)
+    with pytest.raises(ValueError, match="already committed"):
+        corpus_build.run_corpus_ingest(
+            spark, b2, held, out2, band_table, band_path, run_id="d2b", **kwargs,
+        )
+    # the documented escape hatch completes and keeps the batch's docs
+    r = corpus_build.run_corpus_ingest(
+        spark, b2, held, out2, band_table, band_path, run_id="d2c",
+        check_id_collision=False, **kwargs,
+    )
+    surv = spark.read.parquet(corpus_build.stage_dir(out2, "dedup_incr"))
+    ids = {row.conv_id for row in surv.select("conv_id").collect()}
+    assert ids == {"eh-conv-00000000", "eh-conv-00000001"}
+    assert "dedup_incr" in r["stages_run"]
+    spark.sql(f"DROP TABLE IF EXISTS {band_table}")
+
+
 def test_extraction_job_survives_all_empty_first_wave(spark, tmp_path):
     """A sparse corpus vs a large n_parts can make the FIRST wave's parts
     all empty: nothing is written, the data dir does not exist yet, and the

@@ -1095,6 +1095,15 @@ def test_incremental_signature_params_stamped_and_validated(spark, tmp_path):
     assert dedup._read_signature_params(spark, table)["hash_fn"] == "md5"
     spark.sql(f"DROP TABLE IF EXISTS {table}")
 
+def test_band_cap_must_be_positive(spark):
+    """cap<=0 would silently rewrite the standing band index to EMPTY under
+    recap maintenance (e.g. a mangled --recap-cap shell variable)."""
+    from docling_gfcr_spark.operators import dedup
+
+    with pytest.raises(ValueError, match="hot_band_cap"):
+        dedup._cap_band_keys(spark.range(1), 0)
+
+
 def test_keep_first_drops_semantics(spark):
     """The shared keep-first kernel (batch ingest + streaming ingest): a
     new id paired with a committed one drops regardless of pair side; of a
@@ -1112,6 +1121,9 @@ def test_keep_first_drops_semantics(spark):
     )
     got = {r.id for r in dedup.keep_first_drops(pairs, new_ids).collect()}
     assert got == {"n1", "n3", "n4"}
+
+
+def test_pii_redacted_text_matches_scrub_md5(spark):
     """pii_redacted_text (the text carried forward by corpus_build's scrub
     stage) must be exactly the string pii_scrub hashes — one family chain,
     two consumers."""
