@@ -38,6 +38,37 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+#: AnalysisException conditions meaning "the input does not exist yet" —
+#: the ONLY failures that may degrade to first-run/empty semantics. Anything
+#: else (permissions, corrupt footer, transient IO) must propagate.
+MISSING_INPUT_CONDITIONS = (
+    "PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA", "TABLE_OR_VIEW_NOT_FOUND"
+)
+
+
+def is_missing_input(e: Exception) -> bool:
+    """True iff ``e`` is an AnalysisException classifying as a missing
+    path/table. Prefers the structured condition (``getCondition``, Spark
+    4.x; ``getErrorClass``, its 3.4+ predecessor) and falls back to message
+    matching so pre-4.0 builds — where ``getCondition`` is absent and the
+    structured check would silently never trigger — still classify."""
+    if not isinstance(e, AnalysisException):
+        return False
+    # getErrorClass is getCondition's deprecated alias — consult it only
+    # when getCondition itself is absent (it warns on every call in 4.x)
+    fn = getattr(e, "getCondition", None) or getattr(e, "getErrorClass", None)
+    if fn is not None:
+        try:
+            cond = fn()
+        except Exception:
+            cond = None
+        if cond is not None:
+            return cond in MISSING_INPUT_CONDITIONS
+    msg = str(e)
+    return "Path does not exist" in msg or any(
+        c in msg for c in MISSING_INPUT_CONDITIONS
+    )
+
 from docling_gfcr_spark import pipeline
 
 LINEAGE_SCHEMA = (
@@ -259,10 +290,7 @@ def run_extraction_job(
         except AnalysisException as e:
             # missing dir -> PATH_NOT_FOUND; dir created but no files yet ->
             # UNABLE_TO_INFER_SCHEMA; Iceberg twin -> TABLE_OR_VIEW_NOT_FOUND
-            cond = e.getCondition() if hasattr(e, "getCondition") else None
-            if cond not in (
-                "PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA", "TABLE_OR_VIEW_NOT_FOUND"
-            ):
+            if not is_missing_input(e):
                 raise
             data = None
         agg = (

@@ -424,7 +424,11 @@ def recap_band_index(
     # stamped signature parameters — carry them across the rewrite
     sig = _read_signature_params(spark, table)
     tmp_table, tmp_path = f"{table}_recap", path.rstrip("/") + "_recap"
-    capped = _cap_band_keys(spark.table(table), hot_band_cap)
+    # distinct BEFORE capping: the documented at-least-once band append can
+    # leave duplicate (id, band, band_hash) rows, which would both count
+    # toward the cap (evicting distinct ids) and survive the rewrite —
+    # recap is the maintenance pass that removes them
+    capped = _cap_band_keys(spark.table(table).distinct(), hot_band_cap)
     gio.write_bucketed(
         capped, tmp_table, tmp_path, key="band_hash", n_buckets=n_buckets, mode="overwrite"
     )

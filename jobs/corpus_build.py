@@ -65,10 +65,18 @@ def _stage_lineage_dir(out_dir: str) -> str:
 
 
 def read_stage_lineage(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    from docling_gfcr_spark import lineage
+
     try:
         return spark.read.parquet(_stage_lineage_dir(out_dir))
-    except Exception:  # first run: no lineage yet
-        return None
+    except Exception as e:
+        # ONLY a missing dir means "first run". A transient/permissions
+        # failure must propagate: swallowing it would restart every stage
+        # with overwrite — in ingest mode that replays the band-index
+        # append (duplicate rows) without any crash having occurred.
+        if lineage.is_missing_input(e):
+            return None
+        raise
 
 
 def committed_stages(spark: SparkSession, out_dir: str) -> dict[str, str]:
@@ -98,6 +106,25 @@ def _commit_stage(
 
 def stage_dir(out_dir: str, stage: str) -> str:
     return f"{out_dir}/{stage}"
+
+
+def _batch_identity_path(out_dir: str) -> str:
+    return f"{out_dir}/batch_identity"
+
+
+def batch_fingerprint(input_df: DataFrame) -> str:
+    """Order-independent identity of an input batch: row count + an id-set
+    digest (sum of xxhash64(conv_id, turn_idx) accumulated in DECIMAL(38,0)
+    — ANSI-safe). Pure function of the row set, so any partitioning of the
+    same batch fingerprints identically."""
+    row = input_df.select(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(
+            F.sum(F.xxhash64("conv_id", "turn_idx").cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("digest"),
+    ).collect()[0]
+    return f"{row.n_rows}:{row.digest}"
 
 
 # -- stage bodies shared by the full build and the daily ingest -------------
@@ -156,13 +183,49 @@ class _StageRunner:
     honor the injected-crash test hook. One implementation so the two jobs'
     resume discipline cannot drift."""
 
-    def __init__(self, spark, out_dir, run_id, stages, fail_after_stage):
-        if fail_after_stage is not None and fail_after_stage not in stages:
-            raise ValueError(f"unknown stage {fail_after_stage!r}")
+    def __init__(self, spark, out_dir, run_id, stages, fail_after_stage,
+                 fail_before_commit_stage=None):
+        for hook in (fail_after_stage, fail_before_commit_stage):
+            if hook is not None and hook not in stages:
+                raise ValueError(f"unknown stage {hook!r}")
         self.spark, self.out_dir, self.run_id = spark, out_dir, run_id
         self.stages, self.fail_after = stages, fail_after_stage
+        self.fail_before_commit = fail_before_commit_stage
         self.done = committed_stages(spark, out_dir)
         self.ran: list[str] = []
+
+    def check_batch_identity(self, input_df: DataFrame) -> None:
+        """Stamp the input batch's fingerprint on first run; on resume
+        REFUSE a different batch. Reusing a completed run's --output for a
+        new batch would otherwise silently no-op: every stage reads as
+        committed and the run returns a success-shaped report while the new
+        batch's docs never enter the corpus (or the band index). The ingest
+        id-collision guard cannot catch that case — fresh ids are absent
+        from the index, and the guard is skipped because dedup_incr is
+        'done'. A pre-fingerprint legacy dir is adopted (stamped with the
+        current input) rather than refused."""
+        from docling_gfcr_spark import lineage
+
+        fp = batch_fingerprint(input_df)
+        path = _batch_identity_path(self.out_dir)
+        try:
+            stamped = self.spark.read.parquet(path).collect()[0].fingerprint
+        except Exception as e:
+            if not lineage.is_missing_input(e):
+                raise
+            stamped = None
+        if stamped is None:
+            self.spark.createDataFrame(
+                [(fp,)], "fingerprint string"
+            ).coalesce(1).write.mode("overwrite").parquet(path)
+        elif stamped != fp:
+            raise ValueError(
+                f"output dir {self.out_dir!r} belongs to a different input "
+                f"batch (stamped fingerprint {stamped}, this input {fp}) — "
+                "resuming would skip every committed stage and silently "
+                "drop this batch's documents. Use a fresh --output per "
+                "batch."
+            )
 
     @property
     def skipped(self) -> list[str]:
@@ -172,6 +235,11 @@ class _StageRunner:
         return self.spark.read.parquet(stage_dir(self.out_dir, stage))
 
     def committed(self, stage: str, n_out: int) -> None:
+        if self.fail_before_commit == stage:
+            # models the worst crash window: stage data (and any side
+            # effect, e.g. the band append) landed but the lineage row is
+            # missing — resume must rewrite the stage idempotently
+            raise RuntimeError(f"injected crash before commit of stage {stage}")
         _commit_stage(
             self.spark, self.out_dir, self.run_id, stage, n_out, stages=self.stages
         )
@@ -254,20 +322,29 @@ def run_corpus_build(
     mode: str = "agent",
     run_id: str | None = None,
     fail_after_stage: str | None = None,
+    fail_before_commit_stage: str | None = None,
 ) -> dict:
     """Run (or resume) the full corpus build. Returns a report dict.
 
     ``fail_after_stage`` injects a crash AFTER that stage's commit — the
     resumability test hook, mirroring run_extraction_job's fail_after_wave.
-    A resumed run (same ``out_dir``) skips committed stages entirely; the
-    extract stage additionally resumes at part granularity through
-    run_extraction_job's own lineage.
+    ``fail_before_commit_stage`` injects the crash in the worst window:
+    after the stage's data write (and side effects) but BEFORE its lineage
+    row lands. A resumed run (same ``out_dir``) skips committed stages
+    entirely; the extract stage additionally resumes at part granularity
+    through run_extraction_job's own lineage. The out_dir is stamped with
+    the input batch's fingerprint on first run, and a resume with a
+    different batch refuses (a reused --output would otherwise silently
+    skip every stage).
     """
     from docling_gfcr_spark.operators import dedup
 
     run_id = run_id or uuid.uuid4().hex[:12]
     n_hashes, bands, k, hash_fn = minhash
-    r = _StageRunner(spark, out_dir, run_id, STAGES, fail_after_stage)
+    r = _StageRunner(
+        spark, out_dir, run_id, STAGES, fail_after_stage, fail_before_commit_stage
+    )
+    r.check_batch_identity(transcripts_df)
 
     _run_head_stages(r, transcripts_df, n_parts, n_waves, mode)
 
@@ -336,6 +413,7 @@ def run_corpus_ingest(
     hot_band_cap: int | None = None,
     check_id_collision: bool = True,
     fail_after_stage: str | None = None,
+    fail_before_commit_stage: str | None = None,
 ) -> dict:
     """DAILY-INGEST twin of :func:`run_corpus_build`: the same eight-stage
     chain over ONE day's batch, with near-dedup run INCREMENTALLY against
@@ -376,7 +454,11 @@ def run_corpus_ingest(
 
     run_id = run_id or uuid.uuid4().hex[:12]
     n_hashes, bands, k, hash_fn = minhash
-    r = _StageRunner(spark, out_dir, run_id, INGEST_STAGES, fail_after_stage)
+    r = _StageRunner(
+        spark, out_dir, run_id, INGEST_STAGES, fail_after_stage,
+        fail_before_commit_stage,
+    )
+    r.check_batch_identity(batch_df)
 
     # fail-fast BEFORE extraction (the dominant pipeline cost): a doomed
     # double-ingest must refuse in seconds, not after hours of head stages.

@@ -560,3 +560,197 @@ def test_extraction_job_survives_all_empty_first_wave(spark, tmp_path):
     # resume is a no-op
     r2 = lineage.run_extraction_job(spark, tdf, out, n_parts=256, n_waves=16)
     assert r2["parts_processed"] == []
+
+
+# ---------------------------------------------------------------------------
+# crash matrix: EVERY stage boundary, BOTH crash windows, both composed jobs
+# ---------------------------------------------------------------------------
+
+
+def _packed_rows(spark, out):
+    from jobs import corpus_build
+
+    df = spark.read.parquet(corpus_build.stage_dir(out, "pack"))
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _matrix_input(spark, n, seed):
+    """Small corpus with a planted whole-conversation exact dup so the dedup
+    stages do real work across the crash walk (cli mode: extraction is
+    name-independent, so the copy collides byte-for-byte)."""
+    tdf = transcripts.make_transcripts(spark, n, mean_turns=3, seed=seed, parallelism=2)
+    cp = tdf.where(F.col("conv_id") == "conv-00000001").withColumn(
+        "conv_id", F.concat(F.col("conv_id"), F.lit("-copy"))
+    )
+    return tdf.unionByName(cp)
+
+
+def test_corpus_build_crash_matrix_every_boundary(spark, tmp_path):
+    """Fault-inject EVERY stage boundary of the composed build in BOTH crash
+    windows — after a stage's lineage commit, and the worst window (stage
+    data landed, lineage row missing) — as a chained walk: each invocation
+    resumes from the previous crash and crashes at the next boundary, so
+    every boundary gets both a crash and a resume. After each crash the
+    committed-stage set must be exactly the expected prefix; the final
+    packed rows must equal the no-crash run's, value for value."""
+    from jobs import corpus_build
+
+    tdf = _matrix_input(spark, 10, seed=51)
+    held = spark.createDataFrame([("nothing overlaps here at all",)], "text string")
+    kwargs = dict(n_parts=2, n_waves=1, mode="cli", pack_budget=1024)
+
+    base = str(tmp_path / "base")
+    corpus_build.run_corpus_build(spark, tdf, held, base, run_id="base", **kwargs)
+    want = _packed_rows(spark, base)
+    assert want
+
+    for window in ("fail_after_stage", "fail_before_commit_stage"):
+        out = str(tmp_path / window)
+        for i, stage in enumerate(corpus_build.STAGES):
+            with pytest.raises(RuntimeError, match="injected crash"):
+                corpus_build.run_corpus_build(
+                    spark, tdf, held, out, run_id=f"w{i}", **{window: stage}, **kwargs
+                )
+            committed = set(corpus_build.committed_stages(spark, out))
+            n_done = i + 1 if window == "fail_after_stage" else i
+            assert committed == set(corpus_build.STAGES[:n_done]), (window, stage)
+        corpus_build.run_corpus_build(spark, tdf, held, out, run_id="fin", **kwargs)
+        assert _packed_rows(spark, out) == want, window
+        # exactly one committed lineage row per stage — no double commits
+        lin = corpus_build.read_stage_lineage(spark, out).toPandas()
+        assert sorted(lin.stage) == sorted(corpus_build.STAGES), window
+        assert set(lin.status) == {"committed"}
+
+
+def test_corpus_ingest_crash_matrix_every_boundary(spark, tmp_path):
+    """Same matrix for the daily-ingest twin, whose dedup_incr stage has a
+    SIDE EFFECT (the band-index append) inside the crash window: a crash
+    before that stage's commit leaves the batch's own band keys in the
+    index, the plain resume must REFUSE (id-collision guard), the
+    documented check_id_collision=False hatch must complete, and the
+    at-least-once append must leave the DISTINCT index identical to the
+    no-crash run's."""
+    from jobs import corpus_build
+
+    batch = _matrix_input(spark, 8, seed=61)
+    held = spark.createDataFrame([("zz qq ww no overlap at all here really",)], "text string")
+    kwargs = dict(n_parts=2, n_waves=1, mode="cli", pack_budget=1024)
+
+    def run(out, table, path, **kw):
+        return corpus_build.run_corpus_ingest(
+            spark, batch, held, out, table, path, bootstrap=True, **kw, **kwargs
+        )
+
+    spark.sql("DROP TABLE IF EXISTS t_cm_base")
+    run(str(tmp_path / "base"), "t_cm_base", str(tmp_path / "bands_base"), run_id="base")
+    want = _packed_rows(spark, str(tmp_path / "base"))
+    assert want
+    base_bands = sorted(tuple(r) for r in spark.table("t_cm_base").distinct().collect())
+
+    incr_idx = corpus_build.INGEST_STAGES.index("dedup_incr")
+    for window in ("fail_after_stage", "fail_before_commit_stage"):
+        table = {"fail_after_stage": "t_cm_after", "fail_before_commit_stage": "t_cm_before"}[window]
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        path = str(tmp_path / f"bands_{table}")
+        out = str(tmp_path / window)
+        for i, stage in enumerate(corpus_build.INGEST_STAGES):
+            # the one boundary where the resume legitimately sees its own
+            # ids in the index: crash landed the append but not the commit
+            need_hatch = window == "fail_before_commit_stage" and i == incr_idx + 1
+            if need_hatch:
+                with pytest.raises(ValueError, match="already committed"):
+                    run(out, table, path, run_id=f"g{i}", **{window: stage})
+            with pytest.raises(RuntimeError, match="injected crash"):
+                run(
+                    out, table, path, run_id=f"w{i}",
+                    check_id_collision=not need_hatch, **{window: stage},
+                )
+            committed = set(corpus_build.committed_stages(spark, out))
+            n_done = i + 1 if window == "fail_after_stage" else i
+            assert committed == set(corpus_build.INGEST_STAGES[:n_done]), (window, stage)
+        run(out, table, path, run_id="fin")
+        assert _packed_rows(spark, out) == want, window
+        # duplicate band rows (at-least-once append) never change the index
+        # CONTENT: distinct rows match the no-crash index exactly
+        got_bands = sorted(tuple(r) for r in spark.table(table).distinct().collect())
+        assert got_bands == base_bands, window
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql("DROP TABLE IF EXISTS t_cm_base")
+
+
+def test_corpus_jobs_refuse_reused_output_for_new_batch(spark, tmp_path):
+    """Reusing a completed run's --output for a NEW batch must refuse, not
+    silently no-op: every stage reads as committed, so the new batch's docs
+    would never enter the corpus (or, in ingest mode, the band index) while
+    the run returns a success-shaped report. The same batch resumes fine."""
+    from jobs import corpus_build
+
+    held = spark.createDataFrame([("no overlap here at all",)], "text string")
+    kwargs = dict(n_parts=2, n_waves=1, mode="cli", pack_budget=1024)
+    b1 = transcripts.make_transcripts(spark, 4, mean_turns=3, seed=71, parallelism=2)
+    b2 = transcripts.make_transcripts(spark, 4, mean_turns=3, seed=72, parallelism=2).withColumn(
+        "conv_id", F.concat(F.lit("n-"), F.col("conv_id"))
+    )
+
+    out = str(tmp_path / "build")
+    corpus_build.run_corpus_build(spark, b1, held, out, run_id="r1", **kwargs)
+    r = corpus_build.run_corpus_build(spark, b1, held, out, run_id="r2", **kwargs)
+    assert r["stages_run"] == []  # same batch: benign no-op resume
+    with pytest.raises(ValueError, match="different input batch"):
+        corpus_build.run_corpus_build(spark, b2, held, out, run_id="r3", **kwargs)
+
+    band_table, band_path = "t_reuse_bands", str(tmp_path / "bands")
+    spark.sql(f"DROP TABLE IF EXISTS {band_table}")
+    out_i = str(tmp_path / "ingest")
+    corpus_build.run_corpus_ingest(
+        spark, b1, held, out_i, band_table, band_path, run_id="d1", bootstrap=True, **kwargs
+    )
+    n_bands = spark.table(band_table).count()
+    # the id-collision guard CANNOT catch this (fresh ids, dedup_incr done);
+    # the batch fingerprint must
+    with pytest.raises(ValueError, match="different input batch"):
+        corpus_build.run_corpus_ingest(
+            spark, b2, held, out_i, band_table, band_path, run_id="d2", **kwargs
+        )
+    assert spark.table(band_table).count() == n_bands  # index untouched
+    spark.sql(f"DROP TABLE IF EXISTS {band_table}")
+
+
+def test_is_missing_input_classification():
+    """Missing-input classification prefers the structured condition and
+    falls back to message matching (pre-getCondition builds); non-missing
+    analysis errors and non-AnalysisExceptions never classify as missing."""
+    from pyspark.errors import AnalysisException
+
+    assert lineage.is_missing_input(
+        AnalysisException("[PATH_NOT_FOUND] Path does not exist: /nope")
+    )
+    assert lineage.is_missing_input(AnalysisException("Path does not exist: /nope"))
+    assert not lineage.is_missing_input(AnalysisException("permission denied: /secret"))
+    assert not lineage.is_missing_input(ValueError("PATH_NOT_FOUND"))
+
+
+def test_read_stage_lineage_propagates_non_missing_failures(spark, tmp_path, monkeypatch):
+    """Only a MISSING lineage dir may mean 'first run'; a transient read
+    failure must propagate — swallowing it would restart every stage with
+    overwrite (in ingest mode: a replayed band append without any crash)."""
+    from pyspark.errors import AnalysisException
+
+    from jobs import corpus_build
+
+    out = str(tmp_path / "job")
+    assert corpus_build.read_stage_lineage(spark, out) is None  # truly missing
+
+    real_reader = spark.read
+
+    class _FailingRead:
+        def parquet(self, path):
+            raise AnalysisException("permission denied: " + path)
+
+    monkeypatch.setattr(type(spark), "read", property(lambda self: _FailingRead()))
+    try:
+        with pytest.raises(AnalysisException, match="permission denied"):
+            corpus_build.read_stage_lineage(spark, out)
+    finally:
+        monkeypatch.undo()
+    assert real_reader is not None

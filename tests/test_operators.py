@@ -1058,6 +1058,27 @@ def test_recap_band_index_tightens_append_drift(spark, tmp_path):
     assert ids == [0, 1, 2]
     spark.sql(f"DROP TABLE IF EXISTS {table}")
 
+
+def test_recap_band_index_removes_duplicate_rows(spark, tmp_path):
+    """The documented at-least-once band append can leave duplicate
+    (id, band, band_hash) rows; recap must REMOVE them, not count them
+    toward the cap (which would evict distinct ids while keeping copies)."""
+    same = "identical text shared by the whole cluster of documents"
+    mk = lambda ids: spark.createDataFrame([(i, same) for i in ids], "doc_id long, text string")
+    table, path = "recap_dup_t", str(tmp_path / "bands")
+    dedup.commit_minhash_bands(mk([0, 1, 2]), table, path, n_hashes=8, bands=4, k=3,
+                               hash_fn="md5")
+    # replayed append (crash between band append and stage commit): doc 0's
+    # keys land a second time
+    dedup.commit_minhash_bands(mk([0]), table, path, n_hashes=8, bands=4, k=3,
+                               hash_fn="md5", mode="append")
+    dedup.recap_band_index(spark, table, path, hot_band_cap=3)
+    pdf = spark.table(table).toPandas()
+    assert len(pdf) == len(pdf.drop_duplicates())  # duplicates gone
+    # the cap kept the 3 DISTINCT ids — id 2 was not displaced by a copy
+    assert sorted(set(int(i) for i in pdf.id)) == [0, 1, 2]
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
 def test_incremental_signature_params_stamped_and_validated(spark, tmp_path):
     """Band keys are only comparable under identical (n_hashes, bands, k,
     hash_fn); a mismatched call previously joined incomparable keys and
