@@ -22,6 +22,18 @@ from host noise in a long-lived JVM):
   and a fixed-work host-noise sentinel (spin_sec at suite start/end) let
   future rounds separate code vs corpus vs host deltas mechanically.
 
+Round-7 hardening (the r6 verdict could not mechanically adjudicate the two
+heaviest entries' 4-15 s spreads): per-entry noise evidence is now IN the
+artifact, not just BENCH.md prose —
+- every pass records the 1-minute load average at its start (stats.loads);
+- the top-5 heaviest entries are INTERLEAVED: timed early in the suite and
+  re-run late (stats.<name>_late), the headline number is the pooled min,
+  and the compact record carries eff_min + eff_spread (|min_early -
+  min_late|) per interleaved entry — two agreeing window minima make
+  'regression vs noisy window' a one-field read;
+- the extraction child brackets every pass with the spin sentinel and load
+  average, and reports a quiet-pass effective spread alongside the raw one.
+
 Scaling evidence across two parallelism levels lives in tools/scaling_bench.py
 (writes BENCH.md) — run separately; this file stays fast for per-round runs.
 """
@@ -41,6 +53,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CACHE = os.path.join(REPO, ".bench_cache")
 PASSES = 3  # pinned round 5: min-of-3 for every query entry (was min-of-2)
+PASSES_LATE = 2  # late re-runs of the interleaved heavy entries
 # the extraction child gets extra passes: external host noise on this shared
 # VM is multi-second and bursty, and the north-star number deserves the most
 # chances to catch a quiet slice (each pass is ~4-10 s)
@@ -85,7 +98,7 @@ N_CONV_BENCH = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "60000"))
 # fresh-JVM extraction child (argv: cores, corpus path) — identical knobs to
 # tools/scaling_bench.py so the two records are directly comparable
 _EXTRACT_CHILD = r"""
-import json, sys, time
+import json, os, sys, time
 sys.path.insert(0, {repo!r})
 from docling_gfcr_spark.session import get_spark
 from docling_gfcr_spark import pipeline
@@ -101,6 +114,14 @@ spark = get_spark(app_name="bench-extract", cores=cores, shuffle_partitions=core
 tdf = spark.read.parquet(path)
 n = tdf.count()
 
+def spin():
+    t0 = time.time()
+    x = 0
+    for i in range(20_000_000):
+        x += i
+    assert x > 0
+    return round(time.time() - t0, 3)
+
 def one_pass():
     t0 = time.time()
     # count() alone would let Catalyst prune the UDF; noop sink forces
@@ -109,8 +130,14 @@ def one_pass():
     return round(time.time() - t0, 3)
 
 one_pass()  # warmup: python-worker spawn + imports (per-executor one-off)
-samples = [one_pass() for _ in range({passes})]
-print(json.dumps({{"n_turns": n, "samples": samples}}))
+# bracket every pass with the host-noise sentinel + load average so a
+# contended pass is machine-identifiable in the artifact
+samples, spins, loads = [], [], []
+for _ in range({passes}):
+    loads.append(round(os.getloadavg()[0], 1))
+    spins.append(spin())
+    samples.append(one_pass())
+print(json.dumps({{"n_turns": n, "samples": samples, "spins": spins, "loads": loads}}))
 spark.stop()
 """
 
@@ -197,25 +224,77 @@ def main() -> None:
     # per-entry timing samples (all passes): median + spread in the JSON let
     # round-over-round deltas separate code changes from host noise
     samples: dict[str, list[float]] = {}
+    loads: dict[str, list[float]] = {}
+    # entries re-run LATE in the suite (interleaved measurement): the pooled
+    # min is the headline number; |min_early - min_late| is the effective
+    # spread a judge reads to separate contention from regression
+    late_fns: dict[str, object] = {}
 
     # warmup: JVM/codegen/Arrow path
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
-    def timed(fn, name: str) -> tuple[float, int]:
+    def timed(fn, name: str, passes: int = PASSES) -> tuple[float, int]:
         """Min of PASSES runs: this shared VM shows 10-20x single-run
         variance under noisy neighbors; the min is the least-contended
-        estimate of the code's cost. Raw samples are kept for the JSON."""
-        times, n = [], 0
-        for _ in range(PASSES):
+        estimate of the code's cost. Raw samples + per-pass 1-min load
+        averages are kept for the JSON."""
+        times, lvec, n = [], [], 0
+        for _ in range(passes):
+            lvec.append(round(os.getloadavg()[0], 1))
             t0 = time.time()
             n = fn()
             times.append(round(time.time() - t0, 3))
         samples[name] = times
+        loads[name] = lvec
         return min(times), n
+
+    # skew-safe two-phase conversation assembly (the shuffle path) — the
+    # suite's heaviest long-lived-session entry, so it is measured EARLY
+    # here and re-run late with the other interleaved heavies
+    tpath = _materialize_transcripts(spark)
+    tdf_bench = spark.read.parquet(tpath)
+
+    def assemble_pass() -> int:
+        ex = pipeline.extract_turns(tdf_bench, mode="agent")
+        pipeline.assemble_conversations(ex).write.mode("overwrite").format("noop").save()
+        return 0
+
+    assemble_pass()  # warmup: this session's python workers haven't run the UDF yet
+    results["assemble_conversations"], _n = timed(assemble_pass, "assemble_conversations")
+    late_fns["assemble_conversations"] = assemble_pass
+    print(f"# assemble_conversations: {results['assemble_conversations']}s", file=sys.stderr)
+
+    # mega-conversation skew stress (r6 verdict item 5): one 100k-turn
+    # conversation (100x bucket_turns) over background — the (conv_id, slab)
+    # phase-1 salting must keep this from becoming one straggler task
+    from pyspark.sql import functions as F
+
+    def mega_pass() -> int:
+        n_mega, n_bg = 100_000, 2000
+        mega = spark.range(n_mega).select(
+            F.lit("mega").alias("conv_id"),
+            F.col("id").cast("int").alias("turn_idx"),
+            F.concat(F.lit("line "), F.col("id")).alias("extracted_text"),
+        )
+        bg = spark.range(n_bg * 8).select(
+            F.concat(F.lit("bg-"), (F.col("id") % n_bg).cast("string")).alias("conv_id"),
+            F.floor(F.col("id") / n_bg).cast("int").alias("turn_idx"),
+            F.concat(F.lit("b"), F.col("id")).alias("extracted_text"),
+        )
+        pipeline.assemble_conversations(mega.unionByName(bg)).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        return 0
+
+    results["assemble_mega_skew"], _n = timed(mega_pass, "assemble_mega_skew")
+    print(f"# assemble_mega_skew: {results['assemble_mega_skew']}s", file=sys.stderr)
 
     for name in HEADLINE:
         q = Q.QUERIES[name]
-        results[name], n = timed(lambda: q(spark, SF_DIR).count(), name)
+        fn = lambda q=q: q(spark, SF_DIR).count()
+        results[name], n = timed(fn, name)
+        if name in ("ann_ivf_topk", "emb_neardup_lsh"):
+            late_fns[name] = fn
         print(f"# {name}: {results[name]}s ({n} rows)", file=sys.stderr)
 
     from docling_gfcr_spark.operators import dedup as _dedup
@@ -233,10 +312,9 @@ def main() -> None:
 
     # scale-shaped n-gram jaccard (hot-shingle cap on): the uncapped oracle
     # variant is quadratic by design on this shared-vocab synthetic corpus
-    results["dedup_ngram_capped"], n = timed(
-        lambda: _dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5, hot_shingle_cap=100).count(),
-        "dedup_ngram_capped",
-    )
+    ngram_fn = lambda: _dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5, hot_shingle_cap=100).count()
+    results["dedup_ngram_capped"], n = timed(ngram_fn, "dedup_ngram_capped")
+    late_fns["dedup_ngram_capped"] = ngram_fn
     print(f"# dedup_ngram_capped: {results['dedup_ngram_capped']}s ({n} rows)", file=sys.stderr)
 
     # incremental dedup, SPLIT (r5 verdict item 4): commit = sign the standing
@@ -262,35 +340,26 @@ def main() -> None:
 
     results["dedup_incremental_commit"], _n = timed(commit_pass, "dedup_incremental_commit")
     print(f"# dedup_incremental_commit: {results['dedup_incremental_commit']}s", file=sys.stderr)
-    results["dedup_incremental_mine"], n = timed(
-        lambda: _dedup.incremental_minhash_pairs(
-            spark, itable, inc_new, n_hashes=32, bands=8, k=5, hash_fn="xxhash64"
-        ).count(),
-        "dedup_incremental_mine",
-    )
+    mine_fn = lambda: _dedup.incremental_minhash_pairs(
+        spark, itable, inc_new, n_hashes=32, bands=8, k=5, hash_fn="xxhash64"
+    ).count()
+    results["dedup_incremental_mine"], n = timed(mine_fn, "dedup_incremental_mine")
+    late_fns["dedup_incremental_mine"] = mine_fn
     print(f"# dedup_incremental_mine: {results['dedup_incremental_mine']}s ({n} rows)", file=sys.stderr)
+
+    # -- interleaved late window: re-run the heavy entries at the END of the
+    # long-lived session. The headline number becomes the POOLED min (the
+    # min-is-least-contended philosophy, now with two time windows to catch
+    # a quiet slice); |min_early - min_late| lands in the artifact as the
+    # entry's effective spread.
+    noise: dict[str, dict[str, float]] = {}
+    for name, fn in late_fns.items():
+        late_min, _n = timed(fn, f"{name}_late", passes=PASSES_LATE)
+        eff_spread = round(abs(results[name] - late_min), 3)
+        results[name] = min(results[name], late_min)
+        noise[name] = {"eff_min": results[name], "eff_spread": eff_spread}
+        print(f"# {name}_late: {late_min}s (eff_spread {eff_spread}s)", file=sys.stderr)
     spark.sql(f"DROP TABLE IF EXISTS {itable}")
-
-    # emb_neardup_lsh drifted 1.36->1.97s in r5 (within spread); re-run it
-    # LAST in the query section so first-vs-last brackets host drift within
-    # one record (stats-only: not added to the headline total)
-    q_lsh = Q.QUERIES["emb_neardup_lsh"]
-    lsh_late, _n = timed(lambda: q_lsh(spark, SF_DIR).count(), "emb_neardup_lsh_late")
-    print(f"# emb_neardup_lsh_late: {lsh_late}s (first-run was {results['emb_neardup_lsh']}s)", file=sys.stderr)
-
-    tpath = _materialize_transcripts(spark)
-
-    # ordering + skew-safe two-phase conversation assembly (the shuffle path)
-    tdf = spark.read.parquet(tpath)
-
-    def assemble_pass() -> int:
-        ex = pipeline.extract_turns(tdf, mode="agent")
-        pipeline.assemble_conversations(ex).write.mode("overwrite").format("noop").save()
-        return 0
-
-    assemble_pass()  # warmup: this session's python workers haven't run the UDF yet
-    results["assemble_conversations"], _n = timed(assemble_pass, "assemble_conversations")
-    print(f"# assemble_conversations: {results['assemble_conversations']}s", file=sys.stderr)
 
     corpus = _corpus_descriptor(spark, tpath)
     corpus["generator_fingerprint"] = tpath.rsplit("_", 1)[-1]
@@ -309,10 +378,27 @@ def main() -> None:
     extract = json.loads(child.stdout.strip().splitlines()[-1])
     n_turns = extract["n_turns"]
     samples["extract_pipeline"] = extract["samples"]
+    loads["extract_pipeline"] = extract["loads"]
     extract_sec = min(extract["samples"])
     results["extract_pipeline"] = round(extract_sec, 3)
     turns_per_sec = round(n_turns / extract_sec, 1)
-    print(f"# extraction: {n_turns} turns in {extract_sec:.1f}s = {turns_per_sec}/s (fresh JVM, parent stopped)", file=sys.stderr)
+    # quiet-pass effective spread: passes whose bracketing spin sentinel ran
+    # within 1.5x of the quietest one were measured on a comparably quiet
+    # host — their spread is attributable to the code, not co-tenants
+    spin_floor = min(extract["spins"])
+    quiet = [
+        s for s, sp in zip(extract["samples"], extract["spins"])
+        if sp <= 1.5 * spin_floor
+    ] or extract["samples"]
+    extract_eff_spread = round(max(quiet) - min(quiet), 3)
+    noise["extract_pipeline"] = {
+        "eff_min": results["extract_pipeline"],
+        "eff_spread": extract_eff_spread,
+        "quiet_passes": len(quiet),
+    }
+    print(f"# extraction: {n_turns} turns in {extract_sec:.1f}s = {turns_per_sec}/s "
+          f"(fresh JVM, parent stopped; eff_spread {extract_eff_spread}s over "
+          f"{len(quiet)} quiet passes)", file=sys.stderr)
     spin_end = _spin_sentinel()
 
     total = round(sum(results.values()), 3)
@@ -320,9 +406,11 @@ def main() -> None:
         name: {
             "med": round(sorted(ts)[len(ts) // 2] if len(ts) % 2 else sum(sorted(ts)[len(ts) // 2 - 1 : len(ts) // 2 + 1]) / 2, 3),
             "spread": round(max(ts) - min(ts), 3),
+            "loads": loads.get(name, []),
         }
         for name, ts in samples.items()
     }
+    stats["extract_pipeline"]["spins"] = extract["spins"]
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # full self-describing record FIRST (for humans + BENCH.md archaeology)…
     print(
@@ -343,6 +431,8 @@ def main() -> None:
                     "fresh_jvm": True,
                 },
                 "corpus": corpus,
+                # per-entry interleaved-window noise evidence (top heavies)
+                "noise": noise,
                 # host-noise sentinel: identical fixed work at suite start
                 # and end; >>1s or start/end divergence = contended host
                 "spin_sec": {"start": spin_start, "end": spin_end},
@@ -370,6 +460,9 @@ def main() -> None:
                 "corpus_fingerprint": corpus.get("generator_fingerprint"),
                 "corpus_digest": corpus.get("xxh64_sum"),
                 "top5_medians": top5,
+                # bounded per-entry noise evidence: eff_min/eff_spread from
+                # the interleaved windows (+ quiet-pass count for extract)
+                "noise": noise,
                 "spin_sec": {"start": spin_start, "end": spin_end},
             },
             separators=(",", ":"),

@@ -40,11 +40,17 @@ def pdf_bytes_to_pages(blob: bytes) -> list[str]:
     return pdf_doc.parse_pdf_pages(blob, strict=True)
 
 
-def build_pdf(pages: list[list[str]], compress: bool = False) -> bytes:
+def build_pdf(pages: list[list[str]], compress: bool = False, encrypt: bool = False) -> bytes:
     """Deterministic minimal-but-real PDF: header, Catalog -> Pages -> one
     Page + Contents stream per page (``compress=True`` -> FlateDecode via
     zlib level 9, still deterministic), Helvetica font, valid xref table and
-    trailer. ``pages`` is a list of text-line lists."""
+    trailer. ``pages`` is a list of text-line lists.
+
+    ``encrypt=True`` writes an ENCRYPTED document shape: a Standard
+    security-handler /Encrypt dictionary referenced from the trailer, with
+    every content stream XOR-scrambled as stand-in ciphertext (real RC4/AES
+    is pointless here — the parser must refuse at the trailer check,
+    kernels/pdf_doc.py, never decode the streams)."""
     n = len(pages)
     font_id = 3 + 2 * n
     objs: list[bytes] = []
@@ -71,6 +77,9 @@ def build_pdf(pages: list[list[str]], compress: bool = False) -> bytes:
             import zlib
 
             stream = zlib.compress(stream, 9)
+        if encrypt:
+            stream = bytes(b ^ 0xA5 for b in stream)
+        if compress:
             objs.append(
                 b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(stream)
                 + stream
@@ -81,6 +90,14 @@ def build_pdf(pages: list[list[str]], compress: bool = False) -> bytes:
                 b"<< /Length %d >>\nstream\n" % len(stream) + stream + b"\nendstream"
             )
     objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")  # font
+    encrypt_ref = b""
+    if encrypt:
+        objs.append(
+            b"<< /Filter /Standard /V 1 /R 2 /P -44 "
+            b"/O <28bf4e5e4e758a4164004e56fffa01082e2e00b6d0683e802f0ca9fe6453697a> "
+            b"/U <2e2e00b6d0683e802f0ca9fe6453697a28bf4e5e4e758a4164004e56fffa0108> >>"
+        )
+        encrypt_ref = b" /Encrypt %d 0 R" % len(objs)
 
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]
@@ -93,7 +110,8 @@ def build_pdf(pages: list[list[str]], compress: bool = False) -> bytes:
     for off in offsets[1:]:
         out += b"%010d 00000 n \n" % off
     out += (
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (len(objs) + 1, xref_at)
+        b"trailer\n<< /Size %d /Root 1 0 R" % (len(objs) + 1)
+        + encrypt_ref
+        + b" >>\nstartxref\n%d\n%%%%EOF\n" % xref_at
     )
     return bytes(out)

@@ -46,7 +46,7 @@ from docling_gfcr_spark.kernels.pdf_layout import assemble_pages, assemble_pdf
 SUPPORTED_KINDS = frozenset(
     "html xhtml pdf pdf_text markdown md plain text txt json csv xml adoc asciidoc "
     "doc docx xlsx pptx png jpeg jpg tiff tif bmp webp text_b64 "
-    "docx_b64 xlsx_b64 pptx_b64 pdf_b64".split()
+    "docx_b64 xlsx_b64 pptx_b64 pdf_b64 pdf_encrypted".split()
 )
 IMAGE_KINDS = frozenset("png jpeg jpg tiff tif bmp webp".split())
 _UNSUPPORTED_FMT = (
@@ -192,11 +192,13 @@ def route_one(text: str | None, tool: str | None, name: str, mode: str) -> dict:
                 extracted, method = assemble(text), kind
             except (ValueError, TypeError, AttributeError):
                 extracted, method, parse_failed = "", kind, True
-        elif kind == "pdf_b64":
+        elif kind in ("pdf_b64", "pdf_encrypted"):
             # REAL binary PDF route (kernels/pdf_binary.py): parse the object
             # graph + uncompressed content streams, then the SAME S3 page
-            # assembly as pdf_text. Unparseable/compressed bytes become the
-            # reference's PDF-failure error record (convert.py:243-248) —
+            # assembly as pdf_text. Unparseable/compressed bytes — and
+            # encrypted documents, which the parser REFUSES at the /Encrypt
+            # trailer check rather than decoding ciphertext — become the
+            # reference's PDF-failure error record (convert.py:243-248);
             # row preserved, success=false.
             try:
                 blob = base64.b64decode(text, validate=True)

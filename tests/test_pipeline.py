@@ -322,6 +322,38 @@ def test_text_b64_encoding_cascade_wired(spark):
     assert (out["method"] == "generic_b64").all() and out["success"].all()
 
 
+def test_pdf_encrypted_routes_to_error_envelope(spark):
+    """An encrypted PDF payload must take the PIPELINE-level clean-refusal
+    route: the /Encrypt trailer check raises inside the parser, the row
+    becomes the reference's PDF-failure error record (success=false, text
+    empty), and the row is never dropped. Also pins that the FIXTURE/gate
+    corpus (make_fixtures' generator params) actually contains the kind, so
+    the driver's extract_transcripts hash covers this route every round."""
+    import base64 as _b64
+
+    import numpy as np
+
+    payload = transcripts.build_pdf_encrypted_payload(np.random.RandomState(7))
+    assert b"/Encrypt" in _b64.b64decode(payload)
+    df = spark.createDataFrame(
+        [("ce", 0, "user", payload, "pdf_encrypted", None)],
+        schema=transcripts.SCHEMA,
+    )
+    out = pipeline.extract_turns(df, mode="agent").toPandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["method"] == "error" and not row["success"]
+    assert row["extracted_text"] == "" and row["error"]
+    # deterministic presence in the gate corpus (same params as
+    # tools/make_fixtures.compute_extract_transcripts, cheap prefix)
+    kinds = {
+        r["tool"]
+        for c in range(60)
+        for r in transcripts.gen_conv_rows(42, c, mean_turns=6, mega_every=50, skew_factor=10)
+    }
+    assert "pdf_encrypted" in kinds
+
+
 def test_new_kinds_flow_through_generator(spark):
     """The synthetic corpus now emits office/image/text_b64 kinds and every
     one of them extracts (per-turn equality with the local oracle is covered
@@ -337,6 +369,12 @@ def test_new_kinds_flow_through_generator(spark):
     # reference's PDF-failure error record — never dropped, never a crash
     pdfb = out[out.tool == "pdf_b64"]
     assert set(pdfb["method"]) <= {"pdf_bytes", "error"}
+    # encrypted PDFs (when this corpus draw emits them): every one refuses
+    # cleanly into the PDF-failure envelope — never parsed, never dropped.
+    # Deterministic presence + route is pinned by
+    # test_pdf_encrypted_routes_to_error_envelope.
+    enc = out[out.tool == "pdf_encrypted"]
+    assert (enc["method"] == "error").all() and (~enc["success"]).all()
     # real-binary OOXML payloads: most parse via the bytes kernels, the
     # planted ~8% junk rides the generic-fallback apology — all rows succeed
     for b64kind in ("docx_b64", "xlsx_b64", "pptx_b64"):
@@ -530,6 +568,10 @@ def test_generator_fingerprint_branch_coverage():
     assert sum(1 for b in pdf if len(b) < 120) >= 2  # junk branch
     assert sum(1 for b in pdf if b"/FlateDecode" in b) >= 2  # compress branch
     assert sum(1 for b in pdf if len(b) >= 120 and b"/FlateDecode" not in b) >= 2
+    enc = [base64.b64decode(x) for x in sweep(transcripts.build_pdf_encrypted_payload)]
+    assert all(b"/Encrypt" in b for b in enc)
+    assert sum(1 for b in enc if b"/FlateDecode" in b) >= 2  # compress branch
+    assert sum(1 for b in enc if b"/FlateDecode" not in b) >= 2
     for name in ("docx", "xlsx", "pptx"):
         blobs = [base64.b64decode(x) for x in sweep(getattr(transcripts, f"build_{name}_b64_payload"))]
         assert sum(1 for b in blobs if len(b) < 100) >= 2  # junk branch
@@ -548,3 +590,59 @@ def test_generator_fingerprint_branch_coverage():
     assert len({k for _, _, k in turns}) >= 20  # every kind family sampled
     # and the probe is stable
     assert transcripts.generator_fingerprint() == transcripts.generator_fingerprint()
+
+
+def test_assembly_mega_conversation_skew(spark):
+    """Skew stress for the two-phase assembly (VERDICT r6 item 5): one
+    ~1e5-turn conversation (two orders of magnitude past bucket_turns=1024)
+    over normal background must assemble byte-exactly at default memory,
+    and the hot conversation's phase-1 slab groups must SPREAD across many
+    shuffle partitions — the whole point of grouping phase 1 by
+    (conv_id, slab) instead of conv_id alone."""
+    from pyspark.sql import functions as F
+
+    n_mega, n_bg = 100_000, 500
+    mega = spark.range(n_mega).select(
+        F.lit("mega").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.concat(F.lit("L"), F.col("id")).alias("extracted_text"),
+    )
+    bg = spark.range(n_bg * 4).select(
+        F.concat(F.lit("bg-"), (F.col("id") % n_bg).cast("string")).alias("conv_id"),
+        F.floor(F.col("id") / n_bg).cast("int").alias("turn_idx"),
+        F.concat(F.lit("B"), F.col("id")).alias("extracted_text"),
+    )
+    out = pipeline.assemble_conversations(mega.unionByName(bg)).cache()
+    try:
+        got = out.where(F.col("conv_id") == "mega").collect()[0]
+        assert got.n_turns == n_mega
+        assert got.conv_text == "\n".join(f"L{i}" for i in range(n_mega))
+        bg0 = out.where(F.col("conv_id") == "bg-0").collect()[0]
+        assert bg0.conv_text == "\n".join(f"B{i * n_bg}" for i in range(4))
+        assert out.count() == 1 + n_bg
+    finally:
+        out.unpersist()
+    # phase-1 spread: replicate the phase-1 grouping key and observe which
+    # shuffle partition each of the hot conv's slabs lands in (AQE's
+    # small-partition coalescing is a size artifact of test scale — off for
+    # the probe so the HASH layout itself is what's pinned)
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        slab = F.floor(F.col("turn_idx") / 1024).alias("slab")
+        phase1 = (
+            mega.unionByName(bg)
+            .groupBy("conv_id", slab)
+            .agg(F.count("*").alias("n"))
+            .withColumn("pid", F.spark_partition_id())
+        )
+        hot = phase1.where(F.col("conv_id") == "mega").select("slab", "pid").collect()
+        n_slabs = -(-n_mega // 1024)
+        assert len(hot) == n_slabs  # 98 slabs, not one giant group
+        pids = {r.pid for r in hot}
+        # 8 shuffle partitions in the test session: the hot conv must use
+        # most of them, never collapse to one task
+        assert len(pids) >= 4, pids
+    finally:
+        spark.conf.set(coalesce_key, prev)
