@@ -73,3 +73,60 @@ def test_oracle_fixture_is_fresh(name):
     pd.testing.assert_frame_equal(
         stored.reset_index(drop=True), fresh.reset_index(drop=True)
     )
+
+
+@pytest.mark.parametrize(
+    "name", ["dedup_simhash", "dedup_clusters", "emb_neardup_lsh", "ann_ivf_topk"]
+)
+def test_sf01_fixture_variant_is_fresh(name, monkeypatch):
+    """fixtures/sf0.1/ — the per-SF oracle variants the full-registry sf0.1
+    sweep reads (queries._SF_FIXTURE_SQL) — must stay in sync with the
+    local oracles computed AT that SF: same freshness discipline as the
+    root fixtures, at the sweep's scale."""
+    import pandas as pd
+
+    from tools import make_fixtures as mf
+
+    path = os.path.join(mf.FIXTURE_DIR, "sf0.1", f"{name}.parquet")
+    assert os.path.exists(path), (
+        f"run SPARK_GRAFT_ORACLE_SF=/root/testdata/sf0.1 tools/make_fixtures.py "
+        f"({path} missing)"
+    )
+    monkeypatch.setattr(mf, "ORACLE_SF", "/root/testdata/sf0.1")
+    stored = pd.read_parquet(path)
+    fresh = mf.COMPUTE[name]()
+    pd.testing.assert_frame_equal(
+        stored.reset_index(drop=True), fresh.reset_index(drop=True)
+    )
+
+
+def test_dedup_clusters_sql_twin_matches_union_find_fixture():
+    """Three independent implementations of the near-dup membership table
+    must agree: the driver gate pins Spark CC == the live recursive-CTE SQL
+    (queries.DEDUP_CLUSTERS_SQL); this pins SQL == the pure-Python
+    union-find fixture — closing the triangle without Spark."""
+    import duckdb
+    import pandas as pd
+
+    from docling_gfcr_spark import queries as Q
+    from tools import make_fixtures as mf
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    got = (
+        con.execute(Q.DEDUP_CLUSTERS_SQL)
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    fix = (
+        pd.read_parquet(os.path.join(mf.FIXTURE_DIR, "dedup_clusters.parquet"))
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(got, fix)

@@ -728,13 +728,27 @@ COMPUTE = {
 }
 
 
+# fixtures whose oracle READS the sf tables (documents/embeddings): their
+# expected values change with SPARK_GRAFT_ORACLE_SF; a non-default SF run
+# computes ONLY these, into fixtures/<sftag>/ (queries._SF_FIXTURE_SQL
+# resolves the matching subdir at check time). dedup_clusters stays listed
+# so its union-find recompute remains available for cross-checks, though
+# the driver oracle for clusters is the live recursive-CTE SQL.
+SF_DEPENDENT = ("dedup_simhash", "dedup_clusters", "emb_neardup_lsh", "ann_ivf_topk")
+
+
 def main(only: list[str]) -> None:
-    os.makedirs(FIXTURE_DIR, exist_ok=True)
-    for name, fn in COMPUTE.items():
+    sf_tag = os.path.basename(ORACLE_SF.rstrip("/"))
+    out_dir = FIXTURE_DIR if sf_tag == "sf0.01" else os.path.join(FIXTURE_DIR, sf_tag)
+    names = COMPUTE if sf_tag == "sf0.01" else {
+        n: COMPUTE[n] for n in SF_DEPENDENT
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    for name, fn in names.items():
         if only and name not in only:
             continue
         df = fn()
-        path = os.path.join(FIXTURE_DIR, f"{name}.parquet")
+        path = os.path.join(out_dir, f"{name}.parquet")
         df.to_parquet(path, index=False)
         print(f"wrote {path}: {len(df)} rows, dtypes={df.dtypes.to_dict()}")
 
