@@ -129,15 +129,44 @@ def ngram_jaccard_pairs(
     self-join linear-ish at corpus scale.
     """
     df = ensure_parallelism(df)
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(text_col, k)).alias("shs"),
-    )
-    # |shingle set| per doc comes straight off the array — no shuffle — and
+    # Shingle + explode as ONE Arrow-batched kernel rather than the
+    # word_shingles HOF feeding F.explode: higher-order functions are
+    # CodegenFallback, so explode(transform(...)) drops the whole stage out
+    # of codegen onto the interpreted row path — measured 2.4x slower than
+    # this mapInPandas at sf0.1 (1.1s vs 2.7s for the exploded scan) with
+    # byte-identical shingles (str.split(" ")/join match F.split/concat_ws
+    # exactly, incl. empty tokens and the truncated tail shingle). Peak
+    # python memory is one Arrow batch's shingles (~maxRecordsPerBatch x k
+    # words), independent of corpus size.
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def _explode_shingles(batches):
+        for pdf in batches:
+            ids: list = []
+            szs: list = []
+            shingles: list = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:  # parity: F.split(NULL) rows explode to nothing
+                    continue
+                words = text.split(" ")
+                n = max(1, len(words) - (k - 1))
+                # dict preserves first-occurrence order == array_distinct
+                seen = dict.fromkeys(" ".join(words[i : i + k]) for i in range(n))
+                sz = len(seen)
+                ids.extend([doc_id] * sz)
+                szs.extend([sz] * sz)
+                shingles.extend(seen)
+            yield pd.DataFrame({"id": ids, "sz": szs, "shingle": shingles})
+
+    # |shingle set| per doc comes straight off the kernel — no shuffle — and
     # rides along as struct payload, so NO per-doc size table ever needs to
     # be joined back (at corpus scale that's two 10^9-row joins avoided for
     # +8 bytes per exploded row)
-    sh = base.select(F.struct("id", F.size("shs").alias("sz")).alias("m"), F.explode("shs").alias("shingle"))
+    sh = (
+        df.select(id_col, text_col)
+        .mapInPandas(_explode_shingles, f"id {id_type}, sz int, shingle string")
+        .select(F.struct("id", "sz").alias("m"), "shingle")
+    )
     # ONE shuffle clusters co-occurring ids per shingle; the hot-shingle cap
     # (stop-shingle skew guard) and the can't-pair filter apply to the
     # aggregated lists, replacing the old frequency-agg + filter join
