@@ -61,6 +61,22 @@ def test_ngram_jaccard_exact_values(spark, planted_docs):
         assert (j, 100 + j) in got and 0.7 < got[(j, 100 + j)] < 1.0
 
 
+def test_ngram_jaccard_null_and_short_text_parity(spark):
+    """The Arrow shingle kernel must match the old HOF semantics on the
+    corners: NULL text explodes to nothing (F.split(NULL) -> no rows, so a
+    NULL doc can never pair), and texts shorter than k words contribute one
+    truncated tail shingle (greatest(1, n-k+1) == max(1, ...))."""
+    d = spark.createDataFrame(
+        [(1, None), (2, "a b"), (3, "a b"), (4, "x y z w v u"), (5, "x y z w v u")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.ngram_jaccard_pairs(d, k=5, threshold=0.5).toPandas()
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.itertuples()}
+    # short text pair matches on the single truncated shingle "a b"
+    assert got == {(2, 3): 1.0, (4, 5): 1.0}
+    assert 1 not in {i for p in got for i in p}
+
+
 def _py_simhash(text: str) -> int:
     acc = [0] * 64
     for tok in text.split():
