@@ -55,6 +55,57 @@ def word_shingles(text_col: str, k: int = 5) -> Column:
     return F.transform(F.sequence(F.lit(1), n), lambda i: F.concat_ws(" ", F.slice(w, i, k)))
 
 
+def exploded_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    with_size: bool = True,
+) -> DataFrame:
+    """One ``(id[, sz], shingle)`` row per DISTINCT word-k-gram per doc —
+    the exploded-shingle scan shared by the ngram dedup/decontamination
+    family, as ONE Arrow-batched kernel rather than the ``word_shingles``
+    HOF feeding ``F.explode``: higher-order functions are CodegenFallback,
+    so ``explode(transform(...))`` drops the whole stage out of codegen onto
+    the interpreted row path — measured 2.4x slower than this mapInPandas at
+    sf0.1 (1.1s vs 2.7s for the exploded scan) with byte-identical shingles
+    (``str.split(" ")``/join match ``F.split``/``concat_ws`` exactly, incl.
+    empty tokens and the truncated tail shingle; NULL text explodes to
+    nothing, matching ``explode(NULL)``). ``sz`` is the per-doc distinct
+    shingle count riding along as payload. Peak python memory is one Arrow
+    batch's shingles (~maxRecordsPerBatch x k words), independent of corpus
+    size; the kernel is a narrow transform — no shuffle.
+    """
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def _explode_shingles(batches):
+        for pdf in batches:
+            ids: list = []
+            szs: list = []
+            shingles: list = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:  # parity: F.split(NULL) rows explode to nothing
+                    continue
+                words = text.split(" ")
+                n = max(1, len(words) - (k - 1))
+                # dict preserves first-occurrence order == array_distinct
+                seen = dict.fromkeys(" ".join(words[i : i + k]) for i in range(n))
+                sz = len(seen)
+                ids.extend([doc_id] * sz)
+                if with_size:
+                    szs.extend([sz] * sz)
+                shingles.extend(seen)
+            cols = {"id": ids, "sz": szs, "shingle": shingles}
+            if not with_size:
+                del cols["sz"]
+            yield pd.DataFrame(cols)
+
+    sz_field = ", sz int" if with_size else ""
+    return df.select(id_col, text_col).mapInPandas(
+        _explode_shingles, f"id {id_type}{sz_field}, shingle string"
+    )
+
+
 def ordered_pairs(arr: Column, a_name: str = "id_a", b_name: str = "id_b") -> Column:
     """All i<j element pairs of a SORTED array, as array<struct<a,b>> —
     worker-side candidate-pair enumeration shared by the dedup family.
@@ -129,43 +180,12 @@ def ngram_jaccard_pairs(
     self-join linear-ish at corpus scale.
     """
     df = ensure_parallelism(df)
-    # Shingle + explode as ONE Arrow-batched kernel rather than the
-    # word_shingles HOF feeding F.explode: higher-order functions are
-    # CodegenFallback, so explode(transform(...)) drops the whole stage out
-    # of codegen onto the interpreted row path — measured 2.4x slower than
-    # this mapInPandas at sf0.1 (1.1s vs 2.7s for the exploded scan) with
-    # byte-identical shingles (str.split(" ")/join match F.split/concat_ws
-    # exactly, incl. empty tokens and the truncated tail shingle). Peak
-    # python memory is one Arrow batch's shingles (~maxRecordsPerBatch x k
-    # words), independent of corpus size.
-    id_type = df.schema[id_col].dataType.simpleString()
-
-    def _explode_shingles(batches):
-        for pdf in batches:
-            ids: list = []
-            szs: list = []
-            shingles: list = []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                if text is None:  # parity: F.split(NULL) rows explode to nothing
-                    continue
-                words = text.split(" ")
-                n = max(1, len(words) - (k - 1))
-                # dict preserves first-occurrence order == array_distinct
-                seen = dict.fromkeys(" ".join(words[i : i + k]) for i in range(n))
-                sz = len(seen)
-                ids.extend([doc_id] * sz)
-                szs.extend([sz] * sz)
-                shingles.extend(seen)
-            yield pd.DataFrame({"id": ids, "sz": szs, "shingle": shingles})
-
     # |shingle set| per doc comes straight off the kernel — no shuffle — and
     # rides along as struct payload, so NO per-doc size table ever needs to
     # be joined back (at corpus scale that's two 10^9-row joins avoided for
     # +8 bytes per exploded row)
-    sh = (
-        df.select(id_col, text_col)
-        .mapInPandas(_explode_shingles, f"id {id_type}, sz int, shingle string")
-        .select(F.struct("id", "sz").alias("m"), "shingle")
+    sh = exploded_shingles(df, text_col, id_col, k).select(
+        F.struct("id", "sz").alias("m"), "shingle"
     )
     # ONE shuffle clusters co-occurring ids per shingle; the hot-shingle cap
     # (stop-shingle skew guard) and the can't-pair filter apply to the

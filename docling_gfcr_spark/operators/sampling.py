@@ -145,17 +145,21 @@ def ngram_decontaminate(
     the corpus — and broadcast iff under ``broadcast_max_docs``).
     Returns (id, n_shared_shingles) for every contaminated training doc.
     """
-    from docling_gfcr_spark.operators.dedup import word_shingles
+    from docling_gfcr_spark.operators.dedup import exploded_shingles, word_shingles
 
     if strategy not in ("auto", "broadcast", "shuffle"):
         raise ValueError(f"unknown strategy {strategy!r}")
     if strategy == "auto":
         strategy = "broadcast" if heldout.count() <= broadcast_max_docs else "shuffle"
+    # heldout is tiny (benchmarks, not corpora): the interpreted HOF explode
+    # is fine there. The TRAIN side is the full corpus scan — use the
+    # Arrow-batched shingle kernel (byte-identical shingles, codegen-free
+    # HOF path avoided; see dedup.exploded_shingles).
     held_sh = heldout.select(
         F.explode(F.array_distinct(word_shingles(text_col, k))).alias("shingle")
     ).distinct()
-    tr_sh = train.select(
-        F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, k))).alias("shingle")
+    tr_sh = exploded_shingles(train, text_col, id_col, k, with_size=False).select(
+        F.col("id").alias(id_col), "shingle"
     )
     if strategy == "broadcast":
         joined = tr_sh.join(F.broadcast(held_sh), "shingle")
