@@ -145,18 +145,21 @@ def ngram_decontaminate(
     the corpus — and broadcast iff under ``broadcast_max_docs``).
     Returns (id, n_shared_shingles) for every contaminated training doc.
     """
-    from docling_gfcr_spark.operators.dedup import exploded_shingles, word_shingles
+    from docling_gfcr_spark.operators.dedup import exploded_shingles
 
     if strategy not in ("auto", "broadcast", "shuffle"):
         raise ValueError(f"unknown strategy {strategy!r}")
     if strategy == "auto":
         strategy = "broadcast" if heldout.count() <= broadcast_max_docs else "shuffle"
-    # heldout is tiny (benchmarks, not corpora): the interpreted HOF explode
-    # is fine there. The TRAIN side is the full corpus scan — use the
-    # Arrow-batched shingle kernel (byte-identical shingles, codegen-free
-    # HOF path avoided; see dedup.exploded_shingles).
-    held_sh = heldout.select(
-        F.explode(F.array_distinct(word_shingles(text_col, k))).alias("shingle")
+    # Both sides shingle through the Arrow-batched kernel (byte-identical to
+    # the word_shingles HOF, whose explode(transform(...)) form is
+    # CodegenFallback — interpreted; see dedup.exploded_shingles). The
+    # heldout side matters too: "heldout" is often a full test SPLIT of the
+    # corpus, not just a KB-scale benchmark file.
+    if id_col not in heldout.columns:  # a bare text-only benchmark file is fine
+        heldout = heldout.withColumn(id_col, F.lit(0))
+    held_sh = exploded_shingles(heldout, text_col, id_col, k, with_size=False).select(
+        "shingle"
     ).distinct()
     tr_sh = exploded_shingles(train, text_col, id_col, k, with_size=False).select(
         F.col("id").alias(id_col), "shingle"
