@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -264,6 +265,116 @@ def minhash_signatures(
     return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
 
+# splitmix64 finalizer constants (public domain, Steele et al.) — the mixer
+# behind the 'fast' minhash family. All arithmetic is uint64 wraparound,
+# which numpy arrays implement exactly (C semantics), so the family is
+# deterministic across processes, partitionings, and platforms.
+_MIX_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX_C2 = np.uint64(0x94D049BB133111EB)
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _mix64(z: np.ndarray) -> np.ndarray:
+    z = (z ^ (z >> np.uint64(30))) * _MIX_C1
+    z = (z ^ (z >> np.uint64(27))) * _MIX_C2
+    return z ^ (z >> np.uint64(31))
+
+
+def _fast_salts(n_hashes: int) -> np.ndarray:
+    return _mix64(np.arange(1, n_hashes + 1, dtype=np.uint64) * _GOLDEN)
+
+
+# flush budget for the 'fast' kernel: at n_hashes=32 one flush's hash matrix
+# is 256k x 32 x 8B = 64 MB (x ~5 numpy temporaries transiently), keeping all
+# 32 workers' combined peak well under host RAM regardless of Arrow batch
+# size, doc length distribution, or corpus scale.
+_FAST_CHUNK_SHINGLES = 1 << 18
+
+
+def _fast_band_keys(
+    df: DataFrame, text_col: str, id_col: str, n_hashes: int, bands: int, k: int
+) -> DataFrame:
+    """Band keys via ONE base hash per shingle + a vectorized salt-mix family,
+    as a single Arrow ``mapInPandas`` kernel.
+
+    The JVM families (md5/xxhash64) compute n_hashes independent hashes PER
+    SHINGLE through higher-order functions — CodegenFallback, so the whole
+    scan runs interpreted and costs O(shingles x n_hashes) hash evaluations
+    (measured ~550 docs/s/core on extracted-turn text at n_hashes=32). The
+    standard practical MinHash (Broder's resemblance sketch as implemented
+    by e.g. the datasketch library) instead hashes each shingle ONCE and
+    derives the K permutations from it with a cheap mixing family; here
+    hash_j(s) = mix64(base(s) ^ salt_j) with base = pandas' deterministic
+    siphash (``pd.util.hash_array``, fixed key, C speed) and mix64 =
+    splitmix64's finalizer. Uniformity of each hash_j follows from the
+    mixer's avalanche; the planted-neardup recall tests pin the quality.
+
+    Shingling is byte-identical to ``exploded_shingles`` (split(" ") incl.
+    empty tokens, truncated tail shingle, dict-distinct). NULL text emits
+    no band keys (such docs can never be near-dup candidates); empty text
+    emits the "" shingle, so all-empty docs still collide, matching
+    exact-dup semantics. Band hash = mix64 fold over the band's signature
+    rows. Keys are NOT comparable with md5/xxhash64 keys — the stamped
+    ``hash_fn`` on committed band tables (_check_signature_params) refuses
+    cross-family joins.
+
+    Plan shape: one narrow MapInPandas (no shuffle, no self-join). Peak
+    python memory is bounded by the flush budget, NOT by Arrow batch size
+    or doc count: docs accumulate until ~_FAST_CHUNK_SHINGLES distinct
+    shingles are buffered, then one vectorized flush emits their band keys
+    (the naive per-Arrow-batch matrix was measured to thrash the host —
+    10k docs x ~300 shingles x n_hashes x 8B in ~5 temporaries per worker
+    x 32 workers exceeded RAM and hung the executor heartbeat).
+    """
+    df = ensure_parallelism(df)
+    id_type = df.schema[id_col].dataType.simpleString()
+    rows = n_hashes // bands
+    n_used = bands * rows  # JVM parity: sig[b*rows+r] ignores trailing hashes
+    salts = _fast_salts(n_hashes)
+    band_ids = np.arange(bands, dtype=np.int32)
+    flush_at = _FAST_CHUNK_SHINGLES  # driver-side capture: tests shrink it
+
+    def _flush(ids: list, offsets: list, shingles: list) -> pd.DataFrame:
+        base = pd.util.hash_array(np.asarray(shingles, dtype=object)).astype(np.uint64)
+        m = _mix64(base[:, None] ^ salts[None, :])
+        sig = np.minimum.reduceat(m, np.asarray(offsets), axis=0)
+        s = sig[:, :n_used].reshape(len(ids), bands, rows)
+        h = np.full((len(ids), bands), _GOLDEN, dtype=np.uint64)
+        for r in range(rows):
+            h = _mix64(h ^ s[:, :, r])
+        return pd.DataFrame(
+            {
+                "id": np.repeat(np.asarray(ids, dtype=object), bands),
+                "band": np.tile(band_ids, len(ids)),
+                "band_hash": h.ravel().view(np.int64),
+            }
+        )
+
+    def _kernel(batches):
+        ids: list = []
+        offsets: list = []
+        shingles: list = []
+        for pdf in batches:
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                words = text.split(" ")
+                n = max(1, len(words) - (k - 1))
+                seen = dict.fromkeys(" ".join(words[i : i + k]) for i in range(n))
+                offsets.append(len(shingles))
+                shingles.extend(seen)
+                ids.append(doc_id)
+                if len(shingles) >= flush_at:
+                    yield _flush(ids, offsets, shingles)
+                    ids, offsets, shingles = [], [], []
+        if ids:
+            yield _flush(ids, offsets, shingles)
+
+    return df.select(id_col, text_col).mapInPandas(
+        _kernel, f"id {id_type}, band int, band_hash long"
+    )
+
+
 def minhash_band_keys(
     df: DataFrame,
     text_col: str = "text",
@@ -277,8 +388,15 @@ def minhash_band_keys(
     one-shot pair mining (minhash_lsh_pairs) AND the committed band table
     incremental dedup joins against. Two docs are near-dup candidates iff
     they share a ``(band, band_hash)`` key; the key is content-derived, so
-    keys computed today and keys committed last month are comparable."""
+    keys computed today and keys committed last month are comparable
+    (within one ``hash_fn`` family — the stamp on committed tables refuses
+    cross-family mixing). Families: 'md5' (engine-portable, DuckDB-oracle
+    checked), 'xxhash64' (JVM-only, no Python workers), 'fast' (Arrow
+    kernel, one base hash + salt-mix family — the 100 TB throughput path,
+    see _fast_band_keys)."""
     rows = n_hashes // bands
+    if hash_fn == "fast":
+        return _fast_band_keys(df, text_col, id_col, n_hashes, bands, k)
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, k, hash_fn=hash_fn)
 
     def band_hash(b: int):
@@ -313,8 +431,10 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: docs agreeing on ALL rows of
     any band collide. rows_per_band = n_hashes // bands tunes the similarity
-    threshold (~ (1/bands)^(1/rows)). Defaults to xxhash64 (the fast path —
-    this op's output is candidate pairs, verified downstream anyway)."""
+    threshold (~ (1/bands)^(1/rows)). Defaults to xxhash64 (pure JVM — no
+    Python workers needed; this op's output is candidate pairs, verified
+    downstream anyway); pass hash_fn='fast' for the Arrow salt-mix kernel,
+    measured 2.7x faster end-to-end on a 619k-doc corpus at 32 cores."""
     banded = minhash_band_keys(df, text_col, id_col, n_hashes, bands, k, hash_fn)
     # one shuffle clusters each band bucket; colliding pairs are enumerated
     # worker-side via two streaming generates (explode_ordered_pairs) instead

@@ -52,6 +52,61 @@ def test_minhash_recall_on_planted_neardups(spark, planted_docs):
     assert all((j, 200 + j) in got for j in range(5))
 
 
+def test_fast_minhash_recall_on_planted_neardups(spark, planted_docs):
+    pairs = dedup.minhash_lsh_pairs(
+        planted_docs, n_hashes=32, bands=8, k=3, hash_fn="fast"
+    ).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].values.tolist()))
+    want = {(j, 100 + j) for j in range(15)}
+    assert want - got == set(), f"fast family missed planted near-dups: {want - got}"
+    # exact dups collide on every band
+    assert all((j, 200 + j) in got for j in range(5))
+    # candidate precision: unrelated random-vocab docs must not explode the
+    # candidate set (a bad mixer would collapse band hashes together)
+    assert len(got) < 120
+
+
+def test_fast_minhash_corner_semantics_and_partition_invariance(spark):
+    """Corner parity with the JVM families: NULL text emits no band keys,
+    empty text emits the "" shingle (all-empty docs collide, matching exact
+    dedup), short texts shingle to the single truncated tail; and the keys
+    are content-derived — identical under any input partitioning."""
+    d = spark.createDataFrame(
+        [(1, None), (2, ""), (3, ""), (4, "a b"), (5, "a b"), (6, "x y z w v u")],
+        "doc_id long, text string",
+    )
+    keys = dedup.minhash_band_keys(d, "text", "doc_id", 8, 4, 5, hash_fn="fast").toPandas()
+    assert set(keys["id"]) == {2, 3, 4, 5, 6}
+    assert keys.groupby("id").size().eq(4).all()
+    by_id = {
+        i: sorted(map(tuple, g[["band", "band_hash"]].values.tolist()))
+        for i, g in keys.groupby("id")
+    }
+    assert by_id[2] == by_id[3] and by_id[4] == by_id[5]
+    assert by_id[2] != by_id[4]
+    re_keys = dedup.minhash_band_keys(
+        d.repartition(7), "text", "doc_id", 8, 4, 5, hash_fn="fast"
+    ).toPandas()
+    canon = lambda p: sorted(map(tuple, p.values.tolist()))  # noqa: E731
+    assert canon(keys) == canon(re_keys)
+
+
+def test_fast_minhash_chunked_flush_equality(spark, planted_docs, monkeypatch):
+    """The bounded-memory flush (docs accumulate to a shingle budget, then
+    one vectorized emit) must be invisible: keys with a tiny budget — many
+    flushes per Arrow batch, offsets reset each flush — equal the
+    single-flush keys exactly."""
+    canon = lambda p: sorted(map(tuple, p.values.tolist()))  # noqa: E731
+    base = dedup.minhash_band_keys(
+        planted_docs, "text", "doc_id", 16, 4, 3, hash_fn="fast"
+    ).toPandas()
+    monkeypatch.setattr(dedup, "_FAST_CHUNK_SHINGLES", 7)
+    chunked = dedup.minhash_band_keys(
+        planted_docs, "text", "doc_id", 16, 4, 3, hash_fn="fast"
+    ).toPandas()
+    assert canon(base) == canon(chunked)
+
+
 def test_ngram_jaccard_exact_values(spark, planted_docs):
     pairs = dedup.ngram_jaccard_pairs(planted_docs, k=3, threshold=0.5).toPandas()
     got = {(r.id_a, r.id_b): r.jaccard for r in pairs.itertuples()}

@@ -101,6 +101,20 @@ def test_minhash_no_python_boundary(spark):
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
 
 
+def test_fast_minhash_band_keys_single_map_no_shuffle(spark):
+    """The 'fast' family's band keys are one narrow MapInPandas — no
+    hash-partitioning exchange, no join; and pair mining on top of it keeps
+    the no-self-join property of the JVM families."""
+    from docling_gfcr_spark.operators import dedup
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(dedup.minhash_band_keys(d, hash_fn="fast"))
+    assert p.count("MapInPandas") == 1
+    assert "Exchange hashpartitioning" not in p and "Join" not in p
+    p2 = plan_of(dedup.minhash_lsh_pairs(d, n_hashes=8, bands=4, k=3, hash_fn="fast"))
+    assert "Join" not in p2 and "CartesianProduct" not in p2
+
+
 def test_neardup_single_shuffle_no_candidate_join(spark):
     """The LSH near-dup plan must be: bucket UDF -> ONE hashpartitioning
     exchange (the (table, bucket) groupBy) -> grouped kernel -> distinct of
