@@ -618,6 +618,19 @@ def dedup_minhash_pairs(spark, sf_dir):
     return dedup.minhash_lsh_pairs(d, n_hashes=32, bands=8, k=5, hash_fn="md5")
 
 
+def dedup_minhash_pairs_fast(spark, sf_dir):
+    """LSH banding candidates via the 'fast' Arrow salt-mix family — one
+    deterministic siphash per DISTINCT shingle plus a vectorized splitmix64
+    salt-mix permutation family inside a single mapInPandas kernel
+    (dedup._fast_band_keys); the family bench.py and the scaling bench time.
+    Value-checked against an independent per-document pure-numpy replay of
+    the same published construction (tools/make_fixtures.py
+    compute_dedup_minhash_pairs_fast — no flush budget, no reduceat, no
+    Arrow batching) stored as a per-SF fixture parquet."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, n_hashes=32, bands=8, k=5, hash_fn="fast")
+
+
 _MINHASH_SIG_LIST = ",\n    ".join(
     f"list_min(list_transform(sh, s -> md5('{j}:' || s)))" for j in range(32)
 )
@@ -2712,6 +2725,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- rotated IN: the whole r6 tail (33 entries, last driver-gated in
     # CORRECTNESS_r05) -----------------------------------------------------
     "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_minhash_pairs_fast": dedup_minhash_pairs_fast,
     "dedup_clusters": dedup_clusters,
     "extract_assembled_convs": extract_assembled_convs,
     "q6_forecast_revenue": q6_forecast_revenue,
@@ -2885,6 +2899,7 @@ ORACLES: dict[str, str] = {
     # sf-dependent fixture oracles (they read documents/embeddings): the
     # per-SF fixture variant keeps the sweep green at any oracle SF
     "dedup_simhash": _SF_FIXTURE_SQL.format(name="dedup_simhash"),
+    "dedup_minhash_pairs_fast": _SF_FIXTURE_SQL.format(name="dedup_minhash_pairs_fast"),
     # clusters: LIVE recursive-CTE twin (sf-agnostic); the union-find
     # fixture remains the independent cross-check in pytest
     "dedup_clusters": DEDUP_CLUSTERS_SQL,

@@ -51,6 +51,7 @@ def test_golden_optimize_matches_reference(reference_agent, golden_text):
         "multimodal_assembled_convs",
         "dedup_simhash",
         "dedup_clusters",
+        "dedup_minhash_pairs_fast",
         "emb_neardup_lsh",
         "ann_ivf_topk",
         "multimodal_features",
@@ -76,7 +77,14 @@ def test_oracle_fixture_is_fresh(name):
 
 
 @pytest.mark.parametrize(
-    "name", ["dedup_simhash", "dedup_clusters", "emb_neardup_lsh", "ann_ivf_topk"]
+    "name",
+    [
+        "dedup_simhash",
+        "dedup_clusters",
+        "dedup_minhash_pairs_fast",
+        "emb_neardup_lsh",
+        "ann_ivf_topk",
+    ],
 )
 def test_sf01_fixture_variant_is_fresh(name, monkeypatch):
     """fixtures/sf0.1/ — the per-SF oracle variants the full-registry sf0.1

@@ -1021,22 +1021,25 @@ def test_zorder_rejects_reserved_column(spark):
         layout.zorder_write(df, "/tmp/never", cols=["id"])
 
 
-def test_incremental_minhash_equals_full_recompute(spark, planted_docs, tmp_path):
+@pytest.mark.parametrize("hash_fn", ["md5", "fast"])
+def test_incremental_minhash_equals_full_recompute(spark, planted_docs, tmp_path, hash_fn):
     """Append-only dedup invariant: committing the 'old' corpus' band keys
     and dedup-checking a NEW batch against the table yields EXACTLY the
     full-recompute pairs (old+new) restricted to pairs touching the batch —
-    including new-vs-new dups arriving in the same batch."""
+    including new-vs-new dups arriving in the same batch. Parametrized over
+    a JVM family and the Arrow 'fast' family: band keys committed by either
+    must be comparable with keys computed later by the same family."""
     old = planted_docs.where(F.col("doc_id") < 100)
     new = planted_docs.where(F.col("doc_id") >= 100)  # near+exact dups of old
-    table = "incr_test_bands"
+    table = f"incr_test_bands_{hash_fn}"
     dedup.commit_minhash_bands(
-        old, table, str(tmp_path / "bands"), n_hashes=32, bands=8, k=3, hash_fn="md5"
+        old, table, str(tmp_path / "bands"), n_hashes=32, bands=8, k=3, hash_fn=hash_fn
     )
     got = dedup.incremental_minhash_pairs(
-        spark, table, new, n_hashes=32, bands=8, k=3, hash_fn="md5"
+        spark, table, new, n_hashes=32, bands=8, k=3, hash_fn=hash_fn
     ).toPandas()
     full = dedup.minhash_lsh_pairs(
-        planted_docs, n_hashes=32, bands=8, k=3, hash_fn="md5"
+        planted_docs, n_hashes=32, bands=8, k=3, hash_fn=hash_fn
     ).toPandas()
     new_ids = {int(r.doc_id) for r in new.select("doc_id").collect()}
     want = {

@@ -214,6 +214,63 @@ def compute_dedup_clusters() -> pd.DataFrame:
     return df
 
 
+def compute_dedup_minhash_pairs_fast() -> pd.DataFrame:
+    """Local oracle for queries.dedup_minhash_pairs_fast: the 'fast' salt-mix
+    MinHash family recomputed per doc with none of the Spark kernel's
+    machinery (no flush budget, no reduceat, no Arrow batching) — a plain
+    per-document loop over the same published construction: base = one
+    deterministic siphash per distinct shingle (``pd.util.hash_array``, the
+    shared library primitive, same role md5 plays for the DuckDB twins),
+    hash_j = splitmix64-finalizer(base ^ salt_j), signature = per-j min,
+    band key = mix-fold over the band's signature rows (dedup.py
+    _fast_band_keys documents the construction)."""
+    import duckdb
+
+    mask = (1 << 64) - 1
+    c1, c2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    golden = 0x9E3779B97F4A7C15
+
+    def mix(z: np.ndarray) -> np.ndarray:
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(c1)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(c2)
+        return z ^ (z >> np.uint64(31))
+
+    def mix_int(z: int) -> int:  # pure-int twin for the scalar fold
+        z = ((z ^ (z >> 30)) * c1) & mask
+        z = ((z ^ (z >> 27)) * c2) & mask
+        return (z ^ (z >> 31)) & mask
+
+    n_hashes, bands, rows, k = 32, 8, 4, 5
+    salts = np.array([mix_int((j * golden) & mask) for j in range(1, n_hashes + 1)],
+                     dtype=np.uint64)
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{ORACLE_SF}/documents.parquet')"
+    ).fetchdf()
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        if text is None or (isinstance(text, float) and np.isnan(text)):
+            continue
+        words = text.split(" ")
+        n = max(1, len(words) - (k - 1))
+        shingles = list(dict.fromkeys(" ".join(words[i : i + k]) for i in range(n)))
+        base = pd.util.hash_array(np.asarray(shingles, dtype=object)).astype(np.uint64)
+        sig = mix(base[:, None] ^ salts[None, :]).min(axis=0)
+        for b in range(bands):
+            h = golden
+            for r in range(rows):
+                h = mix_int(h ^ int(sig[b * rows + r]))
+            key = h - (1 << 64) if h >= (1 << 63) else h
+            buckets.setdefault((b, key), []).append(int(doc_id))
+    pairs = set()
+    for ids in buckets.values():
+        ids = sorted(set(ids))
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    df = pd.DataFrame(sorted(pairs), columns=["id_a", "id_b"])
+    return df.astype({"id_a": np.int64, "id_b": np.int64})
+
+
 def compute_emb_neardup_lsh() -> pd.DataFrame:
     """Local oracle for queries.emb_neardup_lsh: the same hyperplane-LSH
     bucketing, candidate pairing, float64 cosine and HALF_UP 6dp rounding —
@@ -718,6 +775,7 @@ COMPUTE = {
     "resume_extraction_job": compute_resume_extraction_job,
     "dedup_simhash": compute_dedup_simhash,
     "dedup_clusters": compute_dedup_clusters,
+    "dedup_minhash_pairs_fast": compute_dedup_minhash_pairs_fast,
     "emb_neardup_lsh": compute_emb_neardup_lsh,
     "ann_ivf_topk": compute_ann_ivf_topk,
     "multimodal_features": compute_multimodal_features,
@@ -734,7 +792,13 @@ COMPUTE = {
 # resolves the matching subdir at check time). dedup_clusters stays listed
 # so its union-find recompute remains available for cross-checks, though
 # the driver oracle for clusters is the live recursive-CTE SQL.
-SF_DEPENDENT = ("dedup_simhash", "dedup_clusters", "emb_neardup_lsh", "ann_ivf_topk")
+SF_DEPENDENT = (
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_minhash_pairs_fast",
+    "emb_neardup_lsh",
+    "ann_ivf_topk",
+)
 
 
 def main(only: list[str]) -> None:
