@@ -416,8 +416,12 @@ permutations with a vectorized splitmix64 salt-mix family inside one Arrow
 mapInPandas kernel, flush-bounded to ~256k shingles per vectorized emit so
 peak python memory is independent of Arrow batch size and corpus scale.
 Measured end-to-end on the 619k-doc deduped corpus at 32 cores: LSH pair
-mining 19.1s (xxhash64) -> 7.0s (fast), 2.7x. Job 2 above runs this
-family.
+mining 19.1s (xxhash64) -> 7.0s (fast), 2.7x — then 4.5s after
+cache-blocking the salt mix (column-at-a-time, in-place: ~2 MB working
+set instead of a 64 MB matrix + ~8 elementwise temporaries, which queued
+concurrent workers on DRAM bandwidth; the same change moved the clean
+2-core floor 50.2s -> 32.7s, so the low-core efficiency pair measures
+compute, not memory queueing). Job 2 above runs this family.
 
 ## Host noise: the co-tenant story, now machine-measurable
 
