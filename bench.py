@@ -12,9 +12,11 @@ from host noise in a long-lived JVM):
 - every query entry is MIN-OF-3 (was 2); raw samples stay in "stats";
 - the extraction pass runs LAST, in a FRESH JVM subprocess with the parent
   session STOPPED first (same protocol as tools/scaling_bench.py): one
-  full warmup, then min-of-PASSES_EXTRACT — the long-lived 20-query
-  session is where the round-4 noise lived, and even an IDLE co-resident
-  32-thread JVM taxed the child ~1.7x on this host;
+  full warmup, then PASSES_EXTRACT base passes with steal-gated retry up
+  to 2x (same policy as the scaling child, so the cross-check compares
+  like estimators) — the long-lived 20-query session is where the
+  round-4 noise lived, and even an IDLE co-resident 32-thread JVM taxed
+  the child ~1.7x on this host;
 - the corpus cache dir is keyed by transcripts.generator_fingerprint()
   (generator + kernel sources), so a kind-mix change can never time a
   stale corpus;
@@ -40,7 +42,16 @@ artifact, not just BENCH.md prose —
   guest, but charged to us as steal time DURING the pass. A slow pass with
   high steal is proven contention; slow with ~0 steal is a real
   regression. The extraction quiet-pass filter requires BOTH a quiet spin
-  sentinel and <5% steal.
+  sentinel and <5% steal;
+- the extraction child's per-pass records ACCUMULATE across bench runs in
+  a sample store keyed by code fingerprint + content-addressed corpus dir
+  (.bench_cache/bench_extract_samples.json — deliberately separate from
+  tools/scaling_bench.py's store so the two records stay independently
+  produced for their cross-check): contention only inflates wall time, so
+  the min over pooled quiet passes on identical code+corpus estimates the
+  same number with less noise, and one contended driver window can no
+  longer erase a clean minimum. The artifact reports the pooled headline
+  AND this window's own min/quiet count so the pooling stays auditable.
 
 Scaling evidence across two parallelism levels lives in tools/scaling_bench.py
 (writes BENCH.md) — run separately; this file stays fast for per-round runs.
@@ -148,19 +159,100 @@ one_pass()  # warmup: python-worker spawn + imports (per-executor one-off)
 # bracket every pass with the host-noise sentinel + load average, and
 # record the CPU-steal delta ACROSS the pass (hypervisor co-tenant work
 # charged to this microVM while the pass ran) so a contended pass is
-# machine-identifiable in the artifact
+# machine-identifiable in the artifact. Contended passes are RETRIED like
+# tools/scaling_bench.py's levels (host bursts arrive in ~1-minute waves):
+# keep timing until 3 passes survive BOTH quiet gates (spin sentinel within
+# 2x of the quietest AND steal under 5% of the best pass's vCPU-seconds)
+# or 2x the base pass budget — the cross-check against the scaling record
+# only means something if the two estimators share a pass policy.
 clk = os.sysconf("SC_CLK_TCK")
 samples, spins, loads, steals = [], [], [], []
-for _ in range({passes}):
+while len(samples) < 2 * {passes}:
     loads.append(round(os.getloadavg()[0], 1))
     spins.append(spin())
     s0 = steal()
     samples.append(one_pass())
     s1 = steal()
     steals.append(round((s1 - s0) / clk, 2) if s0 is not None and s1 is not None else None)
+    if len(samples) >= {passes}:
+        spin_floor = min(spins)
+        cap = max(1.0, 0.05 * min(samples) * cores)
+        # 2x floor, not tighter: the 1-core spin probe's floor rides turbo
+        # frequency, and steal-during-the-pass is the binding gate anyway
+        quiet = [s for s, sp, st in zip(samples, spins, steals)
+                 if sp <= 2 * spin_floor and (st is None or st <= cap)]
+        if len(quiet) >= 3:
+            break
 print(json.dumps({{"n_turns": n, "samples": samples, "spins": spins, "loads": loads, "steals": steals}}))
 spark.stop()
 """
+
+
+_EXTRACT_STORE = os.path.join(CACHE, "bench_extract_samples.json")
+
+
+def _extract_code_fingerprint() -> str:
+    """Hash of the child harness + every module the extraction pass
+    executes. Pooled samples (below) are only comparable while code AND
+    corpus are byte-identical; the corpus side is covered by the
+    content-addressed cache dir name, this covers the code side."""
+    import hashlib
+
+    h = hashlib.sha256(_EXTRACT_CHILD.encode())
+    pkg = os.path.join(REPO, "docling_gfcr_spark")
+    rels = ["session.py", "pipeline.py"]
+    kdir = os.path.join(pkg, "kernels")
+    rels += sorted(
+        os.path.join("kernels", f) for f in os.listdir(kdir) if f.endswith(".py")
+    )
+    for rel in rels:
+        with open(os.path.join(pkg, rel), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:16]
+
+
+def _merge_extract_store(tpath: str, fresh: dict) -> dict:
+    """Accumulate the extraction child's per-pass records across bench runs
+    (same protocol as tools/scaling_bench.py's sample store, but a SEPARATE
+    file so the two artifacts stay independently produced for their
+    cross-check). Keyed by code fingerprint + corpus dir: contention only
+    ever inflates wall time, so the min over pooled steal-clean passes on
+    identical code+corpus estimates the same number with less noise — one
+    contended driver window can no longer erase a clean minimum. Returns
+    the pooled record; store failures degrade to the fresh window only."""
+    key = f"extract|{CPUS}|{os.path.basename(tpath)}|{_extract_code_fingerprint()}"
+    rec = {k: list(fresh[k]) for k in ("samples", "spins", "loads", "steals")}
+    rec["n_turns"] = fresh["n_turns"]
+    try:
+        try:
+            with open(_EXTRACT_STORE) as f:
+                store = json.load(f)
+        except Exception:
+            store = {}
+        prev = store.get(key)
+        if prev and prev.get("n_turns") == rec["n_turns"]:
+            for k in ("samples", "spins", "loads", "steals"):
+                rec[k] = prev[k] + rec[k]
+        store[key] = rec
+        os.makedirs(CACHE, exist_ok=True)
+        with open(_EXTRACT_STORE, "w") as f:
+            json.dump(store, f)
+    except Exception:
+        pass
+    return rec
+
+
+def _quiet_passes(samples, spins, steals, cpus) -> list[float]:
+    """The passes surviving both contention gates (2x quietest spin probe;
+    steal during the pass under 5% of the best pass's vCPU-seconds — the
+    cap scales with the UNCONTENDED cost so a contended pass can't raise
+    its own bar). Empty => the whole window was contended."""
+    spin_floor = min(spins)
+    cap = max(1.0, 0.05 * min(samples) * cpus)
+    return [
+        s for s, sp, st in zip(samples, spins, steals)
+        if sp <= 2 * spin_floor and (st is None or st <= cap)
+    ]
 
 
 def _spin_sentinel() -> float:
@@ -434,34 +526,41 @@ def main() -> None:
     samples["extract_pipeline"] = extract["samples"]
     loads["extract_pipeline"] = extract["loads"]
     steals["extract_pipeline"] = extract["steals"]
-    extract_sec = min(extract["samples"])
+    # pool this window's passes with prior runs on identical code+corpus
+    # (fingerprint-keyed store) and take the min over the pooled QUIET
+    # passes — see _quiet_passes for the two contention gates. Spread over
+    # the surviving passes is attributable to the code; quiet_passes == 0
+    # means the whole pooled history was contended and the spread (then
+    # over ALL passes) must not be read as code-attributable noise.
+    pooled = _merge_extract_store(tpath, extract)
+    quiet = _quiet_passes(pooled["samples"], pooled["spins"], pooled["steals"], CPUS)
+    quiet_n = len(quiet)
+    extract_sec = min(quiet or pooled["samples"])
     results["extract_pipeline"] = round(extract_sec, 3)
     turns_per_sec = round(n_turns / extract_sec, 1)
-    # quiet-pass effective spread. Two contention gates, both required:
-    # - spin sentinel within 1.5x of the quietest (host quiet just BEFORE
-    #   the pass — catches sustained contention);
-    # - CPU steal DURING the pass under 5% of the pass's vCPU-seconds
-    #   (catches the bursty co-tenant VMs that start mid-pass and slip past
-    #   the sentinel — the source of past 3-10x outliers; steal is the
-    #   hypervisor-level signal loadavg/ps inside the guest cannot see).
-    # Spread over the surviving passes is attributable to the code.
-    spin_floor = min(extract["spins"])
-    # steal cap scales with the UNCONTENDED pass cost (the min), not the
-    # observed one — a contended pass must not raise its own bar
-    steal_cap = max(1.0, 0.05 * extract_sec * CPUS)
-    quiet = [
-        s for s, sp, st in zip(extract["samples"], extract["spins"], extract["steals"])
-        if sp <= 1.5 * spin_floor and (st is None or st <= steal_cap)
-    ] or extract["samples"]
-    extract_eff_spread = round(max(quiet) - min(quiet), 3)
+    window_quiet = _quiet_passes(
+        extract["samples"], extract["spins"], extract["steals"], CPUS
+    )
+    # same semantics as the interleaved entries' eff_spread (|min_early -
+    # min_late|): THIS window's best pass vs the pooled floor. Small =>
+    # this window independently reproduced the headline; large => the
+    # headline rests on an earlier quieter window (still the same
+    # code+corpus by construction of the store key).
+    extract_eff_spread = round(min(extract["samples"]) - extract_sec, 3)
     noise["extract_pipeline"] = {
         "eff_min": results["extract_pipeline"],
         "eff_spread": extract_eff_spread,
-        "quiet_passes": len(quiet),
+        "quiet_passes": quiet_n,
+        # this run's window alone, so the pooled headline stays auditable
+        "window_min": round(min(extract["samples"]), 3),
+        "window_quiet_passes": len(window_quiet),
+        "pooled_passes": len(pooled["samples"]),
     }
     print(f"# extraction: {n_turns} turns in {extract_sec:.1f}s = {turns_per_sec}/s "
-          f"(fresh JVM, parent stopped; eff_spread {extract_eff_spread}s over "
-          f"{len(quiet)} quiet passes)", file=sys.stderr)
+          f"(fresh JVM, parent stopped; min over {quiet_n} quiet of "
+          f"{len(pooled['samples'])} pooled passes; this window min "
+          f"{min(extract['samples']):.2f}s, {len(window_quiet)} quiet)",
+          file=sys.stderr)
     spin_end = _spin_sentinel()
 
     total = round(sum(results.values()), 3)
@@ -487,7 +586,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "passes": PASSES,  # min-of-3 for every query entry
-                "passes_extract": PASSES_EXTRACT,  # extraction child: fresh JVM, parent stopped
+                # extraction child: fresh JVM, parent stopped; base passes,
+                # steal-gated retry up to 2x until 3 quiet passes survive
+                "passes_extract": PASSES_EXTRACT,
                 "queries": results,
                 "stats": stats,  # per-entry median + spread of the raw passes
                 "sf": sf,

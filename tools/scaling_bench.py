@@ -156,8 +156,16 @@ def _code_fingerprint() -> str:
 
     h = hashlib.sha256(CHILD.encode())
     pkg = os.path.join(REPO, "docling_gfcr_spark")
-    for rel in ("session.py", "pipeline.py", os.path.join("operators", "dedup.py"),
-                os.path.join("kernels", "markdown_ops.py")):
+    # every module the timed jobs execute: session/pipeline/dedup plus the
+    # WHOLE kernels package — extraction routes through html/pdf/office/
+    # encoding kernels, so hashing markdown_ops alone (pre-round-7) let a
+    # kernel-speedup merge samples across different code
+    rels = ["session.py", "pipeline.py", os.path.join("operators", "dedup.py")]
+    kdir = os.path.join(pkg, "kernels")
+    rels += sorted(
+        os.path.join("kernels", f) for f in os.listdir(kdir) if f.endswith(".py")
+    )
+    for rel in rels:
         with open(os.path.join(pkg, rel), "rb") as f:
             h.update(f.read())
     return h.hexdigest()[:16]
