@@ -104,6 +104,8 @@ HEADLINE = [
     # round-5 ops (round 6 split the incremental entry into commit vs mine
     # below — the r5 single number couldn't attribute cost)
     "multimodal_assembled_convs",
+    # round-7 op: SemDeDup k-means + within-cluster greedy pruning
+    "semantic_dedup",
 ]
 
 # 60000 convs == tools/scaling_bench.py's corpus (same generator params,

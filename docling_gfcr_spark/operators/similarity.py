@@ -533,3 +533,155 @@ def lsh_topk_bucketed(
         .where(F.col("rank") <= k)
         .select("probe_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos"))
     )
+
+
+def semantic_dedup_cluster_kernel(
+    ids: np.ndarray, mat: np.ndarray, threshold: float
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Greedy keep-first semantic dedup inside ONE cluster (the SemDeDup
+    rule, Abbas et al. 2023: within each k-means cluster, drop every doc
+    whose cosine to an already-KEPT doc reaches the threshold; survivors are
+    processed in ascending id order, so the keeper of a near-dup set is its
+    lowest id). Greedy, not connected-components: in a chain a~b, b~c,
+    a!~c the middle doc b is dropped but c SURVIVES (its only above-threshold
+    neighbour b is not kept) — intentional, matching the published rule.
+
+    Pure numpy, shared VERBATIM by the Spark kernel (``semantic_dedup``) and
+    the fixture oracle (tools/make_fixtures.py), so every float on both sides
+    comes from the same code on the same cluster rows in the same id-sorted
+    order — bit-identical by construction.
+
+    Returns ``(sorted_ids, kept, dup_of, dup_sim)`` aligned to id-ascending
+    order; for kept rows ``dup_of = -1`` and ``dup_sim = -1.0`` (sentinels,
+    not NULLs — NULL round-trips through Arrow/parquet/DuckDB invite
+    NaN-vs-NULL hash drift). For a dropped row ``dup_of`` is the kept doc
+    with the HIGHEST cosine (ties -> lowest kept id: argmax first-occurrence
+    over kept-insertion order, which is id-ascending).
+    """
+    order = np.argsort(ids, kind="stable")
+    ids = np.asarray(ids, dtype=np.int64)[order]
+    m = np.asarray(mat, dtype=np.float64)[order]
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    n, dim = m.shape
+    kept = np.zeros(n, dtype=bool)
+    dup_of = np.full(n, -1, dtype=np.int64)
+    dup_sim = np.full(n, -1.0, dtype=np.float64)
+    # preallocated kept buffer: the per-candidate matvec is O(kept * dim)
+    # with zero reallocation — total O(C^2 * dim) per cluster, the published
+    # algorithm's cost; the CLUSTER is the parallel unit (see semantic_dedup)
+    kept_buf = np.empty((n, dim), dtype=np.float64)
+    kept_n = 0
+    for i in range(n):
+        if kept_n:
+            sims = kept_buf[:kept_n] @ m[i]
+            j = int(np.argmax(sims))
+            if sims[j] >= threshold:
+                dup_of[i] = ids[np.flatnonzero(kept)[j]]
+                dup_sim[i] = float(sims[j])
+                continue
+        kept[i] = True
+        kept_buf[kept_n] = m[i]
+        kept_n += 1
+    return ids, kept, dup_of, dup_sim
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.4,
+    seed: int = 42,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    spherical k-means over the embedding column, then greedy keep-first
+    pruning of within-cluster docs whose cosine to a kept doc reaches
+    ``threshold``. One row per input doc: ``(vec_id, cluster, kept, dup_of,
+    dup_sim)`` with ``-1``/``-1.0`` sentinels on kept rows.
+
+    Scale shape (the part that matters at 100 TB):
+    - centroids train on a fixed-size deterministic hash sample
+      (``train_ivf_centroids`` — same trainer as IVF search, so a corpus
+      can reuse one codebook for both);
+    - assignment is a single scan with the centroid matrix broadcast in the
+      UDF closure — no shuffle, no join;
+    - the ONLY Exchange is the groupBy on cluster id (co-locating each
+      cluster is inherent to within-cluster comparison);
+    - per-cluster work is O(C^2 * dim) — the published algorithm's cost —
+      so ``n_centroids`` must scale with the corpus to bound C (SemDeDup
+      runs 50k clusters on LAION-scale data; cluster count is free here,
+      the trainer caps its sample regardless). The cluster is the unit of
+      parallelism: ``applyInPandas`` hands each cluster to one worker whole
+      (per-group dispatch overhead is amortized over big groups, per the
+      grouped-pandas guidance in CLAUDE.md).
+    - ``max_cluster`` is the SKEW VALVE (same idiom as dedup's
+      ``hot_band_cap`` / ``hot_shingle_cap``): a degenerate codebook or a
+      pathologically dense direction can put a huge fraction of the corpus
+      in one cluster, handing one worker O(C^2) work. With a cap, any
+      cluster larger than it is split into ``ceil(C/max_cluster)``
+      deterministic sub-buckets (xxhash64 on the id — partitioning- and
+      engine-independent), each greedily deduped independently: bounded
+      memory and wall per task, at the documented cost of missing
+      cross-sub-bucket near-dups inside oversized clusters (recall trade,
+      exactly like the band/shingle caps). Normal-sized clusters are
+      untouched — one sub-bucket. Default None = oracle semantics.
+    """
+    cent = (
+        np.ascontiguousarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else train_ivf_centroids(
+            corpus, n_centroids, seed, iters, id_col=id_col, vec_col=vec_col
+        )
+    )
+    assign = make_ivf_assign_udf(cent, n_probe=1)
+    assigned = corpus.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+    ).withColumn("cluster", F.element_at(assign(F.col("embedding")), 1))
+
+    if max_cluster is not None:
+        # skew valve: split oversized clusters into deterministic hash
+        # sub-buckets. The per-cluster census is a tiny aggregate (one row
+        # per centroid) broadcast back onto the scan; sub-bucket count is 1
+        # for every cluster at or under the cap, so the common case is
+        # byte-identical to the uncapped path.
+        census = assigned.groupBy("cluster").agg(
+            F.ceil(F.count("*") / F.lit(int(max_cluster))).cast("int").alias("n_sub")
+        )
+        assigned = assigned.join(F.broadcast(census), "cluster").withColumn(
+            "sub", F.pmod(F.xxhash64("vec_id"), F.greatest(F.col("n_sub"), F.lit(1))).cast("int")
+        )
+        group_cols = ["cluster", "sub"]
+    else:
+        group_cols = ["cluster"]
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("kept", T.BooleanType()),
+            T.StructField("dup_of", T.LongType()),
+            T.StructField("dup_sim", T.DoubleType()),
+        ]
+    )
+
+    def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+        sids, kept, dup_of, dup_sim = semantic_dedup_cluster_kernel(ids, mat, threshold)
+        return pd.DataFrame(
+            {
+                "vec_id": sids,
+                "cluster": np.full(len(sids), int(pdf["cluster"].iloc[0]), dtype=np.int32),
+                "kept": kept,
+                "dup_of": dup_of,
+                "dup_sim": dup_sim,
+            }
+        )
+
+    return (
+        ensure_parallelism(assigned).groupBy(*group_cols).applyInPandas(dedup_cluster, schema)
+    )

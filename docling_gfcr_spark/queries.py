@@ -1331,6 +1331,19 @@ def emb_neardup_lsh(spark, sf_dir):
     return similarity.embedding_neardup_pairs(e, threshold=0.4, n_planes=6, n_tables=8)
 
 
+def semantic_dedup(spark, sf_dir):
+    """SemDeDup semantic pruning (Abbas et al. 2023): spherical k-means
+    clusters over the embedding column, greedy keep-first drop of
+    within-cluster docs at cosine >= 0.4 to a kept doc (0.4 for the same
+    reason as emb_neardup_*: the synthetic embeddings top out near 0.51).
+    One verdict row per doc. Value-checked against a local numpy fixture
+    oracle that replays the IDENTICAL shared cluster kernel
+    (similarity.semantic_dedup_cluster_kernel) without Spark."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = similarity.semantic_dedup(e, n_centroids=16, threshold=0.4)
+    return out.select("vec_id", "cluster", "kept", "dup_of", "dup_sim")
+
+
 # ---------------------------------------------------------------------------
 # extraction pipeline (non-SQL kernels -> rows-only checks)
 # ---------------------------------------------------------------------------
@@ -2716,7 +2729,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- tier 1: changed in round 7 (corpus jobs gained the batch-identity
     # guard + crash-matrix hooks; lineage missing-input classification
     # narrowed; recap_band_index distincts; transcripts grew the
-    # pdf_encrypted kind, which feeds extract_transcripts' error route) ----
+    # pdf_encrypted kind, which feeds extract_transcripts' error route;
+    # semantic_dedup is NEW in round 7 — SemDeDup-style k-means + greedy
+    # within-cluster cosine pruning, fixture-oracle value-checked) ---------
+    "semantic_dedup": semantic_dedup,
     "corpus_build_end_to_end": corpus_build_end_to_end,
     "corpus_ingest_end_to_end": corpus_ingest_end_to_end,
     "dedup_incremental_pairs": dedup_incremental_pairs,
@@ -2769,9 +2785,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunks": doc_chunks,
     "enhanced_docs": enhanced_docs,
     "order_value_percentiles": order_value_percentiles,
-    "ann_ivf_topk": ann_ivf_topk,
     "top_customer_per_nation": top_customer_per_nation,
-    "multimodal_assembled_convs": multimodal_assembled_convs,
     # -- tier 3 (past the driver's ~50-entry cap this round; every entry was
     # driver-gated hash-green in CORRECTNESS_r06.json and is re-verified by
     # the full check_oracle run each session; membership rotates back in
@@ -2779,7 +2793,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # q6/q8/q12/q13/q15/q16/q20-q22; packing + decontam + mixing via both
     # corpus gates' stages; window fns via top_customer_per_nation;
     # sessionize via events_session_window; clusters/multimodal/text via
-    # their rotated-in twins. ----------------------------------------------
+    # their rotated-in twins (multimodal_assembled_convs and ann_ivf_topk
+    # sat out to make room for the new semantic_dedup — both r6-gated, their
+    # families stay in-window via multimodal_features / ann_cosine_topk /
+    # semantic_dedup; both rotate back next round). -------------------------
+    "multimodal_assembled_convs": multimodal_assembled_convs,
+    "ann_ivf_topk": ann_ivf_topk,
     "q1_pricing_summary": q1_pricing_summary,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q3_shipping_priority": q3_shipping_priority,
@@ -2907,6 +2926,7 @@ ORACLES: dict[str, str] = {
     "dedup_clusters_star": DEDUP_CLUSTERS_SQL,
     "emb_neardup_lsh": _SF_FIXTURE_SQL.format(name="emb_neardup_lsh"),
     "ann_ivf_topk": _SF_FIXTURE_SQL.format(name="ann_ivf_topk"),
+    "semantic_dedup": _SF_FIXTURE_SQL.format(name="semantic_dedup"),
     "multimodal_features": _FIXTURE_SQL.format(name="multimodal_features"),
     "multimodal_transformed": _FIXTURE_SQL.format(name="multimodal_transformed"),
     "office_bytes_roundtrip": _FIXTURE_SQL.format(name="office_bytes_roundtrip"),

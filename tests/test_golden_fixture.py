@@ -54,6 +54,7 @@ def test_golden_optimize_matches_reference(reference_agent, golden_text):
         "dedup_minhash_pairs_fast",
         "emb_neardup_lsh",
         "ann_ivf_topk",
+        "semantic_dedup",
         "multimodal_features",
         "multimodal_transformed",
     ],
@@ -84,6 +85,7 @@ def test_oracle_fixture_is_fresh(name):
         "dedup_minhash_pairs_fast",
         "emb_neardup_lsh",
         "ann_ivf_topk",
+        "semantic_dedup",
     ],
 )
 def test_sf01_fixture_variant_is_fresh(name, monkeypatch):

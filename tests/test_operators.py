@@ -1235,3 +1235,113 @@ def test_pii_redacted_text_matches_scrub_md5(spark):
     )
     bad = joined.where(F.col("scrubbed_md5") != F.col("direct_md5")).count()
     assert bad == 0
+
+
+def test_semantic_dedup_kernel_greedy_chain():
+    """The SemDeDup rule is GREEDY keep-first, not connected components:
+    in a chain a~b, b~c, a!~c the middle doc is dropped against a, and c
+    survives because its only above-threshold neighbour (b) was not kept.
+    Also pins: id-ascending processing regardless of input order, lowest-id
+    keeper attribution, and the -1 sentinels on kept rows."""
+    r2 = 2.0 ** -0.5
+    ids = np.array([30, 10, 20], dtype=np.int64)  # deliberately unsorted
+    mat = np.array(
+        [[0.0, 1.0],   # id 30 == c
+         [1.0, 0.0],   # id 10 == a
+         [r2, r2]],    # id 20 == b : cos 0.707 to both a and c
+        dtype=np.float64,
+    )
+    sids, kept, dup_of, dup_sim = similarity.semantic_dedup_cluster_kernel(ids, mat, 0.7)
+    assert sids.tolist() == [10, 20, 30]
+    assert kept.tolist() == [True, False, True]
+    assert dup_of.tolist() == [-1, 10, -1]
+    assert dup_sim[0] == -1.0 and dup_sim[2] == -1.0
+    assert abs(dup_sim[1] - r2) < 1e-12
+
+
+def test_semantic_dedup_partition_invariance(spark):
+    """semantic_dedup must return the identical verdict table under any
+    input partitioning (the trainer's hash sample, the assignment UDF and
+    the per-cluster greedy are all partitioning-independent), and every
+    dropped row must name a KEPT doc in its own cluster as keeper."""
+    import pandas as pd
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    key = ["vec_id"]
+    want = (
+        similarity.semantic_dedup(e, n_centroids=8, threshold=0.4)
+        .toPandas().sort_values(key).reset_index(drop=True)
+    )
+    assert len(want) == e.count()  # one verdict row per doc, none dropped
+    got = (
+        similarity.semantic_dedup(e.repartition(7), n_centroids=8, threshold=0.4)
+        .toPandas().sort_values(key).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    kept_by_cluster = {
+        (r.cluster, r.vec_id) for r in want.itertuples() if r.kept
+    }
+    for r in want.itertuples():
+        if not r.kept:
+            assert (r.cluster, r.dup_of) in kept_by_cluster
+            assert r.dup_sim >= 0.4
+        else:
+            assert r.dup_of == -1 and r.dup_sim == -1.0
+
+
+def test_semantic_dedup_max_cluster_skew_valve(spark):
+    """A planted mega-cluster (160 identical-direction vectors) with
+    max_cluster=50 must be split into deterministic hash sub-buckets: every
+    doc still gets exactly one verdict row, each sub-bucket keeps its own
+    lowest id (so kept count for the hot cluster rises from 1 to the number
+    of non-empty sub-buckets), and normal-sized clusters are byte-identical
+    to the uncapped path."""
+    import pandas as pd
+
+    dim = 8
+    cents = np.zeros((4, dim))
+    for c in range(4):
+        cents[c, c] = 1.0
+    rows = []
+    for i in range(160):  # mega cluster: all exactly centroid-0 direction
+        rows.append((i, [1.0] + [0.0] * (dim - 1)))
+    for i in range(40):  # background: 40 docs spread over clusters 1-3
+        v = [0.0] * dim
+        v[1 + i % 3] = 1.0
+        v[4 + i % 4] = 0.01 * (i + 1)  # distinct, below-threshold spread
+        rows.append((160 + i, v))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    kw = dict(threshold=0.9, centroids=cents)
+    uncapped = similarity.semantic_dedup(e, **kw).toPandas()
+    capped = (
+        similarity.semantic_dedup(e, max_cluster=50, **kw)
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert len(capped) == 200  # one verdict per doc, none lost to the split
+
+    hot_un = uncapped[uncapped.cluster == 0]
+    hot_cap = capped[capped.cluster == 0]
+    assert int(hot_un.kept.sum()) == 1  # uncapped: one keeper for the clones
+    # capped: ceil(160/50)=4 hash sub-buckets; each keeps its own first doc
+    n_kept = int(hot_cap.kept.sum())
+    assert 2 <= n_kept <= 4
+    kept_ids = set(hot_cap[hot_cap.kept].vec_id)
+    for r in hot_cap.itertuples():
+        if not r.kept:
+            assert r.dup_of in kept_ids and r.dup_sim >= 0.9
+
+    # background clusters (all under the cap): identical verdicts both ways
+    bg_cols = ["vec_id", "cluster", "kept", "dup_of", "dup_sim"]
+    pd.testing.assert_frame_equal(
+        capped[capped.cluster != 0][bg_cols].reset_index(drop=True),
+        uncapped[uncapped.cluster != 0]
+        .sort_values("vec_id")[bg_cols].reset_index(drop=True),
+    )
+
+    # determinism under partitioning, cap active
+    again = (
+        similarity.semantic_dedup(e.repartition(9), max_cluster=50, **kw)
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(again, capped)

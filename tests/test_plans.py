@@ -306,3 +306,24 @@ def test_q6_filters_pushed_and_columns_pruned(spark):
     schema = scan.split("ReadSchema:")[1]
     assert "l_extendedprice" in schema and "l_returnflag" not in schema
     assert p.count("Exchange") - p.count("ReusedExchange") == 1  # partial->final agg only
+
+
+def test_semantic_dedup_single_cluster_exchange(spark):
+    """semantic_dedup's scale shape: centroid assignment is a broadcast-free
+    scan (the codebook rides in the UDF closure), and the ONLY Exchange is
+    the cluster-id groupBy that co-locates each cluster for the greedy
+    kernel — no joins, no second vector shuffle, no global sort."""
+    import numpy as np
+
+    from docling_gfcr_spark.operators import similarity
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    # precomputed codebook isolates the SCORING plan (training is a separate,
+    # sample-bounded job at 100 TB anyway)
+    cent = similarity.train_ivf_centroids(e, n_centroids=8)
+    p = plan_of(similarity.semantic_dedup(e, threshold=0.4, centroids=cent))
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert "Sort " not in p or "SortAggregate" not in p  # no global sort
+    assert "FlatMapGroupsInPandas" in p or "FlatMapGroupsInArrow" in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in p and "Exchange SinglePartition" not in p

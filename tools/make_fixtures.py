@@ -768,6 +768,65 @@ def compute_corpus_ingest_end_to_end() -> pd.DataFrame:
     return df
 
 
+def compute_semantic_dedup() -> pd.DataFrame:
+    """Local oracle for queries.semantic_dedup: the trainer's md5-threshold
+    sample rule + shared spherical_kmeans + argmax assignment (n_probe=1 —
+    same first-occurrence tie rule as the Spark assign UDF's stable argsort),
+    then per cluster the IDENTICAL shared greedy kernel
+    (similarity.semantic_dedup_cluster_kernel) — bit-identical floats by
+    construction."""
+    import duckdb
+    import hashlib as _hashlib
+
+    from docling_gfcr_spark.operators.similarity import (
+        semantic_dedup_cluster_kernel,
+        spherical_kmeans,
+    )
+
+    n_centroids, threshold, seed, iters = 16, 0.4, 42, 10
+    emb = duckdb.connect().execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{ORACLE_SF}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchdf()
+    ids = emb["vec_id"].to_numpy(dtype=np.int64)
+    m = np.asarray([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    sample_limit = 20_000
+    fraction = min(1.0, 1.2 * sample_limit / max(len(ids), 1))
+    if fraction < 1.0:
+        thr = format(min(int(fraction * 2**32), 2**32 - 1), "08x")
+        keep = np.array(
+            [_hashlib.md5(f"ivf:{int(i)}".encode()).hexdigest()[:8] < thr for i in ids]
+        )
+        sample = m[keep][:sample_limit]
+    else:
+        sample = m[:sample_limit]
+    cent = spherical_kmeans(sample, n_centroids, seed, iters)
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    cluster = np.argmax(mn @ cent.T, axis=1)
+    rows = []
+    for c in sorted(set(cluster.tolist())):
+        idx = np.flatnonzero(cluster == c)
+        sids, kept, dup_of, dup_sim = semantic_dedup_cluster_kernel(
+            ids[idx], m[idx], threshold
+        )
+        for i in range(len(sids)):
+            rows.append(
+                {
+                    "vec_id": sids[i],
+                    "cluster": np.int32(c),
+                    "kept": bool(kept[i]),
+                    "dup_of": dup_of[i],
+                    "dup_sim": dup_sim[i],
+                }
+            )
+    df = pd.DataFrame(rows).sort_values("vec_id").reset_index(drop=True)
+    df["vec_id"] = df["vec_id"].astype(np.int64)
+    df["cluster"] = df["cluster"].astype(np.int32)
+    df["kept"] = df["kept"].astype(bool)
+    df["dup_of"] = df["dup_of"].astype(np.int64)
+    df["dup_sim"] = df["dup_sim"].astype(np.float64)
+    return df
+
+
 COMPUTE = {
     "extract_transcripts": compute_extract_transcripts,
     "extract_assembled_convs": compute_extract_assembled_convs,
@@ -778,6 +837,7 @@ COMPUTE = {
     "dedup_minhash_pairs_fast": compute_dedup_minhash_pairs_fast,
     "emb_neardup_lsh": compute_emb_neardup_lsh,
     "ann_ivf_topk": compute_ann_ivf_topk,
+    "semantic_dedup": compute_semantic_dedup,
     "multimodal_features": compute_multimodal_features,
     "multimodal_transformed": compute_multimodal_transformed,
     "office_bytes_roundtrip": compute_office_bytes_roundtrip,
@@ -798,6 +858,7 @@ SF_DEPENDENT = (
     "dedup_minhash_pairs_fast",
     "emb_neardup_lsh",
     "ann_ivf_topk",
+    "semantic_dedup",
 )
 
 

@@ -90,6 +90,19 @@ def main() -> None:
             similarity.embedding_neardup_pairs(emb, threshold=0.4, n_planes=4, n_tables=4),
         ),
         (
+            "Semantic dedup (SemDeDup greedy pruning)",
+            "Centroid assignment is a scan-side ArrowEvalPython (codebook in "
+            "the UDF closure — no join); the ONLY Exchange is the cluster-id "
+            "groupBy into FlatMapGroupsInPandas running the shared greedy "
+            "kernel. Pinned by "
+            "test_plans::test_semantic_dedup_single_cluster_exchange.",
+            similarity.semantic_dedup(
+                emb,
+                threshold=0.4,
+                centroids=similarity.train_ivf_centroids(emb, n_centroids=8),
+            ),
+        ),
+        (
             "As-of join (pure Catalyst)",
             "Union of both sides -> one shuffle + one sort -> window "
             "last(ignorenulls); zero Python workers anywhere.",
