@@ -302,16 +302,40 @@ def spherical_kmeans(m: np.ndarray, n_centroids: int, seed: int = 42, iters: int
 def make_ivf_assign_udf(centroids: np.ndarray, n_probe: int = 1):
     """Nearest-centroid id(s) per vector: ``n_probe`` clusters, best first.
     Argmax/argsort ties resolve to the lowest centroid id (numpy stable
-    behaviour) — deterministic across runs and engines."""
+    behaviour) — deterministic across runs and engines.
+
+    Dirty rows (NULL embedding, wrong length) must degrade, not kill the
+    Spark task: they assign to the ``[-1]`` sentinel cluster, which no probe
+    ever visits and which semantic_dedup passes through as kept. The clean
+    batch takes the original all-rows numpy path unchanged (same shapes,
+    same gemm — bit-identical to the pre-guard code), so oracle paths are
+    unaffected; only a batch that actually contains a dirty row pays the
+    per-row validity scan."""
     cent = np.ascontiguousarray(centroids, dtype=np.float64)
+    dim = cent.shape[1]
+
+    def _order(m: np.ndarray) -> np.ndarray:
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ cent.T
+        return np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def assign(vecs: pd.Series) -> pd.Series:
-        m = np.asarray(vecs.tolist(), dtype=np.float64)
-        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        sims = m @ cent.T
-        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
-        return pd.Series([row.astype(np.int32).tolist() for row in order])
+        lst = vecs.tolist()
+        try:
+            m = np.asarray(lst, dtype=np.float64)
+            if m.ndim == 2 and m.shape[1] == dim:
+                order = _order(m)
+                return pd.Series([row.astype(np.int32).tolist() for row in order])
+        except (ValueError, TypeError):
+            pass  # ragged / NULL rows — fall through to the masked path
+        valid = np.array([v is not None and len(v) == dim for v in lst])
+        out = [[-1]] * len(lst)
+        if valid.any():
+            order = _order(np.asarray([lst[i] for i in np.flatnonzero(valid)], dtype=np.float64))
+            for j, i in enumerate(np.flatnonzero(valid)):
+                out[i] = order[j].astype(np.int32).tolist()
+        return pd.Series(out)
 
     return assign
 
@@ -670,6 +694,20 @@ def semantic_dedup(
 
     def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        if int(pdf["cluster"].iloc[0]) < 0:
+            # the assign UDF's dirty-row sentinel cluster (NULL / ragged
+            # embeddings): un-dedupable, but the verdict table still owes one
+            # row per doc — pass through KEPT, never drop, never crash
+            sids = np.sort(ids)
+            return pd.DataFrame(
+                {
+                    "vec_id": sids,
+                    "cluster": np.full(len(sids), -1, dtype=np.int32),
+                    "kept": np.ones(len(sids), dtype=bool),
+                    "dup_of": np.full(len(sids), -1, dtype=np.int64),
+                    "dup_sim": np.full(len(sids), -1.0, dtype=np.float64),
+                }
+            )
         mat = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
         sids, kept, dup_of, dup_sim = semantic_dedup_cluster_kernel(ids, mat, threshold)
         return pd.DataFrame(

@@ -1345,3 +1345,37 @@ def test_semantic_dedup_max_cluster_skew_valve(spark):
         .toPandas().sort_values("vec_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(again, capped)
+
+
+def test_semantic_dedup_dirty_embeddings_pass_through(spark):
+    """NULL or wrong-length embeddings must not kill the job OR drop rows:
+    the assign UDF routes them to the -1 sentinel cluster and semantic_dedup
+    passes them through kept. Clean rows' verdicts are unchanged vs a run
+    on the clean subset alone."""
+    import pandas as pd
+
+    dim = 4
+    cents = np.eye(2, dim)
+    clean = [(i, [float(i % 2 == 0), float(i % 2), 0.05 * i, 0.0]) for i in range(20)]
+    dirty = [(100, None), (101, []), (102, [1.0, 2.0])]  # NULL / empty / ragged
+    e = spark.createDataFrame(clean + dirty, "vec_id long, embedding array<double>")
+
+    got = (
+        similarity.semantic_dedup(e, threshold=0.9, centroids=cents)
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert len(got) == 23  # every doc has a verdict row
+    d = got[got.vec_id >= 100]
+    assert (d.cluster == -1).all() and d.kept.all()
+    assert (d.dup_of == -1).all() and (d.dup_sim == -1.0).all()
+
+    want = (
+        similarity.semantic_dedup(
+            spark.createDataFrame(clean, "vec_id long, embedding array<double>"),
+            threshold=0.9, centroids=cents,
+        )
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[got.vec_id < 100].reset_index(drop=True), want
+    )
