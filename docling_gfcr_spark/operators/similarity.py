@@ -652,6 +652,15 @@ def semantic_dedup(
       cross-sub-bucket near-dups inside oversized clusters (recall trade,
       exactly like the band/shingle caps). Normal-sized clusters are
       untouched — one sub-bucket. Default None = oracle semantics.
+      Honest cost note: the capped path evaluates the assignment twice
+      (the census aggregate and the grouping both derive from the assign
+      UDF — Spark recomputes shared lineage, it does not share it). The
+      census side aggregates map-side to one row per centroid, so the
+      extra cost is one more scan+assign pass, not a shuffle; a pipeline
+      that already materializes assignments (e.g. write_ivf_corpus's
+      cluster-partitioned layout) should pass ``centroids`` and group the
+      stored cluster column instead, paying the census against the
+      materialized table.
     """
     cent = (
         np.ascontiguousarray(centroids, dtype=np.float64)

@@ -1379,3 +1379,30 @@ def test_semantic_dedup_dirty_embeddings_pass_through(spark):
     pd.testing.assert_frame_equal(
         got[got.vec_id < 100].reset_index(drop=True), want
     )
+
+
+def test_semantic_dedup_drops_subset_of_exact_pairs(spark):
+    """Cross-operator consistency: every (dup_of, vec_id) drop that
+    semantic_dedup reports at threshold t must appear in the brute-force
+    cosine>=t pair list (semantic dedup only ever looks WITHIN a cluster,
+    so its drops are a subset of the global near-dup relation — if one
+    isn't, a kernel or assignment bug invented similarity)."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    t = 0.4
+    verdicts = similarity.semantic_dedup(e, n_centroids=8, threshold=t).toPandas()
+    drops = {
+        (min(r.dup_of, r.vec_id), max(r.dup_of, r.vec_id))
+        for r in verdicts.itertuples() if not r.kept
+    }
+    assert drops, "planted corpus should produce at least one drop at 0.4"
+    a = e.select(F.col("vec_id").alias("ia"), F.col("embedding").cast("array<double>").alias("va"))
+    b = e.select(F.col("vec_id").alias("ib"), F.col("embedding").cast("array<double>").alias("vb"))
+    exact = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .withColumn("cos", similarity.cosine_sim(F.col("va"), F.col("vb")))
+        .where(F.col("cos") >= t)
+        .select("ia", "ib")
+        .toPandas()
+    )
+    pairs = set(map(tuple, exact.values.tolist()))
+    assert drops <= pairs, f"invented drops: {sorted(drops - pairs)[:5]}"
