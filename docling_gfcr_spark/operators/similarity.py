@@ -285,7 +285,11 @@ def train_ivf_centroids(
 
 def spherical_kmeans(m: np.ndarray, n_centroids: int, seed: int = 42, iters: int = 10) -> np.ndarray:
     """Pure-numpy deterministic spherical k-means (shared by the Spark
-    trainer and the local fixture oracle)."""
+    trainer and the local fixture oracle). ``n_centroids`` is clamped to the
+    sample size (a tiny corpus would otherwise fail the no-replacement init
+    draw); the clamp lives HERE so the Spark trainer and every fixture
+    replay inherit the identical rule."""
+    n_centroids = max(1, min(n_centroids, len(m)))
     m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
     cent = m[rng.choice(len(m), n_centroids, replace=False)].copy()
@@ -732,3 +736,142 @@ def semantic_dedup(
     return (
         ensure_parallelism(assigned).groupBy(*group_cols).applyInPandas(dedup_cluster, schema)
     )
+
+
+def embed_texts_kernel(texts: list, dim: int = 64) -> np.ndarray:
+    """Deterministic hashing-trick bag-of-words embedding (Weinberger et al.
+    2009, the classic feature-hashing construction): each whitespace token
+    maps to ``(md5(token)[:4] % dim, sign from md5 byte 4)``, the per-doc
+    counts accumulate signed, and the row is L2-normalized (zero stays zero
+    — an empty doc embeds as the zero vector, which cosines to 0 with
+    everything and is therefore always KEPT by semantic pruning).
+
+    ORDER-INVARIANT by construction: two docs with the same token multiset
+    embed identically (cosine exactly 1.0) no matter how the tokens are
+    arranged — which is precisely the near-dup class that shingle-based
+    MinHash misses (reordering destroys k-word shingles) and the reason
+    ``semantic_prune`` exists as a stage after ``dedup_near``.
+
+    Pure numpy + hashlib, shared VERBATIM by the Spark pandas UDF and the
+    fixture oracle (tools/make_fixtures.py) — accumulation order per doc is
+    the doc's own token order, fixed regardless of Arrow batching, so both
+    sides produce bit-identical float64. Each distinct token in the batch is
+    hashed once (the fast-minhash idiom); non-strings (NULL) embed as empty.
+    """
+    import hashlib
+
+    toks_per_doc = [t.split() if isinstance(t, str) else [] for t in texts]
+    lut: dict = {}
+    for doc in toks_per_doc:
+        for tok in doc:
+            if tok not in lut:
+                h = hashlib.md5(tok.encode("utf-8", "surrogatepass")).digest()
+                lut[tok] = (int.from_bytes(h[:4], "big") % dim, 1.0 if h[4] & 1 else -1.0)
+    out = np.zeros((len(toks_per_doc), dim), dtype=np.float64)
+    for i, doc in enumerate(toks_per_doc):
+        v = out[i]
+        for tok in doc:
+            idx, sign = lut[tok]
+            v[idx] += sign
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    np.divide(out, norms, out=out, where=norms > 0)
+    return out
+
+
+def make_hashing_embed_udf(dim: int = 64):
+    """Arrow-batched pandas UDF over :func:`embed_texts_kernel` — one
+    vectorized scan, no shuffle; the slow path (per-token Python) is bounded
+    by the distinct-token LUT per batch."""
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def embed(texts: pd.Series) -> pd.Series:
+        m = embed_texts_kernel(texts.tolist(), dim)
+        return pd.Series([row.tolist() for row in m])
+
+    return embed
+
+
+def md5_surrogate_id(col) -> Column:
+    """Signed-64-bit-safe surrogate for a STRING id: the first 15 hex chars
+    of md5 (60 bits, always positive — never overflows LONG under ANSI
+    mode), via ``conv(hex, 16, 10)``. The Python twin is
+    ``int(hashlib.md5(id).hexdigest()[:15], 16)`` (fixture oracles) — md5
+    keeps the CLAUDE.md md5-only cross-engine hashing discipline.
+
+    Collision odds are birthday-bounded at 2^60: ~5e8 ids reach a 1e-1
+    aggregate collision probability, so :func:`semantic_prune` guards with a
+    count-distinct check and refuses rather than silently merging two docs.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def semantic_prune(
+    docs: DataFrame,
+    text_col: str = "conv_text",
+    id_col: str = "conv_id",
+    dim: int = 64,
+    n_centroids: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+    iters: int = 10,
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """Semantic near-dup pruning of a TEXT corpus: hashing-trick embeddings
+    (:func:`embed_texts_kernel`) -> SemDeDup (:func:`semantic_dedup`) ->
+    survivors. This is the document-level stage ``jobs/corpus_build.py``
+    mounts after ``dedup_near``: it catches token-REORDERED near-dups
+    (templated boilerplate, shuffled concatenations) whose k-word shingles
+    are disjoint, which MinHash therefore cannot pair. In production the
+    embedding column would come from a model; the operator takes any
+    ``text -> unit vector`` scan, and everything downstream (k-means,
+    within-cluster greedy pruning, the broadcast anti-join) is
+    embedding-agnostic.
+
+    Scale shape, mirroring dedup_near's (jobs/corpus_build.py):
+    - embeddings are ONE Arrow scan, localCheckpointed so the trainer's
+      count + sample scan and the assignment scan hit the materialized
+      (id, dim x float64) table instead of re-running the UDF over the full
+      text corpus 3x; the embedding blocks are freed before returning
+      (connected_components' checkpoint discipline) — only the small LOSERS
+      checkpoint outlives the call, exactly like the labels table it mirrors;
+    - the ONLY Exchange is semantic_dedup's cluster groupBy (inherent);
+    - losers (dropped docs — a small fraction, same assumption dedup_near's
+      broadcast makes) come back as a broadcast anti-join on the surrogate
+      id, so the corpus itself never shuffles.
+
+    The md5 surrogate id (string ids -> long, see :func:`md5_surrogate_id`)
+    is guarded: a collision would silently alias two docs, so the operator
+    counts distinct surrogates and refuses on mismatch (re-salt upstream ids
+    if this ever fires). Keep-first order is surrogate order — an
+    arbitrary-but-deterministic representative per near-dup set, the same
+    convention as hash-ordered packing."""
+    from docling_gfcr_spark.operators.dedup import _free_local_checkpoint
+
+    if not docs.take(1):
+        return docs
+    emb = docs.select(
+        md5_surrogate_id(F.col(id_col).cast("string")).alias("vec_id"),
+        make_hashing_embed_udf(dim)(F.col(text_col).cast("string")).alias("embedding"),
+    ).localCheckpoint()
+    try:
+        n, nd = emb.agg(F.count("*"), F.count_distinct("vec_id")).first()
+        if n != nd:
+            raise ValueError(
+                f"md5 surrogate-id collision: {n} docs -> {nd} distinct "
+                f"surrogates; semantic_prune would alias colliding docs"
+            )
+        dd = semantic_dedup(
+            emb, n_centroids=n_centroids, threshold=threshold, seed=seed,
+            iters=iters, max_cluster=max_cluster,
+        )
+        # materialize the (small) loser set NOW, while the embedding blocks
+        # are still alive — a local checkpoint truncates lineage, so a lazy
+        # plan over freed blocks could never recompute
+        losers = dd.where(~F.col("kept")).select("vec_id").localCheckpoint()
+        return docs.join(
+            F.broadcast(losers),
+            md5_surrogate_id(F.col(id_col).cast("string")) == F.col("vec_id"),
+            "left_anti",
+        )
+    finally:
+        _free_local_checkpoint(emb)

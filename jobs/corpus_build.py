@@ -54,6 +54,18 @@ STAGES: tuple[str, ...] = (
     "pack",
 )
 
+# the optional SemDeDup pass (``semantic=`` on run_corpus_build): mounted
+# AFTER dedup_near because the two catch disjoint near-dup classes —
+# MinHash pairs shingle overlap, semantic pruning pairs token-multiset /
+# embedding proximity that survives reordering (shuffled boilerplate,
+# re-templated concatenations), and running it on the already-minhash-
+# deduped corpus keeps its O(C^2) per-cluster cost off docs a cheaper
+# stage would have dropped anyway (the same reasoning as exact-before-
+# minhash stage order).
+SEMANTIC_STAGES: tuple[str, ...] = (
+    STAGES[:4] + ("dedup_semantic",) + STAGES[4:]
+)
+
 STAGE_LINEAGE_SCHEMA = (
     "run_id string, stage string, stage_idx int, status string, n_out long, "
     "committed_at double"
@@ -202,23 +214,26 @@ class _StageRunner:
         batch's docs never enter the corpus (or the band index). The ingest
         id-collision guard cannot catch that case — fresh ids are absent
         from the index, and the guard is skipped because dedup_incr is
-        'done'. A pre-fingerprint legacy dir is adopted (stamped with the
-        current input) rather than refused."""
+        'done'. The STAGE CHAIN is stamped for the same reason: resuming a
+        dir built with a different chain (e.g. with/without the optional
+        dedup_semantic stage) would silently skip or double-apply stages —
+        committed_stages is keyed by stage name only. A legacy dir missing
+        either stamp is adopted (re-stamped with the current values) rather
+        than refused."""
         from docling_gfcr_spark import lineage
 
         fp = batch_fingerprint(input_df)
+        chain = "|".join(self.stages)
         path = _batch_identity_path(self.out_dir)
+        stamped = stamped_chain = None
         try:
-            stamped = self.spark.read.parquet(path).collect()[0].fingerprint
+            row = self.spark.read.parquet(path).collect()[0]
+            stamped = row.fingerprint
+            stamped_chain = getattr(row, "stage_chain", None)
         except Exception as e:
             if not lineage.is_missing_input(e):
                 raise
-            stamped = None
-        if stamped is None:
-            self.spark.createDataFrame(
-                [(fp,)], "fingerprint string"
-            ).coalesce(1).write.mode("overwrite").parquet(path)
-        elif stamped != fp:
+        if stamped is not None and stamped != fp:
             raise ValueError(
                 f"output dir {self.out_dir!r} belongs to a different input "
                 f"batch (stamped fingerprint {stamped}, this input {fp}) — "
@@ -226,6 +241,18 @@ class _StageRunner:
                 "drop this batch's documents. Use a fresh --output per "
                 "batch."
             )
+        if stamped_chain is not None and stamped_chain != chain:
+            raise ValueError(
+                f"output dir {self.out_dir!r} was built with stage chain "
+                f"{stamped_chain!r} but this run uses {chain!r} — resuming "
+                "across a different chain would silently skip or "
+                "double-apply stages. Re-run with the original options or "
+                "use a fresh --output."
+            )
+        if stamped is None or stamped_chain is None:
+            self.spark.createDataFrame(
+                [(fp, chain)], "fingerprint string, stage_chain string"
+            ).coalesce(1).write.mode("overwrite").parquet(path)
 
     @property
     def skipped(self) -> list[str]:
@@ -321,10 +348,23 @@ def run_corpus_build(
     heldout_text_col: str = "text",
     mode: str = "agent",
     run_id: str | None = None,
+    semantic: tuple[int, int, float] | None = None,
     fail_after_stage: str | None = None,
     fail_before_commit_stage: str | None = None,
 ) -> dict:
     """Run (or resume) the full corpus build. Returns a report dict.
+
+    ``semantic=(dim, n_centroids, threshold)`` mounts the optional SemDeDup
+    pass (similarity.semantic_prune: hashing-trick embeddings -> spherical
+    k-means -> within-cluster greedy pruning) as a ninth stage after
+    dedup_near — the chain becomes ``SEMANTIC_STAGES``. It catches
+    token-REORDERED near-dups whose shingles are disjoint (MinHash-blind);
+    the stage chain is stamped into the batch identity, so resuming a dir
+    across a different ``semantic`` setting refuses instead of silently
+    skipping or double-applying stages. Build-time only: SemDeDup is a
+    global curation pass like dedup_near (an incremental twin would need a
+    standing centroid + kept-embedding index — by design the daily ingest
+    relies on the band index instead).
 
     ``fail_after_stage`` injects a crash AFTER that stage's commit — the
     resumability test hook, mirroring run_extraction_job's fail_after_wave.
@@ -341,8 +381,9 @@ def run_corpus_build(
 
     run_id = run_id or uuid.uuid4().hex[:12]
     n_hashes, bands, k, hash_fn = minhash
+    stages = SEMANTIC_STAGES if semantic else STAGES
     r = _StageRunner(
-        spark, out_dir, run_id, STAGES, fail_after_stage, fail_before_commit_stage
+        spark, out_dir, run_id, stages, fail_after_stage, fail_before_commit_stage
     )
     r.check_batch_identity(transcripts_df)
 
@@ -369,8 +410,24 @@ def run_corpus_build(
         finally:
             dedup._free_local_checkpoint(pairs)
 
+    # -- 4b (optional). semantic near dedup: embed -> SemDeDup -> survivors -
+    near_stage = "dedup_near"
+    if semantic:
+        if "dedup_semantic" not in r.done:
+            dim, n_centroids, threshold = semantic
+            from docling_gfcr_spark.operators import similarity
+
+            r.publish(
+                "dedup_semantic",
+                similarity.semantic_prune(
+                    r.read("dedup_near"), text_col="conv_text", id_col="conv_id",
+                    dim=dim, n_centroids=n_centroids, threshold=threshold,
+                ),
+            )
+        near_stage = "dedup_semantic"
+
     _run_tail_stages(
-        r, "dedup_near", heldout_df, heldout_text_col, decontam_k,
+        r, near_stage, heldout_df, heldout_text_col, decontam_k,
         mix_weights, mix_default, pack_budget,
     )
     return r.report()
@@ -591,6 +648,12 @@ def main() -> None:
         "(ingest refuses incomparable keys). fn: md5|xxhash64",
     )
     ap.add_argument("--decontam-k", type=int, default=8)
+    ap.add_argument(
+        "--semantic", default=None, metavar="DIM,K,THRESHOLD",
+        help="mount the optional SemDeDup stage after dedup_near (build "
+        "mode only): hashing-trick embedding dim, k-means centroid count, "
+        "within-cluster cosine drop threshold — e.g. 64,1024,0.95",
+    )
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--local-cores", type=int, default=0, help="local smoke mode")
     ap.add_argument("--synth-convs", type=int, default=0, help="generate synthetic input")
@@ -663,7 +726,15 @@ def main() -> None:
         decontam_k=args.decontam_k,
         heldout_text_col=args.heldout_text_col, run_id=args.run_id,
     )
+    semantic = None
+    if args.semantic:
+        sm = args.semantic.split(",")
+        if len(sm) != 3:
+            raise SystemExit("--semantic wants DIM,K,THRESHOLD")
+        semantic = (int(sm[0]), int(sm[1]), float(sm[2]))
     if args.band_table:
+        if semantic:
+            raise SystemExit("--semantic is build-mode only (see run_corpus_build)")
         report = run_corpus_ingest(
             spark, input_df, heldout_df, args.output,
             args.band_table, args.band_path,
@@ -672,7 +743,9 @@ def main() -> None:
             **common,
         )
     else:
-        report = run_corpus_build(spark, input_df, heldout_df, args.output, **common)
+        report = run_corpus_build(
+            spark, input_df, heldout_df, args.output, semantic=semantic, **common
+        )
     print(json.dumps(report))
     spark.stop()
 

@@ -754,3 +754,78 @@ def test_read_stage_lineage_propagates_non_missing_failures(spark, tmp_path, mon
     finally:
         monkeypatch.undo()
     assert real_reader is not None
+
+
+def test_corpus_build_semantic_stage_crash_windows_and_chain_guard(spark, tmp_path):
+    """The optional dedup_semantic stage under the same resume discipline as
+    the rest of the chain: crash at BOTH windows on its boundary, resume,
+    and the final packed rows must equal the no-crash semantic run's. The
+    stage must drop a planted word-REVERSED conversation that MinHash missed
+    (disjoint shingles), and the stamped stage chain must refuse a resume
+    with a different ``semantic`` setting in EITHER direction."""
+    from jobs import corpus_build
+
+    tdf = _matrix_input(spark, 8, seed=81)
+    rows = []
+    for cid in ("sem-orig-000", "sem-perm-000"):
+        for t in range(3):
+            words = [f"sw{t}_{j}" for j in range(18)]
+            txt = " ".join(words if cid == "sem-orig-000" else list(reversed(words)))
+            rows.append((cid, t, "user", txt, "plain", None))
+    tdf = tdf.unionByName(
+        spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp",
+        )
+    )
+    held = spark.createDataFrame([("nothing overlaps here at all",)], "text string")
+    kwargs = dict(
+        n_parts=2, n_waves=1, mode="cli", pack_budget=1024, semantic=(64, 4, 0.95)
+    )
+
+    base = str(tmp_path / "base")
+    corpus_build.run_corpus_build(spark, tdf, held, base, run_id="base", **kwargs)
+    want = _packed_rows(spark, base)
+    near = {
+        r.conv_id
+        for r in spark.read.parquet(
+            corpus_build.stage_dir(base, "dedup_near")
+        ).select("conv_id").collect()
+    }
+    sem = {
+        r.conv_id
+        for r in spark.read.parquet(
+            corpus_build.stage_dir(base, "dedup_semantic")
+        ).select("conv_id").collect()
+    }
+    assert {"sem-orig-000", "sem-perm-000"} <= near  # MinHash-blind pair
+    assert len(sem & {"sem-orig-000", "sem-perm-000"}) == 1  # semantic catches it
+
+    for window in ("fail_after_stage", "fail_before_commit_stage"):
+        out = str(tmp_path / window)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            corpus_build.run_corpus_build(
+                spark, tdf, held, out, run_id="w", **{window: "dedup_semantic"}, **kwargs
+            )
+        committed = set(corpus_build.committed_stages(spark, out))
+        n_done = 5 if window == "fail_after_stage" else 4
+        assert committed == set(corpus_build.SEMANTIC_STAGES[:n_done]), window
+        corpus_build.run_corpus_build(spark, tdf, held, out, run_id="fin", **kwargs)
+        assert _packed_rows(spark, out) == want, window
+        lin = corpus_build.read_stage_lineage(spark, out).toPandas()
+        assert sorted(lin.stage) == sorted(corpus_build.SEMANTIC_STAGES), window
+
+    # chain guard, both directions
+    with pytest.raises(ValueError, match="stage chain"):
+        corpus_build.run_corpus_build(
+            spark, tdf, held, base, run_id="r3",
+            **{k: v for k, v in kwargs.items() if k != "semantic"},
+        )
+    plain = str(tmp_path / "plain")
+    corpus_build.run_corpus_build(
+        spark, tdf, held, plain, run_id="p1",
+        **{k: v for k, v in kwargs.items() if k != "semantic"},
+    )
+    with pytest.raises(ValueError, match="stage chain"):
+        corpus_build.run_corpus_build(spark, tdf, held, plain, run_id="p2", **kwargs)

@@ -1406,3 +1406,127 @@ def test_semantic_dedup_drops_subset_of_exact_pairs(spark):
     )
     pairs = set(map(tuple, exact.values.tolist()))
     assert drops <= pairs, f"invented drops: {sorted(drops - pairs)[:5]}"
+
+
+def test_embed_texts_kernel_properties():
+    """Hashing-trick embedder: unit-norm rows, ORDER-INVARIANCE (the property
+    semantic_prune exists for), zero vector for empty/NULL, distinct texts
+    distinct vectors."""
+    m = similarity.embed_texts_kernel(
+        [
+            "alpha beta gamma delta.",
+            "delta. gamma beta alpha",  # same multiset, reversed
+            "alpha beta gamma delta",  # different token ('delta' vs 'delta.')
+            "completely different words here",
+            "",
+            None,
+        ],
+        dim=64,
+    )
+    assert np.allclose(np.linalg.norm(m[:4], axis=1), 1.0)
+    assert (m[0] == m[1]).all()
+    assert not (m[0] == m[2]).all()
+    assert not (m[0] == m[3]).all()
+    assert (m[4] == 0).all() and (m[5] == 0).all()
+
+
+def test_md5_surrogate_id_matches_python_twin(spark):
+    ids = ["conv-00000001", "x", "", "sem-perm-000", "äöü ✓"]
+    got = (
+        spark.createDataFrame([(i,) for i in ids], "conv_id string")
+        .select("conv_id", similarity.md5_surrogate_id(F.col("conv_id")).alias("s"))
+        .collect()
+    )
+    for r in got:
+        want = int(hashlib.md5(r.conv_id.encode("utf-8")).hexdigest()[:15], 16)
+        assert r.s == want, r.conv_id
+
+
+def test_semantic_prune_catches_what_minhash_misses(spark):
+    """The planted class semantic_prune exists for: a word-REVERSED copy has
+    an identical token multiset (embedding cosine exactly 1.0) but disjoint
+    5-word shingles, so MinHash-LSH mines NO candidate pair for it while
+    semantic_prune drops exactly one of the two. Unrelated docs survive."""
+    rows = []
+    for i in range(24):
+        rows.append((f"doc-{i:03d}", " ".join(f"w{i}_{j}" for j in range(24))))
+    orig = rows[0][1]
+    rows.append(("doc-perm", " ".join(reversed(orig.split(" ")))))
+    df = spark.createDataFrame(rows, "conv_id string, conv_text string")
+
+    pairs = dedup.minhash_lsh_pairs(
+        df, text_col="conv_text", id_col="conv_id", n_hashes=32, bands=8, k=5
+    ).collect()
+    assert not [
+        p for p in pairs if "doc-perm" in (p.id_a, p.id_b)
+    ], "reordered tokens must be MinHash-blind for this test to mean anything"
+
+    kept = {
+        r.conv_id
+        for r in similarity.semantic_prune(
+            df, n_centroids=4, threshold=0.95
+        ).collect()
+    }
+    pair = {"doc-000", "doc-perm"}
+    assert len(kept & pair) == 1  # exactly one of the twins survives
+    surr = {
+        c: int(hashlib.md5(c.encode()).hexdigest()[:15], 16) for c in pair
+    }
+    assert min(pair, key=surr.get) in kept  # keep-first = surrogate order
+    assert kept >= {f"doc-{i:03d}" for i in range(1, 24)}  # others untouched
+
+
+def test_semantic_prune_refuses_surrogate_collision(spark):
+    """Two rows with the SAME id produce one surrogate for two docs — the
+    aliasing class the count-distinct guard exists for (a real md5 collision
+    is the same condition)."""
+    df = spark.createDataFrame(
+        [("a", "x y z"), ("a", "p q r"), ("b", "m n o")],
+        "conv_id string, conv_text string",
+    )
+    with pytest.raises(ValueError, match="surrogate-id collision"):
+        similarity.semantic_prune(df, n_centroids=2, threshold=0.9)
+
+
+def test_semantic_prune_empty_input_passthrough(spark):
+    df = spark.createDataFrame([], "conv_id string, conv_text string")
+    assert similarity.semantic_prune(df).count() == 0
+
+
+def test_semantic_prune_matches_local_replay(spark):
+    """Spark semantic_prune == the pure-Python replay built from the SAME
+    shared kernels (embed_texts_kernel, spherical_kmeans,
+    semantic_dedup_cluster_kernel) — the construction the fixture oracle for
+    corpus_build_semantic uses, pinned here at operator granularity."""
+    rows = [
+        (f"d{i:02d}", " ".join(f"t{i % 7}_{j}" for j in range(10 + i % 5)))
+        for i in range(30)
+    ]
+    rows.append(("dperm", " ".join(reversed(rows[3][1].split(" ")))))
+    df = spark.createDataFrame(rows, "conv_id string, conv_text string")
+    n_centroids, threshold = 5, 0.9
+    got = sorted(
+        r.conv_id
+        for r in similarity.semantic_prune(
+            df, n_centroids=n_centroids, threshold=threshold
+        ).collect()
+    )
+
+    ids = np.array(
+        [int(hashlib.md5(c.encode()).hexdigest()[:15], 16) for c, _ in rows],
+        dtype=np.int64,
+    )
+    by_surr = {int(s): c for s, (c, _) in zip(ids, rows)}
+    m = similarity.embed_texts_kernel([t for _, t in rows], dim=64)
+    order = np.argsort(ids, kind="stable")  # trainer sorts its sample by id
+    cent = similarity.spherical_kmeans(m[order], n_centroids, seed=42, iters=10)
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    cluster = np.argmax(mn @ cent.T, axis=1)
+    want = []
+    for c in sorted(set(cluster.tolist())):
+        idx = np.flatnonzero(cluster == c)
+        sids, kept_mask, _, _ = similarity.semantic_dedup_cluster_kernel(
+            ids[idx], m[idx], threshold
+        )
+        want += [by_surr[int(s)] for s, k in zip(sids, kept_mask) if k]
+    assert got == sorted(want)
