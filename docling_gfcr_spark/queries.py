@@ -1566,6 +1566,121 @@ def corpus_build_end_to_end(spark, sf_dir):
     )
 
 
+# the planted semantic pair for corpus_build_semantic: a 3-turn plain conv
+# and its per-turn word-REVERSED twin. Identical token multisets -> the
+# hashing-trick embeddings are bit-identical (cosine exactly 1.0); disjoint
+# 5-word shingles -> MinHash mines no candidate pair. Shared verbatim with
+# the fixture replay (tools/make_fixtures.py imports this constant) so both
+# engines extract/assemble/embed the same bytes.
+SEMANTIC_PLANT_TURNS: tuple[tuple, ...] = tuple(
+    (
+        cid,
+        t,
+        "user",
+        " ".join(
+            [f"sem{t}_{j}" for j in range(18)]
+            if cid == "sem-orig-000"
+            else list(reversed([f"sem{t}_{j}" for j in range(18)]))
+        ),
+        "plain",
+    )
+    for cid in ("sem-orig-000", "sem-perm-000")
+    for t in range(3)
+)
+
+
+def corpus_build_semantic(spark, sf_dir):
+    """The corpus-build job with the OPTIONAL SemDeDup stage mounted
+    (jobs/corpus_build.py ``semantic=``) END-TO-END with an injected crash
+    at the new stage's boundary + resume, value-checked: extract ->
+    assemble -> exact dedup -> near dedup -> SEMANTIC dedup -> decontaminate
+    -> scrub -> mix -> pack (nine stages, one lineage row each).
+
+    Input: 30 deterministic conversations PLUS one whole-conversation copy
+    (exact dup), one first-turn-dropped copy (MinHash near dup), and the
+    word-REVERSED plain pair (``SEMANTIC_PLANT_TURNS``) that MinHash
+    provably cannot pair (disjoint shingles) but the order-invariant
+    hashing-trick embedding pins at cosine 1.0 — each dedup stage drops a
+    distinct planted class. run1 crashes after dedup_semantic; the heldout
+    set is drawn from the semantic survivors (hash sample, salt 'held');
+    run2 resumes and must skip the five committed stages.
+
+    Output: one row per stage crossed with the packed-table audit, same
+    shape as corpus_build_end_to_end; the fixture oracle replays the whole
+    chain — including the semantic stage via the SHARED kernels
+    (embed_texts_kernel, spherical_kmeans, semantic_dedup_cluster_kernel)
+    on md5-surrogate ids — with pure Python + DuckDB twins.
+    """
+    import shutil
+    import tempfile
+
+    from docling_gfcr_spark.operators import sampling
+    from jobs import corpus_build
+
+    out_dir = tempfile.mkdtemp(prefix="corpus_build_sem_")
+    try:
+        base = transcripts.make_transcripts(
+            spark, 30, mean_turns=5, seed=13, mega_every=25, skew_factor=8, parallelism=8
+        )
+        copies = base.where(F.col("conv_id") == "conv-00000001").withColumn(
+            "conv_id", F.concat(F.col("conv_id"), F.lit("-copy"))
+        )
+        nd = base.where(
+            (F.col("conv_id") == "conv-00000002") & (F.col("turn_idx") > 0)
+        ).withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("-nd")))
+        plant = spark.createDataFrame(
+            [(c, t, r, x, tool, None) for c, t, r, x, tool in SEMANTIC_PLANT_TURNS],
+            transcripts.SCHEMA,
+        )
+        tdf = base.unionByName(copies).unionByName(nd).unionByName(plant)
+        kwargs = dict(
+            n_parts=4, n_waves=2, mode="cli", mix_weights={"html": 0.6, "json": 0.5},
+            mix_default=1.0, pack_budget=2048, minhash=(32, 8, 5, "md5"),
+            decontam_k=8, semantic=(64, 4, 0.95),
+        )
+        placeholder = spark.createDataFrame([("",)], "text string")
+        try:
+            corpus_build.run_corpus_build(
+                spark, tdf, placeholder, out_dir, run_id="run1",
+                fail_after_stage="dedup_semantic", **kwargs
+            )
+        except RuntimeError:
+            pass  # the injected crash
+        survivors = spark.read.parquet(corpus_build.stage_dir(out_dir, "dedup_semantic"))
+        heldout = sampling.hash_sample(
+            survivors, 0.15, id_col="conv_id", salt="held"
+        ).select(F.col("conv_text").alias("text"))
+        corpus_build.run_corpus_build(
+            spark, tdf, heldout, out_dir, run_id="run2", **kwargs
+        )
+        packed = corpus_build.read_packed(spark, out_dir)
+        row_hash = _md5_digest_col(
+            F.col("conv_id"), F.col("n_tokens"),
+            F.col("tokens_before"), F.col("seq_bin"),
+        )
+        audit = packed.agg(
+            F.count("*").alias("packed_rows"),
+            F.sum("n_tokens").alias("packed_total_tokens"),
+            F.sum(row_hash).alias("packed_digest"),
+        )
+        lin = (
+            corpus_build.read_stage_lineage(spark, out_dir)
+            .where(F.col("status") == "committed")
+            .select(
+                "stage_idx", "stage", F.col("run_id").alias("committed_by"),
+                "n_out",
+            )
+        )
+        pdf = lin.crossJoin(audit).orderBy("stage_idx").toPandas()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf,
+        "stage_idx int, stage string, committed_by string, n_out long, "
+        "packed_rows long, packed_total_tokens long, packed_digest long",
+    )
+
+
 def corpus_ingest_end_to_end(spark, sf_dir):
     """The DAILY-INGEST composition (jobs/corpus_build.run_corpus_ingest)
     END-TO-END, value-checked: day 1 bootstraps the standing band index
@@ -2733,6 +2848,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # semantic_dedup is NEW in round 7 — SemDeDup-style k-means + greedy
     # within-cluster cosine pruning, fixture-oracle value-checked) ---------
     "semantic_dedup": semantic_dedup,
+    # NEW late-r7: the build job with the optional SemDeDup stage mounted
+    # (crash + resume across the new stage's boundary, value-checked)
+    "corpus_build_semantic": corpus_build_semantic,
     "corpus_build_end_to_end": corpus_build_end_to_end,
     "corpus_ingest_end_to_end": corpus_ingest_end_to_end,
     "dedup_incremental_pairs": dedup_incremental_pairs,
@@ -2930,6 +3048,7 @@ ORACLES: dict[str, str] = {
     "multimodal_features": _FIXTURE_SQL.format(name="multimodal_features"),
     "multimodal_transformed": _FIXTURE_SQL.format(name="multimodal_transformed"),
     "office_bytes_roundtrip": _FIXTURE_SQL.format(name="office_bytes_roundtrip"),
+    "corpus_build_semantic": _FIXTURE_SQL.format(name="corpus_build_semantic"),
     "corpus_build_end_to_end": _FIXTURE_SQL.format(name="corpus_build_end_to_end"),
     "corpus_ingest_end_to_end": _FIXTURE_SQL.format(name="corpus_ingest_end_to_end"),
     # no oracle (rows-only): approx_distinct_stats — HLL++/GK sketch

@@ -22,6 +22,10 @@ Stage chain and the operator each one exercises:
   3. dedup_exact   content-hash keep-first
   4. dedup_near    MinHash/LSH candidate pairs -> connected components ->
                    cluster representatives survive
+  4b. dedup_semantic (OPTIONAL, ``semantic=(dim, k, threshold)``) SemDeDup
+                   over order-invariant hashing-trick embeddings — catches
+                   token-reordered near-dups whose shingles are disjoint
+                   (MinHash-blind); chain becomes SEMANTIC_STAGES
   5. decontaminate word-8-gram overlap vs a heldout/benchmark set (broadcast)
   6. scrub         PII redaction (6 families, chained Catalyst regexps)
   7. mix           per-source md5-threshold sampling rates

@@ -327,3 +327,20 @@ def test_semantic_dedup_single_cluster_exchange(spark):
     assert "FlatMapGroupsInPandas" in p or "FlatMapGroupsInArrow" in p
     assert p.count("Exchange hashpartitioning") == 1
     assert "Exchange rangepartitioning" not in p and "Exchange SinglePartition" not in p
+
+
+def test_semantic_prune_corpus_never_shuffles(spark):
+    """semantic_prune's RETURNED plan (what the corpus-build stage writes):
+    the text corpus is filtered by a BROADCAST anti-join against the small
+    materialized loser set — the corpus side never exchanges (the embed scan
+    + cluster groupBy run inside the eager SemDeDup step, whose shape
+    test_semantic_dedup_single_cluster_exchange pins)."""
+    from docling_gfcr_spark.operators import similarity
+
+    rows = [(f"d{i:03d}", " ".join(f"x{i}_{j}" for j in range(12))) for i in range(30)]
+    rows.append(("dperm", " ".join(reversed(rows[0][1].split(" ")))))
+    df = spark.createDataFrame(rows, "conv_id string, conv_text string")
+    p = plan_of(similarity.semantic_prune(df, n_centroids=4, threshold=0.95))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "Exchange hashpartitioning" not in p  # corpus never shuffles
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p

@@ -657,6 +657,138 @@ def compute_corpus_build_end_to_end() -> pd.DataFrame:
     return df
 
 
+def _oracle_semantic(docs: dict, dim: int, n_centroids: int, threshold: float) -> dict:
+    """Semantic-dedup stage replay on a doc dict — the SHARED kernels
+    (embed_texts_kernel / spherical_kmeans / semantic_dedup_cluster_kernel)
+    over md5-surrogate ids, mirroring similarity.semantic_prune: the trainer
+    sees the full sample sorted by surrogate (fraction=1.0 at this scale),
+    assignment is argmax over normalized rows, keep-first is surrogate
+    order."""
+    import hashlib
+
+    from docling_gfcr_spark.operators.similarity import (
+        embed_texts_kernel,
+        semantic_dedup_cluster_kernel,
+        spherical_kmeans,
+    )
+
+    cids = list(docs)
+    ids = np.array(
+        [int(hashlib.md5(c.encode("utf-8")).hexdigest()[:15], 16) for c in cids],
+        dtype=np.int64,
+    )
+    assert len(set(ids.tolist())) == len(cids), "surrogate collision in oracle"
+    m = embed_texts_kernel([docs[c][1] for c in cids], dim)
+    order = np.argsort(ids, kind="stable")  # trainer sorts its sample by vec_id
+    cent = spherical_kmeans(m[order], n_centroids, seed=42, iters=10)
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    cluster = np.argmax(mn @ cent.T, axis=1)
+    by_surr = {int(s): c for s, c in zip(ids, cids)}
+    keep: set = set()
+    for c in sorted(set(cluster.tolist())):
+        idx = np.flatnonzero(cluster == c)
+        sids, kept, _, _ = semantic_dedup_cluster_kernel(ids[idx], m[idx], threshold)
+        keep |= {by_surr[int(s)] for s, k in zip(sids, kept) if k}
+    return {c: v for c, v in docs.items() if c in keep}
+
+
+def compute_corpus_build_semantic() -> pd.DataFrame:
+    """Local oracle for queries.corpus_build_semantic: the nine-stage build
+    (with the optional SemDeDup stage mounted) replayed with no Spark —
+    same machinery as compute_corpus_build_end_to_end plus
+    :func:`_oracle_semantic` between near-dedup and decontamination.
+    committed_by follows from the crash point (run1 crashes after
+    dedup_semantic; run2 resumes)."""
+    import hashlib
+
+    import duckdb
+
+    from docling_gfcr_spark import transcripts
+    from docling_gfcr_spark.queries import MINHASH_PAIRS_SQL, SEMANTIC_PLANT_TURNS
+
+    convs: dict[str, list] = {}
+    for c in range(30):
+        rows = transcripts.gen_conv_rows(13, c, mean_turns=5, mega_every=25, skew_factor=8)
+        cid = rows[0]["conv_id"]
+        convs[cid] = [(r["turn_idx"], r["tool"], r["text"]) for r in rows]
+    convs["conv-00000001-copy"] = list(convs["conv-00000001"])  # exact dup
+    convs["conv-00000002-nd"] = [t for t in convs["conv-00000002"] if t[0] > 0]
+    for cid, t, _role, text, tool in SEMANTIC_PLANT_TURNS:  # the MinHash-blind pair
+        convs.setdefault(cid, []).append((t, tool, text))
+    n_extract = sum(len(v) for v in convs.values())
+    docs = {cid: _oracle_assemble(cid, turns) for cid, turns in convs.items()}
+    n_assemble = len(docs)
+
+    docs = _oracle_exact_keep_min(docs)
+    n_exact = len(docs)
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": list(docs), "text": [docs[c][1] for c in docs]}),
+    )
+    pairs = con.execute(MINHASH_PAIRS_SQL).fetchdf()
+    assert not any(
+        "sem-" in str(a) or "sem-" in str(b)
+        for a, b in zip(pairs["id_a"], pairs["id_b"])
+    ), "the planted pair must be MinHash-blind for the stage split to mean anything"
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(str(a)), find(str(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    losers = {node for node in parent if find(node) != node}
+    docs = {cid: v for cid, v in docs.items() if cid not in losers}
+    n_near = len(docs)
+
+    docs = _oracle_semantic(docs, dim=64, n_centroids=4, threshold=0.95)
+    n_sem = len(docs)
+    assert n_sem < n_near, "the semantic stage must drop the planted twin"
+
+    held = [
+        c for c in docs
+        if hashlib.md5(f"held:{c}".encode()).hexdigest()[:8] < _hex_threshold(0.15)
+    ]
+    docs = _oracle_decontaminate(docs, held)
+    n_decon = len(docs)
+    scrub = _oracle_scrub_tokens(docs)
+    n_scrub = len(scrub)
+    mixed = _oracle_mix(scrub, {"html": 0.6, "json": 0.5})
+    n_mix = len(mixed)
+    total, digest = _oracle_pack(mixed, budget=2048)
+
+    stages = [
+        ("extract", n_extract, "run1"),
+        ("assemble", n_assemble, "run1"),
+        ("dedup_exact", n_exact, "run1"),
+        ("dedup_near", n_near, "run1"),
+        ("dedup_semantic", n_sem, "run1"),
+        ("decontaminate", n_decon, "run2"),
+        ("scrub", n_scrub, "run2"),
+        ("mix", n_mix, "run2"),
+        ("pack", n_mix, "run2"),
+    ]
+    df = pd.DataFrame(
+        [
+            {"stage_idx": i, "stage": s, "committed_by": r, "n_out": n}
+            for i, (s, n, r) in enumerate(stages)
+        ]
+    )
+    df["stage_idx"] = df["stage_idx"].astype(np.int32)
+    df["n_out"] = df["n_out"].astype(np.int64)
+    df["packed_rows"] = np.int64(n_mix)
+    df["packed_total_tokens"] = np.int64(total)
+    df["packed_digest"] = np.int64(digest)
+    return df
+
+
 def compute_corpus_ingest_end_to_end() -> pd.DataFrame:
     """Local oracle for queries.corpus_ingest_end_to_end: the two-day
     daily-ingest chain replayed with no Spark. Day 1 (bootstrap) and day 2
@@ -842,6 +974,7 @@ COMPUTE = {
     "multimodal_transformed": compute_multimodal_transformed,
     "office_bytes_roundtrip": compute_office_bytes_roundtrip,
     "corpus_build_end_to_end": compute_corpus_build_end_to_end,
+    "corpus_build_semantic": compute_corpus_build_semantic,
     "corpus_ingest_end_to_end": compute_corpus_ingest_end_to_end,
 }
 

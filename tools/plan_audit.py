@@ -103,6 +103,22 @@ def main() -> None:
             ),
         ),
         (
+            "Semantic prune (corpus-build dedup_semantic stage)",
+            "The RETURNED plan filters the text corpus by a BROADCAST "
+            "anti-join against the small materialized loser set — the "
+            "corpus side never exchanges (embed scan + cluster groupBy ran "
+            "inside the eager SemDeDup step, audited above). Pinned by "
+            "test_plans::test_semantic_prune_corpus_never_shuffles.",
+            similarity.semantic_prune(
+                docs.select(
+                    F.col("doc_id").cast("string").alias("conv_id"),
+                    F.col("text").alias("conv_text"),
+                ),
+                n_centroids=8,
+                threshold=0.95,
+            ),
+        ),
+        (
             "As-of join (pure Catalyst)",
             "Union of both sides -> one shuffle + one sort -> window "
             "last(ignorenulls); zero Python workers anywhere.",
