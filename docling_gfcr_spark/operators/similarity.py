@@ -875,3 +875,322 @@ def semantic_prune(
         )
     finally:
         _free_local_checkpoint(emb)
+
+
+# ---------------------------------------------------------------------------
+# incremental semantic dedup: the standing kept-embedding index
+# ---------------------------------------------------------------------------
+# The semantic twin of dedup.commit_minhash_bands / incremental_minhash_pairs:
+# after the initial build, a daily batch dedups semantically against the
+# KEPT docs' embeddings (cluster-bucketed standing table + a persisted
+# codebook) in O(batch) work — the corpus is never re-embedded or
+# re-clustered. Same commit discipline: params stamped on the table
+# (TBLPROPERTIES incl. a codebook digest, so keys are provably comparable),
+# survivors-then-append publish order, at-least-once append tolerated
+# (the kernel uniques committed rows by vec_id).
+
+_SEM_PARAM_KEYS = ("dim", "n_centroids", "threshold", "centroids_md5")
+
+SEM_INDEX_SCHEMA = "id string, vec_id long, cluster int, embedding array<double>"
+
+
+def centroids_digest(centroids: np.ndarray) -> str:
+    """md5 over the codebook's little-endian float64 bytes — stamped on the
+    index table so an ingest with a different codebook (which would assign
+    the same doc to a different cluster and silently dedup against the
+    wrong keepers) refuses up front."""
+    import hashlib
+
+    c = np.ascontiguousarray(centroids, dtype="<f8")
+    return hashlib.md5(c.tobytes()).hexdigest()
+
+
+def save_semantic_centroids(spark, path: str, centroids: np.ndarray) -> None:
+    """Persist the codebook next to the index (one row per centroid). The
+    codebook is trained ONCE at bootstrap and reused by every later batch —
+    retraining is a maintenance operation (like recap_band_index) because a
+    new codebook re-partitions the whole keeper space."""
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(cent)],
+        "cluster int, vector array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_semantic_centroids(spark, path: str) -> np.ndarray:
+    rows = spark.read.parquet(path).orderBy("cluster").collect()
+    return np.asarray([r.vector for r in rows], dtype=np.float64)
+
+
+def _write_semantic_params(spark, table, dim, n_centroids, threshold, cent_md5) -> None:
+    props = ", ".join(
+        f"'semantic.{key}'='{val}'"
+        for key, val in zip(_SEM_PARAM_KEYS, (dim, n_centroids, threshold, cent_md5))
+    )
+    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({props})")
+
+
+def check_semantic_params(spark, table, dim, n_centroids, threshold, cent_md5, context) -> None:
+    """Refuse incomparable index joins — the semantic twin of
+    dedup._check_signature_params. A failing properties read must raise,
+    not silently disable the guard."""
+    rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    props = {str(r.key): str(r.value) for r in rows}
+    have = {
+        key: props[f"semantic.{key}"]
+        for key in _SEM_PARAM_KEYS
+        if f"semantic.{key}" in props
+    }
+    want = dict(
+        zip(_SEM_PARAM_KEYS, (str(dim), str(n_centroids), str(threshold), str(cent_md5)))
+    )
+    if have and have != want:
+        raise ValueError(
+            f"{context}: committed semantic index {table!r} was built with "
+            f"params {have} but this call uses {want} — cluster assignments "
+            "and keep decisions would be incomparable"
+        )
+
+
+def embed_and_assign(
+    docs: DataFrame,
+    centroids: np.ndarray,
+    text_col: str = "conv_text",
+    id_col: str = "conv_id",
+    dim: int = 64,
+) -> DataFrame:
+    """One Arrow scan: ``(id, vec_id, cluster, embedding)`` for a text batch
+    — hashing-trick embedding, md5 surrogate, nearest stored centroid (the
+    codebook rides in the UDF closure; dirty rows assign to the -1 sentinel
+    cluster, which incremental verdicts pass through KEPT and the index
+    append skips)."""
+    assign = make_ivf_assign_udf(np.ascontiguousarray(centroids, dtype=np.float64), n_probe=1)
+    emb = make_hashing_embed_udf(dim)(F.col(text_col).cast("string"))
+    return docs.select(
+        F.col(id_col).cast("string").alias("id"),
+        md5_surrogate_id(F.col(id_col).cast("string")).alias("vec_id"),
+        emb.alias("embedding"),
+    ).withColumn("cluster", F.element_at(assign(F.col("embedding")), 1))
+
+
+def semantic_ingest_cluster_kernel(
+    committed_ids: np.ndarray,
+    committed_mat: np.ndarray,
+    ids: np.ndarray,
+    mat: np.ndarray,
+    threshold: float,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Greedy keep-first for one cluster's NEW docs against the cluster's
+    COMMITTED keepers: committed keepers are fixed (kept on earlier days —
+    the keep-first-by-arrival convention of dedup.keep_first_drops), new
+    docs are processed in ascending surrogate order against (committed
+    keepers + newly-kept new docs). With no committed rows this reduces to
+    EXACTLY :func:`semantic_dedup_cluster_kernel`'s loop (property-pinned).
+
+    Committed rows are uniqued by vec_id first (duplicate rows from the
+    at-least-once index append are harmless, mirroring the band table). A
+    new doc whose vec_id already appears in the committed set is its OWN
+    crash-resume copy (the append landed, the stage commit did not): that
+    committed row is excluded from its comparisons, so the resume keeps it
+    — unless its embedding DIFFERS, which can only be a cross-day surrogate
+    collision aliasing two different docs, and that raises instead of
+    silently merging them.
+
+    Returns ``(sorted_ids, kept, dup_of, dup_sim)`` with the same sentinel
+    conventions as the build kernel; ``dup_of`` may be a committed vec_id.
+    """
+    order = np.argsort(ids, kind="stable")
+    ids = np.asarray(ids, dtype=np.int64)[order]
+    m = np.asarray(mat, dtype=np.float64)[order]
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    n, dim = m.shape
+    cids = np.asarray(committed_ids, dtype=np.int64)
+    cuniq, cidx = np.unique(cids, return_index=True)  # ascending, first occurrence
+    cm = (
+        np.asarray(committed_mat, dtype=np.float64)[cidx]
+        if len(cids)
+        else np.empty((0, dim), dtype=np.float64)
+    )
+    if len(cm):
+        cm = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
+    n_c = len(cuniq)
+    kept_buf = np.empty((n_c + n, dim), dtype=np.float64)
+    kept_ids = np.empty(n_c + n, dtype=np.int64)
+    kept_buf[:n_c] = cm
+    kept_ids[:n_c] = cuniq
+    kept_n = n_c
+    kept = np.zeros(n, dtype=bool)
+    dup_of = np.full(n, -1, dtype=np.int64)
+    dup_sim = np.full(n, -1.0, dtype=np.float64)
+    for i in range(n):
+        self_j = np.searchsorted(cuniq, ids[i])
+        is_resume = self_j < n_c and cuniq[self_j] == ids[i]
+        if is_resume and not np.allclose(cm[self_j], m[i]):
+            raise ValueError(
+                f"surrogate vec_id {int(ids[i])} is committed with a DIFFERENT "
+                "embedding — cross-day md5 surrogate collision; two distinct "
+                "docs would alias. Re-salt upstream ids."
+            )
+        if kept_n:
+            sims = kept_buf[:kept_n] @ m[i]
+            if is_resume:
+                sims[self_j] = -np.inf  # own crash-resume copy is not a dup
+            j = int(np.argmax(sims))
+            if sims[j] >= threshold:
+                dup_of[i] = kept_ids[j]
+                dup_sim[i] = float(sims[j])
+                continue
+        kept[i] = True
+        kept_buf[kept_n] = m[i]
+        kept_ids[kept_n] = ids[i]
+        kept_n += 1
+    return ids, kept, dup_of, dup_sim
+
+
+def commit_semantic_index(
+    spark,
+    table: str,
+    path: str,
+    kept_assigned: DataFrame,
+    dim: int,
+    n_centroids: int,
+    threshold: float,
+    centroids: np.ndarray,
+    n_buckets: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Persist kept docs' ``(id, vec_id, cluster, embedding)`` as a
+    ``cluster``-bucketed table — the standing index daily semantic ingest
+    compares against. Sentinel-cluster rows (dirty embeddings) are never
+    indexed: they cannot be compared, so indexing them would only grow the
+    table. ``mode='append'`` adds an accepted batch's keepers (the band
+    table's commit discipline); params + codebook digest are stamped so a
+    later ingest with different params refuses."""
+    from docling_gfcr_spark import io as gio
+
+    cent_md5 = centroids_digest(centroids)
+    if mode == "append" and spark.catalog.tableExists(table):
+        check_semantic_params(
+            spark, table, dim, n_centroids, threshold, cent_md5, "commit_semantic_index"
+        )
+    rows = kept_assigned.where(F.col("cluster") >= 0).select(
+        "id", "vec_id", "cluster", "embedding"
+    )
+    gio.write_bucketed(rows, table, path, key="cluster", n_buckets=n_buckets, mode=mode)
+    _write_semantic_params(spark, table, dim, n_centroids, threshold, cent_md5)
+
+
+def incremental_semantic_verdicts(
+    spark,
+    table: str,
+    new_assigned: DataFrame,
+    threshold: float,
+    dim: int,
+    n_centroids: int,
+    centroids: np.ndarray,
+    hot_cluster_cap: int | None = None,
+    allow_missing_table: bool = False,
+) -> DataFrame:
+    """SemDeDup verdicts for a NEW batch against the standing index —
+    O(batch) embeddings plus one cogrouped pass over only the clusters the
+    batch touches. Equals ``semantic_dedup(old UNION new)`` restricted to
+    new docs with old docs given keep-first priority (the incremental
+    convention; driver-gated end-to-end in corpus_ingest_semantic).
+
+    Scale shape:
+    - the batch is embedded + assigned once (``embed_and_assign``, one Arrow
+      scan with the codebook in the closure);
+    - committed keepers are read from the ``cluster``-bucketed table, so
+      only clusters present in the batch are compared and the big side's
+      groupBy needs no exchange (bucketed layout);
+    - per-cluster work runs the shared numpy kernel
+      (:func:`semantic_ingest_cluster_kernel`) worker-side.
+
+    ``hot_cluster_cap`` is the skew valve: a cluster whose committed keeper
+    count exceeds the cap compares against only the cap LOWEST-surrogate
+    keepers (deterministic representatives — the hot_band_cap idiom), at
+    the documented recall cost inside oversized clusters. Default off.
+
+    A missing index is an ERROR unless ``allow_missing_table=True`` (the
+    first-batch bootstrap): silently deduping against nothing would commit
+    duplicates undetected. Sentinel-cluster rows (dirty embeddings) pass
+    through KEPT.
+    """
+    if spark.catalog.tableExists(table):
+        check_semantic_params(
+            spark, table, dim, n_centroids, threshold, centroids_digest(centroids),
+            "incremental_semantic_verdicts",
+        )
+        committed = spark.table(table).select("vec_id", "cluster", "embedding")
+    elif allow_missing_table:
+        committed = spark.createDataFrame([], "vec_id long, cluster int, embedding array<double>")
+    else:
+        raise ValueError(
+            f"semantic index {table!r} does not exist — pass "
+            "allow_missing_table=True only for the first-batch bootstrap"
+        )
+    cap = int(hot_cluster_cap) if hot_cluster_cap is not None else None
+    if cap is not None and cap < 1:
+        raise ValueError(f"hot_cluster_cap must be >= 1, got {cap}")
+    thr = float(threshold)
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("kept", T.BooleanType()),
+            T.StructField("dup_of", T.LongType()),
+            T.StructField("dup_sim", T.DoubleType()),
+        ]
+    )
+
+    def verdict_cluster(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if not len(right):
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in zip(
+                    ("vec_id", "cluster", "kept", "dup_of", "dup_sim"),
+                    ("int64", "int32", "bool", "int64", "float64"),
+                )}
+            )
+        cl = int(right["cluster"].iloc[0])
+        ids = right["vec_id"].to_numpy(dtype=np.int64)
+        if cl < 0:  # dirty-row sentinel: un-comparable, keep every doc
+            sids = np.sort(ids)
+            return pd.DataFrame(
+                {
+                    "vec_id": sids,
+                    "cluster": np.full(len(sids), cl, dtype=np.int32),
+                    "kept": np.ones(len(sids), dtype=bool),
+                    "dup_of": np.full(len(sids), -1, dtype=np.int64),
+                    "dup_sim": np.full(len(sids), -1.0, dtype=np.float64),
+                }
+            )
+        cids = left["vec_id"].to_numpy(dtype=np.int64) if len(left) else np.empty(0, np.int64)
+        cmat = (
+            np.asarray(left["embedding"].tolist(), dtype=np.float64)
+            if len(left)
+            else np.empty((0, 0))
+        )
+        if cap is not None and len(cids) > cap:
+            cuniq, cidx = np.unique(cids, return_index=True)
+            cuniq, cidx = cuniq[:cap], cidx[:cap]  # cap LOWEST surrogates
+            cids, cmat = cuniq, cmat[cidx]
+        mat = np.asarray(right["embedding"].tolist(), dtype=np.float64)
+        sids, kept, dup_of, dup_sim = semantic_ingest_cluster_kernel(
+            cids, cmat, ids, mat, thr
+        )
+        return pd.DataFrame(
+            {
+                "vec_id": sids,
+                "cluster": np.full(len(sids), cl, dtype=np.int32),
+                "kept": kept,
+                "dup_of": dup_of,
+                "dup_sim": dup_sim,
+            }
+        )
+
+    return (
+        committed.groupBy("cluster")
+        .cogroup(ensure_parallelism(new_assigned).groupBy("cluster"))
+        .applyInPandas(verdict_cluster, schema)
+    )

@@ -452,6 +452,13 @@ INGEST_STAGES: tuple[str, ...] = (
     "pack",
 )
 
+# optional SemDeDup pass for the DAILY ingest (``semantic=`` + ``sem_table``/
+# ``sem_path`` on run_corpus_ingest): incremental against the standing
+# kept-embedding index — O(batch) per day, the corpus is never re-embedded.
+INGEST_SEMANTIC_STAGES: tuple[str, ...] = (
+    INGEST_STAGES[:4] + ("dedup_semantic",) + INGEST_STAGES[4:]
+)
+
 
 def run_corpus_ingest(
     spark: SparkSession,
@@ -473,6 +480,10 @@ def run_corpus_ingest(
     bootstrap: bool = False,
     hot_band_cap: int | None = None,
     check_id_collision: bool = True,
+    semantic: tuple[int, int, float] | None = None,
+    sem_table: str | None = None,
+    sem_path: str | None = None,
+    sem_hot_cluster_cap: int | None = None,
     fail_after_stage: str | None = None,
     fail_before_commit_stage: str | None = None,
 ) -> dict:
@@ -499,6 +510,27 @@ def run_corpus_ingest(
     band table (otherwise a mistyped table name would silently dedup
     against nothing — dedup.incremental_minhash_pairs raises).
 
+    ``semantic=(dim, n_centroids, threshold)`` (with ``sem_table`` /
+    ``sem_path``) mounts INCREMENTAL SemDeDup as a fifth stage after
+    dedup_incr — the semantic twin of the band index: the batch is embedded
+    + assigned once against the codebook persisted at bootstrap
+    (``<sem_path>_centroids``), compared per cluster against the standing
+    kept-embedding index (similarity.incremental_semantic_verdicts;
+    committed keepers win, the keep-first-by-arrival convention), and the
+    SURVIVORS' (id, vec_id, cluster, embedding) rows are appended so
+    tomorrow's batch compares against them. Publish order inside the stage
+    mirrors dedup_incr: survivors parquet -> index append -> lineage
+    commit; a crash between append and commit re-runs the stage on resume —
+    the kernel excludes a doc's own committed copy (same vec_id, same
+    embedding) from its comparisons, so the at-least-once append is
+    harmless and the re-run reproduces identical verdicts (a same-vec_id
+    row with a DIFFERENT embedding is a cross-day surrogate collision and
+    refuses). ``sem_hot_cluster_cap`` bounds the committed keepers compared
+    per cluster (lowest-surrogate representatives — the hot_band_cap
+    idiom). The codebook is trained once on the bootstrap batch; retraining
+    is maintenance (it re-partitions the keeper space), mirrored by the
+    params + codebook digest stamped on the index table.
+
     ``check_id_collision`` (default on) enforces the incremental-dedup
     precondition that batch ids are DISJOINT from committed ids: a
     double-ingested batch would otherwise pass silently (its docs pair
@@ -513,10 +545,13 @@ def run_corpus_ingest(
     """
     from docling_gfcr_spark.operators import dedup
 
+    if semantic and not (sem_table and sem_path):
+        raise ValueError("semantic ingest needs sem_table and sem_path")
     run_id = run_id or uuid.uuid4().hex[:12]
     n_hashes, bands, k, hash_fn = minhash
+    stages = INGEST_SEMANTIC_STAGES if semantic else INGEST_STAGES
     r = _StageRunner(
-        spark, out_dir, run_id, INGEST_STAGES, fail_after_stage,
+        spark, out_dir, run_id, stages, fail_after_stage,
         fail_before_commit_stage,
     )
     r.check_batch_identity(batch_df)
@@ -585,8 +620,78 @@ def run_corpus_ingest(
         finally:
             dedup._free_local_checkpoint(banded)
 
+    # -- 4b (optional). incremental semantic dedup vs the standing index ---
+    near_stage = "dedup_incr"
+    if semantic:
+        if "dedup_semantic" not in r.done:
+            from docling_gfcr_spark.operators import similarity
+
+            dim, n_centroids, threshold = semantic
+            docs = r.read("dedup_incr")
+            cent_path = f"{sem_path.rstrip('/')}_centroids"
+            if spark.catalog.tableExists(sem_table):
+                cent = similarity.load_semantic_centroids(spark, cent_path)
+            elif bootstrap:
+                # train the codebook ONCE on the first batch; deterministic,
+                # so a crash-before-index-write resume retrains identically
+                emb = docs.select(
+                    similarity.md5_surrogate_id(
+                        F.col("conv_id").cast("string")
+                    ).alias("vec_id"),
+                    similarity.make_hashing_embed_udf(dim)(
+                        F.col("conv_text").cast("string")
+                    ).alias("embedding"),
+                )
+                cent = similarity.train_ivf_centroids(emb, n_centroids=n_centroids)
+                similarity.save_semantic_centroids(spark, cent_path, cent)
+            else:
+                raise ValueError(
+                    f"semantic index {sem_table!r} does not exist and "
+                    "bootstrap=False — a mistyped table would silently dedup "
+                    "against nothing"
+                )
+            # sign once: embeddings feed the verdicts AND (filtered to
+            # survivors) the index append
+            ea = similarity.embed_and_assign(
+                docs, cent, text_col="conv_text", id_col="conv_id", dim=dim
+            ).localCheckpoint()
+            try:
+                verdicts = similarity.incremental_semantic_verdicts(
+                    spark, sem_table, ea, threshold, dim, n_centroids, cent,
+                    hot_cluster_cap=sem_hot_cluster_cap,
+                    allow_missing_table=bootstrap,
+                )
+                losers = verdicts.where(~F.col("kept")).select("vec_id")
+                survivors = docs.join(
+                    F.broadcast(losers),
+                    similarity.md5_surrogate_id(F.col("conv_id").cast("string"))
+                    == F.col("vec_id"),
+                    "left_anti",
+                )
+
+                def _append_semantic() -> None:
+                    # same committed-truth rule as the band append: read the
+                    # WRITTEN stage, not the live plan
+                    surv = r.read("dedup_semantic").select(
+                        F.col("conv_id").cast("string").alias("id")
+                    )
+                    similarity.commit_semantic_index(
+                        spark, sem_table, sem_path,
+                        ea.join(surv, "id", "left_semi"),
+                        dim, n_centroids, threshold, cent,
+                        mode="append"
+                        if spark.catalog.tableExists(sem_table)
+                        else "overwrite",
+                    )
+                    spark.catalog.refreshTable(sem_table)
+
+                r.publish("dedup_semantic", survivors, after=_append_semantic)
+            finally:
+                dedup._free_local_checkpoint(ea)
+        near_stage = "dedup_semantic"
+
     _run_tail_stages(
-        r, "dedup_incr", heldout_df, heldout_text_col, decontam_k,
+        r, near_stage, heldout_df, heldout_text_col, decontam_k,
         mix_weights, mix_default, pack_budget,
     )
     return r.report()
@@ -654,10 +759,15 @@ def main() -> None:
     ap.add_argument("--decontam-k", type=int, default=8)
     ap.add_argument(
         "--semantic", default=None, metavar="DIM,K,THRESHOLD",
-        help="mount the optional SemDeDup stage after dedup_near (build "
-        "mode only): hashing-trick embedding dim, k-means centroid count, "
-        "within-cluster cosine drop threshold — e.g. 64,1024,0.95",
+        help="mount the optional SemDeDup stage: hashing-trick embedding "
+        "dim, k-means centroid count, within-cluster cosine drop threshold "
+        "— e.g. 64,1024,0.95. Build mode dedups the whole corpus after "
+        "dedup_near; ingest mode (add --sem-table/--sem-path) runs "
+        "INCREMENTALLY against the standing kept-embedding index",
     )
+    ap.add_argument("--sem-table", default=None, help="semantic ingest: standing kept-embedding index table")
+    ap.add_argument("--sem-path", default=None, help="semantic ingest: index table path (codebook at <path>_centroids)")
+    ap.add_argument("--sem-hot-cluster-cap", type=int, default=None, help="semantic ingest: committed-keepers-per-cluster cap (skew valve)")
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--local-cores", type=int, default=0, help="local smoke mode")
     ap.add_argument("--synth-convs", type=int, default=0, help="generate synthetic input")
@@ -736,14 +846,21 @@ def main() -> None:
         if len(sm) != 3:
             raise SystemExit("--semantic wants DIM,K,THRESHOLD")
         semantic = (int(sm[0]), int(sm[1]), float(sm[2]))
+    if bool(args.sem_table) != bool(args.sem_path):
+        raise SystemExit("--sem-table and --sem-path go together")
     if args.band_table:
-        if semantic:
-            raise SystemExit("--semantic is build-mode only (see run_corpus_build)")
+        if semantic and not args.sem_table:
+            raise SystemExit(
+                "--semantic in ingest mode needs --sem-table/--sem-path "
+                "(the standing kept-embedding index)"
+            )
         report = run_corpus_ingest(
             spark, input_df, heldout_df, args.output,
             args.band_table, args.band_path,
             bootstrap=args.bootstrap, hot_band_cap=args.hot_band_cap,
             check_id_collision=not args.allow_id_collision,
+            semantic=semantic, sem_table=args.sem_table, sem_path=args.sem_path,
+            sem_hot_cluster_cap=args.sem_hot_cluster_cap,
             **common,
         )
     else:

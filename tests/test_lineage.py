@@ -829,3 +829,109 @@ def test_corpus_build_semantic_stage_crash_windows_and_chain_guard(spark, tmp_pa
     )
     with pytest.raises(ValueError, match="stage chain"):
         corpus_build.run_corpus_build(spark, tdf, held, plain, run_id="p2", **kwargs)
+
+
+def test_corpus_ingest_semantic_stage_crash_windows(spark, tmp_path):
+    """Incremental SemDeDup in the daily ingest under the same discipline as
+    dedup_incr: two days, a day-2 word-REVERSED copy of a COMMITTED day-1
+    doc (MinHash-incremental-blind, semantic drops it), crash at BOTH
+    windows on the new stage's boundary — including the worst one, where
+    the index append landed but the lineage row didn't — and after resume
+    the DISTINCT index must hold exactly one row per surviving doc across
+    both days. The stamped chain refuses a resume without ``semantic``."""
+    from jobs import corpus_build
+
+    base = transcripts.make_transcripts(spark, 12, mean_turns=3, seed=91, parallelism=2)
+    plant = []
+    for t in range(3):
+        words = [f"pv{t}_{j}" for j in range(16)]
+        plant.append(("p-orig", t, "user", " ".join(words), "plain", None))
+        plant.append(("p-perm", t, "user", " ".join(reversed(words)), "plain", None))
+    plant_df = spark.createDataFrame(plant, transcripts.SCHEMA)
+    day1 = base.where(
+        F.col("conv_id").isin([f"conv-{i:08d}" for i in range(8)])
+    ).unionByName(plant_df.where(F.col("conv_id") == "p-orig"))
+    day2 = base.where(
+        F.col("conv_id").isin([f"conv-{i:08d}" for i in range(8, 12)])
+    ).unionByName(plant_df.where(F.col("conv_id") == "p-perm"))
+    held = spark.createDataFrame([("zz qq nothing overlaps here",)], "text string")
+
+    for window in ("fail_after_stage", "fail_before_commit_stage"):
+        bt = f"t_sis_b_{window[:9]}"
+        st = f"t_sis_s_{window[:9]}"
+        for t in (bt, st):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        root = str(tmp_path / window)
+        kwargs = dict(
+            n_parts=2, n_waves=1, mode="cli", pack_budget=1024,
+            semantic=(64, 3, 0.95), sem_table=st, sem_path=f"{root}/semidx",
+        )
+        corpus_build.run_corpus_ingest(
+            spark, day1, held, f"{root}/d1", bt, f"{root}/bands",
+            run_id="d1", bootstrap=True, **kwargs,
+        )
+        with pytest.raises(RuntimeError, match="injected crash"):
+            corpus_build.run_corpus_ingest(
+                spark, day2, held, f"{root}/d2", bt, f"{root}/bands",
+                run_id="d2a", **{window: "dedup_semantic"}, **kwargs,
+            )
+        n_done = 5 if window == "fail_after_stage" else 4
+        committed = set(corpus_build.committed_stages(spark, f"{root}/d2"))
+        assert committed == set(corpus_build.INGEST_SEMANTIC_STAGES[:n_done]), window
+        corpus_build.run_corpus_ingest(
+            spark, day2, held, f"{root}/d2", bt, f"{root}/bands",
+            run_id="d2b", **kwargs,
+        )
+        incr = {
+            r.conv_id
+            for r in spark.read.parquet(
+                corpus_build.stage_dir(f"{root}/d2", "dedup_incr")
+            ).select("conv_id").collect()
+        }
+        surv = {
+            r.conv_id
+            for r in spark.read.parquet(
+                corpus_build.stage_dir(f"{root}/d2", "dedup_semantic")
+            ).select("conv_id").collect()
+        }
+        assert "p-perm" in incr, "MinHash-incremental must miss the permuted dup"
+        assert "p-perm" not in surv, "semantic ingest must drop it"
+        n_d1 = spark.read.parquet(
+            corpus_build.stage_dir(f"{root}/d1", "dedup_semantic")
+        ).count()
+        assert spark.table(st).distinct().count() == n_d1 + len(surv), (
+            "at-least-once append must leave DISTINCT index == survivors"
+        )
+        lin = corpus_build.read_stage_lineage(spark, f"{root}/d2").toPandas()
+        assert sorted(lin.stage) == sorted(corpus_build.INGEST_SEMANTIC_STAGES)
+        assert set(lin.status) == {"committed"}
+        for t in (bt, st):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    # chain guard: resuming a semantic-ingest dir WITHOUT semantic refuses
+    bt, st = "t_sis_b_chain", "t_sis_s_chain"
+    for t in (bt, st):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    root = str(tmp_path / "chain")
+    kwargs = dict(
+        n_parts=2, n_waves=1, mode="cli", pack_budget=1024,
+        semantic=(64, 3, 0.95), sem_table=st, sem_path=f"{root}/semidx",
+    )
+    corpus_build.run_corpus_ingest(
+        spark, day1, held, f"{root}/d1", bt, f"{root}/bands",
+        run_id="d1", bootstrap=True, **kwargs,
+    )
+    with pytest.raises(ValueError, match="stage chain"):
+        corpus_build.run_corpus_ingest(
+            spark, day1, held, f"{root}/d1", bt, f"{root}/bands", run_id="d1b",
+            n_parts=2, n_waves=1, mode="cli", pack_budget=1024,
+        )
+    # missing sem_table/sem_path refuses up front
+    with pytest.raises(ValueError, match="sem_table"):
+        corpus_build.run_corpus_ingest(
+            spark, day1, held, f"{root}/dx", bt, f"{root}/bands",
+            run_id="dx", semantic=(64, 3, 0.95),
+            n_parts=2, n_waves=1, mode="cli", pack_budget=1024,
+        )
+    for t in (bt, st):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -1530,3 +1530,144 @@ def test_semantic_prune_matches_local_replay(spark):
         )
         want += [by_surr[int(s)] for s, k in zip(sids, kept_mask) if k]
     assert got == sorted(want)
+
+
+def test_semantic_ingest_kernel_empty_committed_equals_build_kernel():
+    """With no committed keepers the incremental kernel must reproduce the
+    build kernel byte-for-byte — the semantics contract that lets
+    bootstrap day 1 use the incremental path."""
+    rng = np.random.RandomState(3)
+    ids = rng.permutation(20).astype(np.int64)
+    mat = rng.randn(20, 16)
+    a = similarity.semantic_dedup_cluster_kernel(ids, mat, 0.35)
+    b = similarity.semantic_ingest_cluster_kernel(
+        np.empty(0, np.int64), np.empty((0, 16)), ids, mat, 0.35
+    )
+    for x, y in zip(a, b):
+        assert (x == y).all()
+
+
+def test_semantic_ingest_kernel_committed_priority_and_resume():
+    """Committed keepers win (keep-first-by-arrival); a new doc's OWN
+    committed copy (same vec_id, same embedding — the crash-resume window)
+    is excluded from its comparisons; a same-vec_id row with a DIFFERENT
+    embedding (cross-day surrogate collision) refuses."""
+    rng = np.random.RandomState(7)
+    ids = np.array([10, 20], dtype=np.int64)
+    mat = rng.randn(2, 8)
+    # committed keeper 5 == doc 10's vector -> 10 drops with dup_of=5
+    r = similarity.semantic_ingest_cluster_kernel(
+        np.array([5], np.int64), mat[:1].copy(), ids, mat, 0.999
+    )
+    sids, kept, dup_of, dup_sim = r
+    i = list(sids).index(10)
+    assert not kept[i] and dup_of[i] == 5 and abs(dup_sim[i] - 1.0) < 1e-12
+    # duplicate committed rows (at-least-once append) are uniqued: same result
+    r2 = similarity.semantic_ingest_cluster_kernel(
+        np.array([5, 5], np.int64), np.vstack([mat[:1], mat[:1]]), ids, mat, 0.999
+    )
+    for x, y in zip(r, r2):
+        assert (x == y).all()
+    # resume: committed contains doc 10 ITSELF -> kept, not self-dropped
+    r3 = similarity.semantic_ingest_cluster_kernel(
+        np.array([10], np.int64), mat[:1].copy(), ids, mat, 0.999
+    )
+    assert r3[1][list(r3[0]).index(10)]
+    # collision: same vec_id, different embedding
+    with pytest.raises(ValueError, match="surrogate collision|DIFFERENT"):
+        similarity.semantic_ingest_cluster_kernel(
+            np.array([10], np.int64), rng.randn(1, 8), ids, mat, 0.999
+        )
+
+
+def test_incremental_semantic_verdicts_matches_batch_union(spark, tmp_path):
+    """The incremental contract: verdicts for a day-2 batch against the
+    committed day-1 keepers == semantic_dedup over (day1 UNION day2)
+    restricted to day-2 docs, when day-1 docs all precede day-2 docs in
+    surrogate order within their clusters. Uses a planted cross-day
+    word-permuted dup (cosine exactly 1.0) plus in-batch pairs; also checks
+    the missing-table and param-mismatch refusals and the
+    hot_cluster_cap >= 1 guard."""
+    from pyspark.sql import functions as F
+
+    dim, K, thr = 64, 3, 0.95
+    d1_rows = [(f"a{i:02d}", " ".join(f"v{i}_{j}" for j in range(12))) for i in range(10)]
+    d2_rows = [(f"b{i:02d}", " ".join(f"w{i}_{j}" for j in range(12))) for i in range(5)]
+    d2_rows.append(("bperm", " ".join(reversed(d1_rows[4][1].split(" ")))))
+    d2_rows.append(("binb", d2_rows[0][1]))  # in-batch exact dup of b00
+    d1 = spark.createDataFrame(d1_rows, "conv_id string, conv_text string")
+    d2 = spark.createDataFrame(d2_rows, "conv_id string, conv_text string")
+
+    emb1 = d1.select(
+        similarity.md5_surrogate_id(F.col("conv_id")).alias("vec_id"),
+        similarity.make_hashing_embed_udf(dim)(F.col("conv_text")).alias("embedding"),
+    )
+    cent = similarity.train_ivf_centroids(emb1, n_centroids=K)
+    table = "t_isv_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        with pytest.raises(ValueError, match="does not exist"):
+            similarity.incremental_semantic_verdicts(
+                spark, table, similarity.embed_and_assign(d2, cent, dim=dim),
+                thr, dim, K, cent,
+            )
+        ea1 = similarity.embed_and_assign(d1, cent, dim=dim)
+        v1 = similarity.incremental_semantic_verdicts(
+            spark, table, ea1, thr, dim, K, cent, allow_missing_table=True
+        )
+        kept1 = v1.where(F.col("kept")).select("vec_id")
+        similarity.commit_semantic_index(
+            spark, table, str(tmp_path / "idx"),
+            ea1.join(kept1, "vec_id", "left_semi"), dim, K, thr, cent,
+        )
+        got = (
+            similarity.incremental_semantic_verdicts(
+                spark, table, similarity.embed_and_assign(d2, cent, dim=dim),
+                thr, dim, K, cent,
+            )
+            .toPandas().sort_values("vec_id").reset_index(drop=True)
+        )
+        # the planted cross-day dup must drop against the committed keeper
+        import hashlib as _h
+
+        surr = lambda c: int(_h.md5(c.encode()).hexdigest()[:15], 16)
+        drop = got[~got.kept]
+        assert surr("bperm") in set(drop.vec_id)
+        assert drop.set_index("vec_id").loc[surr("bperm"), "dup_of"] == surr("a04")
+
+        # batch-union contract (day-1 surrogates win ties by arrival, which
+        # the union replay reproduces by seeding day-1 docs as keepers)
+        emb_all = similarity.embed_texts_kernel([t for _, t in d1_rows + d2_rows], dim)
+        ids_all = np.array([surr(c) for c, _ in d1_rows + d2_rows], dtype=np.int64)
+        mn = emb_all / np.maximum(np.linalg.norm(emb_all, axis=1, keepdims=True), 1e-12)
+        cl = np.argmax(mn @ cent.T, axis=1)
+        n1 = len(d1_rows)
+        want_kept = {}
+        for c in sorted(set(cl.tolist())):
+            idx = np.flatnonzero(cl == c)
+            c_old = idx[idx < n1]
+            c_new = idx[idx >= n1]
+            if not len(c_new):
+                continue
+            # committed keepers for this cluster = day-1 docs KEPT on day 1
+            k1 = {r.vec_id for r in kept1.collect()}
+            seed = [i for i in c_old if int(ids_all[i]) in k1]
+            sids, kept, _, _ = similarity.semantic_ingest_cluster_kernel(
+                ids_all[seed], emb_all[seed], ids_all[c_new], emb_all[c_new], thr
+            )
+            want_kept.update({int(s): bool(kk) for s, kk in zip(sids, kept)})
+        got_clean = got[got.cluster >= 0]
+        assert {int(r.vec_id): bool(r.kept) for r in got_clean.itertuples()} == want_kept
+
+        with pytest.raises(ValueError, match="incomparable"):
+            similarity.incremental_semantic_verdicts(
+                spark, table, similarity.embed_and_assign(d2, cent, dim=dim),
+                0.5, dim, K, cent,
+            )
+        with pytest.raises(ValueError, match="hot_cluster_cap"):
+            similarity.incremental_semantic_verdicts(
+                spark, table, similarity.embed_and_assign(d2, cent, dim=dim),
+                thr, dim, K, cent, hot_cluster_cap=0,
+            )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

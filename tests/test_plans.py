@@ -344,3 +344,52 @@ def test_semantic_prune_corpus_never_shuffles(spark):
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
     assert "Exchange hashpartitioning" not in p  # corpus never shuffles
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_incremental_semantic_committed_side_exchange_free(spark, tmp_path):
+    """The standing kept-embedding index is cluster-bucketed: the committed
+    side of the incremental semantic cogroup must read straight from the
+    bucketed scan with NO Exchange (at 100 TB that side never shuffles —
+    only the day's batch moves), and the batch side's embed + assign UDFs
+    must fuse into ONE ArrowEvalPython."""
+    import numpy as np
+
+    from docling_gfcr_spark.operators import similarity
+    from pyspark.sql import functions as F
+
+    rows = [(f"d{i:03d}", " ".join(f"v{i}_{j}" for j in range(8))) for i in range(30)]
+    df = spark.createDataFrame(rows, "conv_id string, conv_text string")
+    dim, K, thr = 64, 4, 0.95
+    emb = df.select(
+        similarity.md5_surrogate_id(F.col("conv_id")).alias("vec_id"),
+        similarity.make_hashing_embed_udf(dim)(F.col("conv_text")).alias("embedding"),
+    )
+    cent = similarity.train_ivf_centroids(emb, n_centroids=K)
+    table = "plan_sem_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        similarity.commit_semantic_index(
+            spark, table, str(tmp_path / "idx"),
+            similarity.embed_and_assign(df, cent, dim=dim),
+            dim, K, thr, cent, n_buckets=4,
+        )
+        new = spark.createDataFrame(
+            [(f"n{i:03d}", " ".join(f"w{i}_{j}" for j in range(8))) for i in range(10)],
+            "conv_id string, conv_text string",
+        )
+        v = similarity.incremental_semantic_verdicts(
+            spark, table, similarity.embed_and_assign(new, cent, dim=dim),
+            thr, dim, K, cent,
+        )
+        lines = plan_of(v).splitlines()
+        scan_idx = [i for i, l in enumerate(lines) if "Bucketed: true" in l and table in l]
+        assert scan_idx, "committed side must scan the bucketed table"
+        cg_idx = [i for i, l in enumerate(lines) if "FlatMapCoGroupsInPandas" in l]
+        assert cg_idx and cg_idx[0] < scan_idx[0]
+        between = "\n".join(lines[cg_idx[0] + 1 : scan_idx[0]])
+        assert "Exchange" not in between, f"exchange on the committed side:\n{between}"
+        p = "\n".join(lines)
+        assert p.count("ArrowEvalPython") == 1  # embed + assign fused, batch side only
+        assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
