@@ -1681,6 +1681,148 @@ def corpus_build_semantic(spark, sf_dir):
     )
 
 
+def corpus_ingest_semantic(spark, sf_dir):
+    """The DAILY-INGEST composition with INCREMENTAL SemDeDup mounted
+    (jobs/corpus_build.run_corpus_ingest ``semantic=`` + the standing
+    kept-embedding index) END-TO-END, value-checked: day 1 bootstraps BOTH
+    standing indexes (band keys + kept embeddings, codebook trained once on
+    the bootstrap batch and persisted); day 2's batch carries an exact copy
+    of a committed day-1 doc (caught by incremental MinHash), a word-
+    REVERSED copy of a committed day-1 plain conversation
+    (``SEMANTIC_PLANT_TURNS``: disjoint shingles, so incremental MinHash is
+    provably blind to it — identical token multiset, so the committed
+    keeper pins it at cosine exactly 1.0), crashes after the new
+    dedup_semantic stage, resumes, and finishes the tail against a heldout
+    set hash-sampled from the SEMANTIC survivors.
+
+    Note the band index intentionally keeps keys for incr-survivors that
+    the semantic stage later drops: the index must remember everything
+    accepted-or-semantically-pruned, else tomorrow's re-submission of a
+    pruned doc's content would be readmitted.
+
+    Output: one row per day-2 stage (committed_by proves the crash point:
+    d2a through dedup_semantic, d2b after) crossed with the audit — day-1
+    incr survivors, band rows, DISTINCT kept-embedding index ids (= day-1 +
+    day-2 semantic survivors: the crashed run's at-least-once append never
+    double-counts), a digest over day-2 semantic-survivor ids, and the
+    packed totals. The fixture oracle replays the whole two-day chain with
+    the shared numpy kernels + DuckDB twins (tools/make_fixtures.py).
+    """
+    import shutil
+    import tempfile
+
+    from docling_gfcr_spark.operators import sampling
+    from jobs import corpus_build
+
+    root = tempfile.mkdtemp(prefix="corpus_ingest_sem_")
+    tag = root.rsplit("_", 1)[-1]
+    band_table, sem_table = f"ingest_sem_bands_{tag}", f"ingest_sem_idx_{tag}"
+    kwargs = dict(
+        n_parts=4, n_waves=2, mode="cli", mix_weights={"html": 0.6, "json": 0.5},
+        mix_default=1.0, pack_budget=2048, minhash=(32, 8, 5, "md5"),
+        decontam_k=8, semantic=(64, 4, 0.95), sem_table=sem_table,
+        sem_path=f"{root}/semidx",
+    )
+    no_overlap = spark.createDataFrame(
+        [("qq zz ww xx yy vv uu tt ss rr",)], "text string"
+    )
+    try:
+        base = transcripts.make_transcripts(
+            spark, 30, mean_turns=5, seed=13, mega_every=25, skew_factor=8, parallelism=8
+        )
+        plant = spark.createDataFrame(
+            [(c, t, r, x, tool, None) for c, t, r, x, tool in SEMANTIC_PLANT_TURNS],
+            transcripts.SCHEMA,
+        )
+        day1 = (
+            base.where(F.col("conv_id").isin([f"conv-{i:08d}" for i in range(20)]))
+            .unionByName(
+                base.where(F.col("conv_id") == "conv-00000001").withColumn(
+                    "conv_id", F.concat(F.col("conv_id"), F.lit("-copy"))
+                )
+            )
+            .unionByName(plant.where(F.col("conv_id") == "sem-orig-000"))
+        )
+        corpus_build.run_corpus_ingest(
+            spark, day1, no_overlap, f"{root}/day1", band_table, f"{root}/bands",
+            run_id="d1", bootstrap=True, **kwargs,
+        )
+        day1_surv = spark.read.parquet(
+            corpus_build.stage_dir(f"{root}/day1", "dedup_incr")
+        ).count()
+
+        day2 = (
+            base.where(F.col("conv_id").isin([f"conv-{i:08d}" for i in range(20, 30)]))
+            .unionByName(
+                base.where(F.col("conv_id") == "conv-00000002").withColumn(
+                    "conv_id", F.lit("conv-00000002-d2copy")
+                )
+            )
+            .unionByName(plant.where(F.col("conv_id") == "sem-perm-000"))
+        )
+        out2 = f"{root}/day2"
+        try:
+            corpus_build.run_corpus_ingest(
+                spark, day2, no_overlap, out2, band_table, f"{root}/bands",
+                run_id="d2a", fail_after_stage="dedup_semantic", **kwargs,
+            )
+        except RuntimeError:
+            pass  # the injected crash
+        surv2 = spark.read.parquet(corpus_build.stage_dir(out2, "dedup_semantic"))
+        heldout = sampling.hash_sample(
+            surv2, 0.25, id_col="conv_id", salt="held"
+        ).select(F.col("conv_text").alias("text"))
+        corpus_build.run_corpus_ingest(
+            spark, day2, heldout, out2, band_table, f"{root}/bands",
+            run_id="d2b", **kwargs,
+        )
+
+        id_hash = _md5_digest_col(F.col("conv_id"))
+        packed = corpus_build.read_packed(spark, out2)
+        row_hash = _md5_digest_col(
+            F.col("conv_id"), F.col("n_tokens"),
+            F.col("tokens_before"), F.col("seq_bin"),
+        )
+        audit = (
+            surv2.agg(F.sum(id_hash).alias("surv_digest"))
+            .crossJoin(
+                spark.table(band_table).agg(F.count("*").alias("band_rows"))
+            )
+            .crossJoin(
+                spark.table(sem_table).agg(
+                    F.count_distinct("vec_id").alias("sem_index_ids")
+                )
+            )
+            .crossJoin(
+                packed.agg(
+                    F.count("*").alias("packed_rows"),
+                    F.sum("n_tokens").alias("packed_total_tokens"),
+                    F.sum(row_hash).alias("packed_digest"),
+                )
+            )
+            .withColumn("day1_survivors", F.lit(day1_surv).cast("long"))
+        )
+        lin = (
+            corpus_build.read_stage_lineage(spark, out2)
+            .where(F.col("status") == "committed")
+            .select(
+                "stage_idx", "stage", F.col("run_id").alias("committed_by"), "n_out"
+            )
+        )
+        pdf = lin.crossJoin(audit).orderBy("stage_idx").toPandas()
+    finally:
+        for t in (band_table, sem_table):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf,
+        "stage_idx int, stage string, committed_by string, n_out long, "
+        "surv_digest long, band_rows long, sem_index_ids long, "
+        "packed_rows long, packed_total_tokens long, packed_digest long, "
+        "day1_survivors long",
+    )
+
+
 def corpus_ingest_end_to_end(spark, sf_dir):
     """The DAILY-INGEST composition (jobs/corpus_build.run_corpus_ingest)
     END-TO-END, value-checked: day 1 bootstraps the standing band index
@@ -2851,6 +2993,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NEW late-r7: the build job with the optional SemDeDup stage mounted
     # (crash + resume across the new stage's boundary, value-checked)
     "corpus_build_semantic": corpus_build_semantic,
+    "corpus_ingest_semantic": corpus_ingest_semantic,
     "corpus_build_end_to_end": corpus_build_end_to_end,
     "corpus_ingest_end_to_end": corpus_ingest_end_to_end,
     "dedup_incremental_pairs": dedup_incremental_pairs,
@@ -2902,6 +3045,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "office_bytes_roundtrip": office_bytes_roundtrip,
     "doc_chunks": doc_chunks,
     "enhanced_docs": enhanced_docs,
+    # (order_value_percentiles / top_customer_per_nation slipped past the
+    # ~50 cap when the two late-r7 semantic corpus gates joined tier 1 —
+    # both r6-gated; their families stay in-window via approx_distinct_stats
+    # and latest_order_per_customer; they rotate back next round)
     "order_value_percentiles": order_value_percentiles,
     "top_customer_per_nation": top_customer_per_nation,
     # -- tier 3 (past the driver's ~50-entry cap this round; every entry was
@@ -3049,6 +3196,7 @@ ORACLES: dict[str, str] = {
     "multimodal_transformed": _FIXTURE_SQL.format(name="multimodal_transformed"),
     "office_bytes_roundtrip": _FIXTURE_SQL.format(name="office_bytes_roundtrip"),
     "corpus_build_semantic": _FIXTURE_SQL.format(name="corpus_build_semantic"),
+    "corpus_ingest_semantic": _FIXTURE_SQL.format(name="corpus_ingest_semantic"),
     "corpus_build_end_to_end": _FIXTURE_SQL.format(name="corpus_build_end_to_end"),
     "corpus_ingest_end_to_end": _FIXTURE_SQL.format(name="corpus_ingest_end_to_end"),
     # no oracle (rows-only): approx_distinct_stats — HLL++/GK sketch

@@ -314,6 +314,126 @@ def stream_ingest_neardup(
     return writer.start()
 
 
+def stream_ingest_semantic(
+    spark: SparkSession,
+    input_dir: str,
+    sem_table: str,
+    sem_path: str,
+    out_dir: str,
+    schema: str = "doc_id long, text string",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    n_centroids: int = 16,
+    threshold: float = 0.95,
+    hot_cluster_cap: int | None = None,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """STREAMING semantic (SemDeDup) ingest — the semantic twin of
+    :func:`stream_ingest_neardup`, running
+    ``similarity.incremental_semantic_verdicts`` continuously against the
+    standing kept-embedding index. Each micro-batch:
+
+    1. embeds + assigns the batch once (hashing-trick embeddings, codebook
+       in the UDF closure — the codebook is trained on the FIRST batch and
+       persisted at ``<sem_path>_centroids``; every later batch loads it,
+       digest-checked against the index stamp);
+    2. compares per cluster against (committed keepers + the batch itself),
+       committed keepers winning — keep-first by arrival;
+    3. writes surviving docs under ``part_id=<batch_id>`` with dynamic
+       partition overwrite (exactly-once outputs over at-least-once
+       delivery);
+    4. APPENDS the survivors' (id, vec_id, cluster, embedding) rows to the
+       index so later batches compare against them.
+
+    Replay safety mirrors the batch job: a replayed batch's committed
+    copies share their surrogate vec_ids and the kernel self-excludes them
+    (same embedding), so re-checking is a no-op; a same-vec_id row with a
+    different embedding is a cross-day surrogate collision and fails the
+    batch instead of silently aliasing docs.
+
+    Returns the started StreamingQuery (caller drains/stops it).
+    """
+    import numpy as np
+
+    from docling_gfcr_spark.operators import similarity
+    from docling_gfcr_spark.operators.dedup import _free_local_checkpoint
+
+    cent_path = f"{sem_path.rstrip('/')}_centroids"
+    cent_cache: list = []  # the codebook is immutable once trained
+
+    def _codebook(batch_df: DataFrame) -> np.ndarray:
+        if cent_cache:
+            return cent_cache[0]
+        if spark.catalog.tableExists(sem_table):
+            cent = similarity.load_semantic_centroids(spark, cent_path)
+        else:  # first batch: train once, persist beside the index
+            emb = batch_df.select(
+                similarity.md5_surrogate_id(F.col(id_col).cast("string")).alias("vec_id"),
+                similarity.make_hashing_embed_udf(dim)(
+                    F.col(text_col).cast("string")
+                ).alias("embedding"),
+            )
+            cent = similarity.train_ivf_centroids(emb, n_centroids=n_centroids)
+            similarity.save_semantic_centroids(spark, cent_path, cent)
+        cent_cache.append(cent)
+        return cent
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.dropDuplicates([id_col])
+        cent = _codebook(batch_df)
+        # embed + assign ONCE: feeds the verdicts AND (filtered to
+        # survivors) the index append
+        ea = similarity.embed_and_assign(
+            batch_df, cent, text_col=text_col, id_col=id_col, dim=dim
+        ).localCheckpoint()
+        try:
+            verdicts = similarity.incremental_semantic_verdicts(
+                spark, sem_table, ea, threshold, dim, n_centroids, cent,
+                hot_cluster_cap=hot_cluster_cap,
+                allow_missing_table=True,  # first-batch bootstrap
+            )
+            losers = verdicts.where(~F.col("kept")).select("vec_id")
+            survivors = batch_df.join(
+                F.broadcast(losers),
+                similarity.md5_surrogate_id(F.col(id_col).cast("string"))
+                == F.col("vec_id"),
+                "left_anti",
+            )
+            (
+                survivors.withColumn("part_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("part_id")
+                .parquet(out_dir)
+            )
+            surv_ea = ea.join(
+                survivors.select(F.col(id_col).cast("string").alias("id")).distinct(),
+                "id",
+                "left_semi",
+            )
+            similarity.commit_semantic_index(
+                spark, sem_table, sem_path, surv_ea, dim, n_centroids, threshold,
+                cent,
+                mode="append" if spark.catalog.tableExists(sem_table) else "overwrite",
+            )
+            # the append ran in foreachBatch's CLONED session; refresh the
+            # OUTER session's relation cache or the next batch compares
+            # against a stale file listing (same gotcha as the band index)
+            spark.catalog.refreshTable(sem_table)
+        finally:
+            _free_local_checkpoint(ea)
+
+    src = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger is not None:
+        src = src.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    writer = src.load(input_dir).writeStream.foreachBatch(commit_batch)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )

@@ -529,7 +529,11 @@ def run_corpus_ingest(
     per cluster (lowest-surrogate representatives — the hot_band_cap
     idiom). The codebook is trained once on the bootstrap batch; retraining
     is maintenance (it re-partitions the keeper space), mirrored by the
-    params + codebook digest stamped on the index table.
+    params + codebook digest stamped on the index table. Note the BAND
+    index still receives every dedup_incr survivor's keys — including docs
+    the semantic stage then prunes — intentionally: the index must remember
+    everything accepted-or-pruned, else tomorrow's re-submission of a
+    pruned doc's content would be readmitted.
 
     ``check_id_collision`` (default on) enforces the incremental-dedup
     precondition that batch ids are DISJOINT from committed ids: a

@@ -384,3 +384,85 @@ def test_commit_minhash_bands_hot_band_cap(spark, tmp_path):
     # the new dup pairs with the representatives (not all 60 members)
     assert len(pairs) >= 1 and all(b == 200 for b in pairs.id_b)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_stream_ingest_semantic_keep_first(spark, tmp_path):
+    """Continuous SEMANTIC ingest: batch docs whose token multiset matches a
+    committed doc (word-REVERSED — MinHash-blind, cosine exactly 1.0) are
+    dropped, committed keepers winning; survivors land exactly-once under
+    part_id=<batch_id> and their embeddings join the committed index for
+    the NEXT batch (pins the cross-batch index refresh). The codebook is
+    trained on batch 0 and reused by every later batch."""
+    import time
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def txt(i):
+        return " ".join(f"s{i}_{j}" for j in range(20))
+
+    def rev(t):
+        return " ".join(reversed(t.split(" ")))
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # batch 0: doc2 = reversed doc1 (in-batch semantic dup)
+    b1 = {"doc_id": [1, 2, 3, 4], "text": [txt(1), rev(txt(1)), txt(3), txt(4)]}
+    # batch 1: doc10 = reversed committed doc3; doc11 fresh
+    b2 = {"doc_id": [10, 11], "text": [rev(txt(3)), txt(11)]}
+    # batch 2: doc20 = reversed doc11 (committed by the PREVIOUS batch)
+    b3 = {"doc_id": [20, 21], "text": [rev(txt(11)), txt(21)]}
+    pq.write_table(pa.table(b1), str(in_dir / "b1.parquet"))
+    time.sleep(1.1)
+    pq.write_table(pa.table(b2), str(in_dir / "b2.parquet"))
+    time.sleep(1.1)
+    pq.write_table(pa.table(b3), str(in_dir / "b3.parquet"))
+
+    table = "stream_sem_idx_t"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    q = streaming.stream_ingest_semantic(
+        spark,
+        str(in_dir),
+        table,
+        str(tmp_path / "semidx"),
+        str(tmp_path / "out"),
+        dim=64,
+        n_centroids=2,
+        threshold=0.95,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    by_part = {
+        int(p): sorted(int(i) for i in out[out.part_id == p].doc_id)
+        for p in out.part_id.unique()
+    }
+    import hashlib
+
+    surr = lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+    # batch 0 in-batch pair (1, 2): keep-first by SURROGATE order
+    keep0 = 1 if surr(1) < surr(2) else 2
+    assert by_part[0] == sorted([keep0, 3, 4])
+    # batch 1: doc10 duplicates COMMITTED doc3 -> dropped regardless of order
+    assert by_part[1] == [11]
+    # batch 2: doc20 duplicates doc11 committed by the previous batch
+    assert by_part[2] == [21]
+    # the kept-embedding index holds exactly the survivors
+    idx = {int(r.id) for r in spark.table(table).select("id").distinct().collect()}
+    assert idx == {keep0, 3, 4, 11, 21}
+    # codebook persisted once, digest-stamped on the index
+    from docling_gfcr_spark.operators import similarity
+
+    cent = similarity.load_semantic_centroids(spark, str(tmp_path / "semidx_centroids"))
+    assert cent.shape == (2, 64)
+    props = {
+        str(r.key): str(r.value)
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    }
+    assert props["semantic.centroids_md5"] == similarity.centroids_digest(cent)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")

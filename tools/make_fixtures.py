@@ -900,6 +900,176 @@ def compute_corpus_ingest_end_to_end() -> pd.DataFrame:
     return df
 
 
+def compute_corpus_ingest_semantic() -> pd.DataFrame:
+    """Local oracle for queries.corpus_ingest_semantic: the two-day ingest
+    chain with INCREMENTAL SemDeDup replayed with no Spark. Day 1 bootstraps
+    both indexes (band keys via the DuckDB minhash twin; the codebook via
+    the shared spherical_kmeans on the bootstrap batch's embeddings, sorted
+    by surrogate — the trainer's fraction=1.0 rule at this scale); day 2
+    compares per cluster against the day-1 KEPT embeddings through the
+    shared semantic_ingest_cluster_kernel. committed_by follows from the
+    crash point (d2a crashes after dedup_semantic; d2b resumes)."""
+    import hashlib
+
+    import duckdb
+
+    from docling_gfcr_spark import transcripts
+    from docling_gfcr_spark.operators.similarity import (
+        embed_texts_kernel,
+        semantic_ingest_cluster_kernel,
+        spherical_kmeans,
+    )
+    from docling_gfcr_spark.queries import MINHASH_PAIRS_SQL, SEMANTIC_PLANT_TURNS
+
+    dim, n_centroids, threshold = 64, 4, 0.95
+    surr = lambda c: int(hashlib.md5(c.encode("utf-8")).hexdigest()[:15], 16)
+
+    convs: dict[str, list] = {}
+    for c in range(30):
+        rows = transcripts.gen_conv_rows(13, c, mean_turns=5, mega_every=25, skew_factor=8)
+        cid = rows[0]["conv_id"]
+        convs[cid] = [(r["turn_idx"], r["tool"], r["text"]) for r in rows]
+    for cid, t, _role, text, tool in SEMANTIC_PLANT_TURNS:
+        convs.setdefault(cid, []).append((t, tool, text))
+
+    def mine_pairs(texts: dict) -> list:
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())}),
+        )
+        pairs = con.execute(MINHASH_PAIRS_SQL).fetchdf()
+        return [(str(a), str(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])]
+
+    def assign(texts: dict, cent: np.ndarray) -> tuple[dict, dict]:
+        """cid -> (cluster, embedding row)."""
+        cids = list(texts)
+        m = embed_texts_kernel([texts[c] for c in cids], dim)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        cl = np.argmax(mn @ cent.T, axis=1)
+        return {c: int(k) for c, k in zip(cids, cl)}, {c: m[i] for i, c in enumerate(cids)}
+
+    def semantic_pass(
+        new_docs: dict, cent: np.ndarray, committed: dict
+    ) -> tuple[dict, dict, dict]:
+        """committed: cid -> (cluster, embedding) of standing keepers;
+        returns (surviving subset of new_docs, cluster per cid, embedding
+        per cid)."""
+        cl_new, emb_new = assign({c: v[1] for c, v in new_docs.items()}, cent)
+        keep: set = set()
+        for c in sorted(set(cl_new.values())):
+            n_ids = [cid for cid in new_docs if cl_new[cid] == c]
+            c_ids = [cid for cid in committed if committed[cid][0] == c]
+            sids, kept, _, _ = semantic_ingest_cluster_kernel(
+                np.array([surr(x) for x in c_ids], dtype=np.int64),
+                np.array([committed[x][1] for x in c_ids], dtype=np.float64).reshape(
+                    len(c_ids), dim
+                ),
+                np.array([surr(x) for x in n_ids], dtype=np.int64),
+                np.array([emb_new[x] for x in n_ids], dtype=np.float64),
+                threshold,
+            )
+            by_surr = {surr(x): x for x in n_ids}
+            keep |= {by_surr[int(s)] for s, k in zip(sids, kept) if k}
+        return {c: v for c, v in new_docs.items() if c in keep}, cl_new, emb_new
+
+    # -- day 1: bootstrap ---------------------------------------------------
+    day1_turns = {cid: convs[cid] for cid in (f"conv-{i:08d}" for i in range(20))}
+    day1_turns["conv-00000001-copy"] = list(convs["conv-00000001"])
+    day1_turns["sem-orig-000"] = convs["sem-orig-000"]
+    docs1 = _oracle_exact_keep_min(
+        {cid: _oracle_assemble(cid, t) for cid, t in day1_turns.items()}
+    )
+    drops1 = {b for _a, b in mine_pairs({c: v[1] for c, v in docs1.items()})}
+    docs1 = {cid: v for cid, v in docs1.items() if cid not in drops1}
+    day1_surv = len(docs1)
+
+    # codebook: trained once on the bootstrap batch, sorted by surrogate
+    cids1 = sorted(docs1, key=surr)
+    m1 = embed_texts_kernel([docs1[c][1] for c in cids1], dim)
+    cent = spherical_kmeans(m1, n_centroids, seed=42, iters=10)
+    docs1_sem, cl1, emb1 = semantic_pass(docs1, cent, committed={})
+    index = {c: (cl1[c], emb1[c]) for c in docs1_sem}
+
+    # -- day 2: incremental vs both standing indexes -------------------------
+    day2_turns = {cid: convs[cid] for cid in (f"conv-{i:08d}" for i in range(20, 30))}
+    day2_turns["conv-00000002-d2copy"] = list(convs["conv-00000002"])
+    day2_turns["sem-perm-000"] = convs["sem-perm-000"]
+    n_extract = sum(len(v) for v in day2_turns.values())
+    docs2 = {cid: _oracle_assemble(cid, t) for cid, t in day2_turns.items()}
+    n_assemble = len(docs2)
+    docs2 = _oracle_exact_keep_min(docs2)
+    n_exact = len(docs2)
+
+    new_ids = set(docs2)
+    union_texts = {c: v[1] for c, v in docs1.items()}  # band index = incr survivors
+    union_texts.update({c: v[1] for c, v in docs2.items()})
+    drops2: set = set()
+    for a, b in mine_pairs(union_texts):
+        a_new, b_new = a in new_ids, b in new_ids
+        if a_new and b_new:
+            drops2.add(b)
+        elif a_new and not b_new:
+            drops2.add(a)
+        elif b_new and not a_new:
+            drops2.add(b)
+    docs2 = {cid: v for cid, v in docs2.items() if cid not in drops2}
+    n_incr = len(docs2)
+    band_rows = 8 * (day1_surv + n_incr)
+
+    docs2_sem, _cl2, _emb2 = semantic_pass(docs2, cent, committed=index)
+    n_sem = len(docs2_sem)
+    assert "sem-perm-000" in docs2 and "sem-perm-000" not in docs2_sem, (
+        "the permuted cross-day dup must pass incremental MinHash and be "
+        "dropped by the semantic stage"
+    )
+    sem_index_ids = len(index) + n_sem
+    surv_digest = sum(
+        int(hashlib.md5(c.encode()).hexdigest()[:15], 16) % 10**12 for c in docs2_sem
+    )
+
+    # -- decontaminate / scrub / mix / pack (shared helpers) -----------------
+    held = [
+        c for c in docs2_sem
+        if hashlib.md5(f"held:{c}".encode()).hexdigest()[:8] < _hex_threshold(0.25)
+    ]
+    docs_tail = _oracle_decontaminate(docs2_sem, held)
+    n_decon = len(docs_tail)
+    scrub = _oracle_scrub_tokens(docs_tail)
+    n_scrub = len(scrub)
+    mixed = _oracle_mix(scrub, {"html": 0.6, "json": 0.5})
+    n_mix = len(mixed)
+    total, digest = _oracle_pack(mixed, budget=2048)
+
+    stages = [
+        ("extract", n_extract, "d2a"),
+        ("assemble", n_assemble, "d2a"),
+        ("dedup_exact", n_exact, "d2a"),
+        ("dedup_incr", n_incr, "d2a"),
+        ("dedup_semantic", n_sem, "d2a"),
+        ("decontaminate", n_decon, "d2b"),
+        ("scrub", n_scrub, "d2b"),
+        ("mix", n_mix, "d2b"),
+        ("pack", n_mix, "d2b"),
+    ]
+    df = pd.DataFrame(
+        [
+            {"stage_idx": i, "stage": s, "committed_by": r, "n_out": n}
+            for i, (s, n, r) in enumerate(stages)
+        ]
+    )
+    df["stage_idx"] = df["stage_idx"].astype(np.int32)
+    df["n_out"] = df["n_out"].astype(np.int64)
+    df["surv_digest"] = np.int64(surv_digest)
+    df["band_rows"] = np.int64(band_rows)
+    df["sem_index_ids"] = np.int64(sem_index_ids)
+    df["packed_rows"] = np.int64(n_mix)
+    df["packed_total_tokens"] = np.int64(total)
+    df["packed_digest"] = np.int64(digest)
+    df["day1_survivors"] = np.int64(day1_surv)
+    return df
+
+
 def compute_semantic_dedup() -> pd.DataFrame:
     """Local oracle for queries.semantic_dedup: the trainer's md5-threshold
     sample rule + shared spherical_kmeans + argmax assignment (n_probe=1 —
@@ -975,6 +1145,7 @@ COMPUTE = {
     "office_bytes_roundtrip": compute_office_bytes_roundtrip,
     "corpus_build_end_to_end": compute_corpus_build_end_to_end,
     "corpus_build_semantic": compute_corpus_build_semantic,
+    "corpus_ingest_semantic": compute_corpus_ingest_semantic,
     "corpus_ingest_end_to_end": compute_corpus_ingest_end_to_end,
 }
 
