@@ -458,6 +458,22 @@ def main() -> None:
     )
     print(f"# dedup_minhash_pairs: {results['dedup_minhash_pairs']}s ({n} rows)", file=sys.stderr)
 
+    # SemDeDup pruning of the documents table end-to-end (embed + train +
+    # assign + per-cluster greedy kernel + broadcast anti-join). At this SF
+    # the ~8 fixed Spark jobs dominate (~2.4s); the marginal costs are the
+    # embed scan (hand-measured 351k raw turns/s at 32 cores on the 648k
+    # bench corpus) and the O(C^2 x dim) cluster kernels.
+    from docling_gfcr_spark.operators import similarity as _similarity
+
+    results["semantic_prune"], n = timed(
+        lambda: _similarity.semantic_prune(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet"),
+            text_col="text", id_col="doc_id", n_centroids=64, threshold=0.95,
+        ).count(),
+        "semantic_prune",
+    )
+    print(f"# semantic_prune: {results['semantic_prune']}s ({n} rows)", file=sys.stderr)
+
     # scale-shaped n-gram jaccard (hot-shingle cap on): the uncapped oracle
     # variant is quadratic by design on this shared-vocab synthetic corpus
     ngram_fn = lambda: _dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5, hot_shingle_cap=100).count()
