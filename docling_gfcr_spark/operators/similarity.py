@@ -1080,6 +1080,89 @@ def commit_semantic_index(
     _write_semantic_params(spark, table, dim, n_centroids, threshold, cent_md5)
 
 
+def recluster_semantic_index(
+    spark,
+    table: str,
+    path: str,
+    n_centroids: int | None = None,
+    seed: int = 42,
+    iters: int = 10,
+    n_buckets: int | None = None,
+) -> np.ndarray:
+    """Table MAINTENANCE for the kept-embedding index — the semantic twin of
+    ``dedup.recap_band_index``: (1) dedupe the at-least-once append rows
+    (one row per vec_id; duplicates are byte-identical, so any survivor is
+    correct), and (2) RETRAIN the codebook on the current keepers and
+    REASSIGN every row — the operation the ingest docstring defers to
+    maintenance, because a new codebook re-partitions the whole keeper
+    space (run it when the corpus has drifted far from the bootstrap batch
+    or to grow ``n_centroids`` with the corpus, which bounds the O(C^2)
+    per-cluster ingest cost).
+
+    ``dim`` and ``threshold`` are carried from the table stamp unchanged —
+    they define the KEEP SEMANTICS of the rows already in the index;
+    changing them would make past keep decisions incomparable, so this
+    operation refuses to (build a fresh index instead). ``n_centroids``
+    may change (defaults to the stamped value).
+
+    Staged rewrite, same discipline as recap_band_index: the re-clustered
+    copy plus its codebook are fully committed to ``<table>_recluster`` /
+    ``<path>_recluster`` (codebook at ``<path>_recluster_centroids``)
+    BEFORE the main table, sidecar and stamp are overwritten, so a crash
+    mid-publish never destroys the corpus' only keeper record — the staged
+    copies survive for manual recovery. Requires ingest quiescence; if a
+    crash hits the publish window, re-run this operation (idempotent: the
+    trainer and assignment are deterministic) before any ingest resumes —
+    the stamped digest only guards codebook-vs-call mismatches, not a
+    half-published table. Returns the new codebook. The bucket count is
+    read from the catalog so the exchange-free cogroup layout is preserved.
+    """
+    from docling_gfcr_spark import io as gio
+    from docling_gfcr_spark.operators.dedup import _table_bucket_count
+
+    rows_all = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    props = {str(r.key): str(r.value) for r in rows_all}
+    stamp = {
+        key: props.get(f"semantic.{key}") for key in _SEM_PARAM_KEYS
+    }
+    if any(v is None for v in stamp.values()):
+        raise ValueError(
+            f"recluster_semantic_index: {table!r} carries no semantic param "
+            "stamp — only indexes written by commit_semantic_index can be "
+            "re-clustered safely"
+        )
+    dim, threshold = int(stamp["dim"]), float(stamp["threshold"])
+    k = int(n_centroids if n_centroids is not None else stamp["n_centroids"])
+    if n_buckets is None:
+        n_buckets = _table_bucket_count(spark, table) or 16
+    keepers = spark.table(table).dropDuplicates(["vec_id"])
+    cent = train_ivf_centroids(
+        keepers, k, seed=seed, iters=iters, id_col="vec_id", vec_col="embedding"
+    )
+    assign = make_ivf_assign_udf(cent, n_probe=1)
+    reassigned = keepers.select(
+        "id", "vec_id", "embedding",
+        F.element_at(assign(F.col("embedding")), 1).alias("cluster"),
+    ).select("id", "vec_id", "cluster", "embedding")
+    tmp_table = f"{table}_recluster"
+    tmp_path = path.rstrip("/") + "_recluster"
+    gio.write_bucketed(
+        reassigned, tmp_table, tmp_path, key="cluster", n_buckets=n_buckets,
+        mode="overwrite",
+    )
+    save_semantic_centroids(spark, f"{tmp_path}_centroids", cent)
+    # publish: main table from the durable staged copy, then sidecar + stamp
+    gio.write_bucketed(
+        spark.table(tmp_table), table, path, key="cluster", n_buckets=n_buckets,
+        mode="overwrite",
+    )
+    save_semantic_centroids(spark, f"{path.rstrip('/')}_centroids", cent)
+    _write_semantic_params(spark, table, dim, k, threshold, centroids_digest(cent))
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+    spark.catalog.refreshTable(table)
+    return cent
+
+
 def incremental_semantic_verdicts(
     spark,
     table: str,

@@ -783,12 +783,20 @@ def main() -> None:
                     "resuming a crash between band append and stage commit)")
     ap.add_argument("--hot-band-cap", type=int, default=None, help="ingest mode: per-commit band-key cap (skew valve)")
     ap.add_argument("--recap-cap", type=int, default=None, help="maintenance mode: globally re-cap the band index and exit")
+    ap.add_argument(
+        "--sem-recluster", type=int, default=None, metavar="K",
+        help="maintenance mode: dedupe + retrain/reassign the kept-embedding "
+        "index with K centroids (0 = keep the stamped count) and exit; "
+        "needs --sem-table/--sem-path and ingest quiescence",
+    )
     args = ap.parse_args()
     if bool(args.band_table) != bool(args.band_path):
         raise SystemExit("--band-table and --band-path go together")
     if args.recap_cap is not None and not args.band_table:
         raise SystemExit("--recap-cap needs --band-table/--band-path")
-    if args.recap_cap is None and not args.output:
+    if args.sem_recluster is not None and not args.sem_table:
+        raise SystemExit("--sem-recluster needs --sem-table/--sem-path")
+    if args.recap_cap is None and args.sem_recluster is None and not args.output:
         raise SystemExit("--output is required")
 
     if args.local_cores:
@@ -811,6 +819,23 @@ def main() -> None:
         dedup.recap_band_index(spark, args.band_table, args.band_path, args.recap_cap)
         after = spark.table(args.band_table).count()
         print(json.dumps({"recapped": args.band_table, "cap": args.recap_cap,
+                          "rows_before": before, "rows_after": after}))
+        spark.stop()
+        return
+
+    if args.sem_recluster is not None:
+        # maintenance mode: dedupe + retrain/reassign the kept-embedding
+        # index (semantic twin of --recap-cap), then exit
+        from docling_gfcr_spark.operators import similarity
+
+        before = spark.table(args.sem_table).count()
+        cent = similarity.recluster_semantic_index(
+            spark, args.sem_table, args.sem_path,
+            n_centroids=args.sem_recluster if args.sem_recluster > 0 else None,
+        )
+        after = spark.table(args.sem_table).count()
+        print(json.dumps({"reclustered": args.sem_table,
+                          "n_centroids": int(cent.shape[0]),
                           "rows_before": before, "rows_after": after}))
         spark.stop()
         return

@@ -1671,3 +1671,82 @@ def test_incremental_semantic_verdicts_matches_batch_union(spark, tmp_path):
             )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_recluster_semantic_index_maintenance(spark, tmp_path):
+    """Index maintenance (the semantic recap twin): dedupes at-least-once
+    append rows to one per vec_id, retrains/reassigns with a new centroid
+    count, preserves the bucket layout, restamps the new codebook digest,
+    and a subsequent incremental ingest against the re-clustered index
+    still drops a word-permuted copy of a committed keeper. Refuses
+    unstamped tables."""
+    from pyspark.sql import functions as F
+
+    from docling_gfcr_spark.operators.dedup import _table_bucket_count
+
+    dim, K, thr = 64, 2, 0.95
+    rows = [(f"d{i:02d}", " ".join(f"v{i}_{j}" for j in range(10))) for i in range(20)]
+    df = spark.createDataFrame(rows, "conv_id string, conv_text string")
+    emb = df.select(
+        similarity.md5_surrogate_id(F.col("conv_id")).alias("vec_id"),
+        similarity.make_hashing_embed_udf(dim)(F.col("conv_text")).alias("embedding"),
+    )
+    cent = similarity.train_ivf_centroids(emb, n_centroids=K)
+    table, path = "t_sem_recluster", str(tmp_path / "idx")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        ea = similarity.embed_and_assign(df, cent, dim=dim)
+        similarity.commit_semantic_index(spark, table, path, ea, dim, K, thr, cent, n_buckets=4)
+        # simulate the at-least-once crash window: append one keeper's rows twice
+        dup = ea.where(F.col("id") == "d03")
+        similarity.commit_semantic_index(
+            spark, table, path, dup, dim, K, thr, cent, n_buckets=4, mode="append"
+        )
+        spark.catalog.refreshTable(table)
+        assert spark.table(table).count() == 21  # the duplicate row landed
+
+        new_cent = similarity.recluster_semantic_index(spark, table, path, n_centroids=5)
+        assert new_cent.shape == (5, dim)
+        t = spark.table(table)
+        assert t.count() == 20  # deduped to one row per vec_id
+        assert t.select("vec_id").distinct().count() == 20
+        assert int(t.agg(F.max("cluster")).first()[0]) <= 4
+        assert _table_bucket_count(spark, table) == 4  # layout preserved
+        # stamp carries the NEW codebook: digest check passes for the new,
+        # refuses the old
+        loaded = similarity.load_semantic_centroids(spark, f"{path}_centroids")
+        assert similarity.centroids_digest(loaded) == similarity.centroids_digest(new_cent)
+        with pytest.raises(ValueError, match="incomparable"):
+            similarity.incremental_semantic_verdicts(
+                spark, table, similarity.embed_and_assign(df, cent, dim=dim),
+                thr, dim, K, cent,
+            )
+        # functional continuity: a permuted copy of a committed keeper still
+        # drops against the re-clustered index
+        probe = spark.createDataFrame(
+            [("probe", " ".join(reversed(rows[7][1].split(" "))))],
+            "conv_id string, conv_text string",
+        )
+        got = similarity.incremental_semantic_verdicts(
+            spark, table, similarity.embed_and_assign(probe, new_cent, dim=dim),
+            thr, dim, 5, new_cent,
+        ).toPandas()
+        assert len(got) == 1 and not got.kept.iloc[0]
+        # staged table cleaned up
+        assert not spark.catalog.tableExists(f"{table}_recluster")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_recluster")
+
+    # unstamped tables refuse
+    plain = spark.createDataFrame(
+        [("x", 1, 0, [0.0] * 64)], "id string, vec_id long, cluster int, embedding array<double>"
+    )
+    from docling_gfcr_spark import io as gio
+
+    gio.write_bucketed(plain, "t_sem_unstamped", str(tmp_path / "un"), key="cluster", n_buckets=2)
+    try:
+        with pytest.raises(ValueError, match="no semantic param stamp"):
+            similarity.recluster_semantic_index(spark, "t_sem_unstamped", str(tmp_path / "un"))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_sem_unstamped")
