@@ -1750,3 +1750,57 @@ def test_recluster_semantic_index_maintenance(spark, tmp_path):
             similarity.recluster_semantic_index(spark, "t_sem_unstamped", str(tmp_path / "un"))
     finally:
         spark.sql("DROP TABLE IF EXISTS t_sem_unstamped")
+
+
+def test_incremental_semantic_hot_cluster_cap_semantics(spark, tmp_path):
+    """The skew valve's documented trade, pinned: with a cap, a cluster
+    compares new docs against only the cap LOWEST-surrogate committed
+    keepers — a new doc duplicating one of those still drops, a new doc
+    duplicating a keeper OUTSIDE the cap survives (bounded work, recall
+    cost inside oversized clusters). Uncapped, both drop."""
+    import hashlib as _h
+
+    from pyspark.sql import functions as F
+
+    dim, thr = 64, 0.95
+    rows = [(f"k{i:02d}", " ".join(f"c{i}_{j}" for j in range(10))) for i in range(8)]
+    df = spark.createDataFrame(rows, "conv_id string, conv_text string")
+    # ONE centroid -> every doc lands in cluster 0 (forced oversized cluster)
+    cent = np.zeros((1, dim))
+    cent[0, 0] = 1.0
+    table, path = "t_sem_cap", str(tmp_path / "idx")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        ea = similarity.embed_and_assign(df, cent, dim=dim)
+        similarity.commit_semantic_index(spark, table, path, ea, dim, 1, thr, cent, n_buckets=2)
+
+        surr = {c: int(_h.md5(c.encode()).hexdigest()[:15], 16) for c, _ in rows}
+        by_rank = sorted(rows, key=lambda r: surr[r[0]])
+        lo_text = by_rank[0][1]   # inside any cap >= 1
+        hi_text = by_rank[-1][1]  # outside cap=3 (8 keepers)
+        probe = spark.createDataFrame(
+            [("plo", " ".join(reversed(lo_text.split(" ")))),
+             ("phi", " ".join(reversed(hi_text.split(" "))))],
+            "conv_id string, conv_text string",
+        )
+
+        def verdicts(cap):
+            return {
+                r.conv_id: r.kept
+                for r in similarity.incremental_semantic_verdicts(
+                    spark, table, similarity.embed_and_assign(probe, cent, dim=dim),
+                    thr, dim, 1, cent, hot_cluster_cap=cap,
+                ).join(
+                    similarity.embed_and_assign(probe, cent, dim=dim).select(
+                        "id", "vec_id"
+                    ),
+                    "vec_id",
+                ).withColumnRenamed("id", "conv_id").collect()
+            }
+
+        uncapped = verdicts(None)
+        assert uncapped == {"plo": False, "phi": False}
+        capped = verdicts(3)
+        assert capped == {"plo": False, "phi": True}  # the documented recall trade
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
