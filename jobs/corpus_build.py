@@ -365,10 +365,11 @@ def run_corpus_build(
     token-REORDERED near-dups whose shingles are disjoint (MinHash-blind);
     the stage chain is stamped into the batch identity, so resuming a dir
     across a different ``semantic`` setting refuses instead of silently
-    skipping or double-applying stages. Build-time only: SemDeDup is a
-    global curation pass like dedup_near (an incremental twin would need a
-    standing centroid + kept-embedding index — by design the daily ingest
-    relies on the band index instead).
+    skipping or double-applying stages. This stage deduplicates the whole
+    corpus once, like dedup_near; the DAILY path is
+    :func:`run_corpus_ingest`'s incremental twin (same ``semantic=`` tuple
+    plus ``sem_table``/``sem_path``), which compares each batch against the
+    standing kept-embedding index instead of re-clustering the corpus.
 
     ``fail_after_stage`` injects a crash AFTER that stage's commit — the
     resumability test hook, mirroring run_extraction_job's fail_after_wave.
