@@ -1183,9 +1183,14 @@ def incremental_semantic_verdicts(
     Scale shape:
     - the batch is embedded + assigned once (``embed_and_assign``, one Arrow
       scan with the codebook in the closure);
-    - committed keepers are read from the ``cluster``-bucketed table, so
-      only clusters present in the batch are compared and the big side's
-      groupBy needs no exchange (bucketed layout);
+    - the committed side is FILTERED to the batch's cluster set before the
+      cogroup — the set is collected driver-side but bounded by
+      ``n_centroids`` (the IVF probe-pruning idiom), and because the
+      bucketed files are sorted by cluster the pushed ``cluster IN (...)``
+      predicate prunes row groups, so a small batch reads a small slice of
+      a huge index instead of scanning it;
+    - committed keepers come off the ``cluster``-bucketed table, so the big
+      side's groupBy needs no exchange (bucketed layout);
     - per-cluster work runs the shared numpy kernel
       (:func:`semantic_ingest_cluster_kernel`) worker-side.
 
@@ -1216,6 +1221,16 @@ def incremental_semantic_verdicts(
     if cap is not None and cap < 1:
         raise ValueError(f"hot_cluster_cap must be >= 1, got {cap}")
     thr = float(threshold)
+    # prune the committed side to the batch's clusters: the distinct set is
+    # at most n_centroids(+ the sentinel) ints, and the IN predicate pushes
+    # into the cluster-sorted bucket files' row-group stats — clusters the
+    # batch never touches contribute nothing (empty right side) and must
+    # not be read
+    batch_clusters = [
+        int(r.cluster)
+        for r in new_assigned.select("cluster").distinct().collect()
+    ]
+    committed = committed.where(F.col("cluster").isin(batch_clusters))
 
     schema = T.StructType(
         [

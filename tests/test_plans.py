@@ -384,6 +384,12 @@ def test_incremental_semantic_committed_side_exchange_free(spark, tmp_path):
         lines = plan_of(v).splitlines()
         scan_idx = [i for i, l in enumerate(lines) if "Bucketed: true" in l and table in l]
         assert scan_idx, "committed side must scan the bucketed table"
+        # the batch-cluster prune reaches the scan: a small batch must read
+        # a slice of the index (row-group stats on the cluster-sorted
+        # files), not the whole table
+        assert "In(cluster" in lines[scan_idx[0]] or "EqualTo(cluster" in lines[scan_idx[0]], (
+            f"cluster prune not pushed: {lines[scan_idx[0]]}"
+        )
         cg_idx = [i for i, l in enumerate(lines) if "FlatMapCoGroupsInPandas" in l]
         assert cg_idx and cg_idx[0] < scan_idx[0]
         between = "\n".join(lines[cg_idx[0] + 1 : scan_idx[0]])
