@@ -353,6 +353,7 @@ def run_corpus_build(
     mode: str = "agent",
     run_id: str | None = None,
     semantic: tuple[int, int, float] | None = None,
+    semantic_max_cluster: int | None = None,
     fail_after_stage: str | None = None,
     fail_before_commit_stage: str | None = None,
 ) -> dict:
@@ -370,6 +371,9 @@ def run_corpus_build(
     :func:`run_corpus_ingest`'s incremental twin (same ``semantic=`` tuple
     plus ``sem_table``/``sem_path``), which compares each batch against the
     standing kept-embedding index instead of re-clustering the corpus.
+    ``semantic_max_cluster`` forwards semantic_prune's skew valve (a
+    degenerate codebook or dense direction can hand one worker an O(C^2)
+    cluster; clusters at or under the cap are untouched).
 
     ``fail_after_stage`` injects a crash AFTER that stage's commit — the
     resumability test hook, mirroring run_extraction_job's fail_after_wave.
@@ -427,6 +431,7 @@ def run_corpus_build(
                 similarity.semantic_prune(
                     r.read("dedup_near"), text_col="conv_text", id_col="conv_id",
                     dim=dim, n_centroids=n_centroids, threshold=threshold,
+                    max_cluster=semantic_max_cluster,
                 ),
             )
         near_stage = "dedup_semantic"
@@ -773,6 +778,7 @@ def main() -> None:
     ap.add_argument("--sem-table", default=None, help="semantic ingest: standing kept-embedding index table")
     ap.add_argument("--sem-path", default=None, help="semantic ingest: index table path (codebook at <path>_centroids)")
     ap.add_argument("--sem-hot-cluster-cap", type=int, default=None, help="semantic ingest: committed-keepers-per-cluster cap (skew valve)")
+    ap.add_argument("--semantic-max-cluster", type=int, default=None, help="semantic build: split clusters larger than N into hash sub-buckets (skew valve)")
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--local-cores", type=int, default=0, help="local smoke mode")
     ap.add_argument("--synth-convs", type=int, default=0, help="generate synthetic input")
@@ -895,7 +901,8 @@ def main() -> None:
         )
     else:
         report = run_corpus_build(
-            spark, input_df, heldout_df, args.output, semantic=semantic, **common
+            spark, input_df, heldout_df, args.output, semantic=semantic,
+            semantic_max_cluster=args.semantic_max_cluster, **common
         )
     print(json.dumps(report))
     spark.stop()

@@ -935,3 +935,22 @@ def test_corpus_ingest_semantic_stage_crash_windows(spark, tmp_path):
         )
     for t in (bt, st):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_corpus_build_semantic_max_cluster_passthrough(spark, tmp_path):
+    """The build job's semantic skew valve: a cap far above every cluster
+    size must leave the packed output byte-identical to the uncapped run
+    (the documented common case — sub-bucket count is 1 at or under the
+    cap), proving the valve is wired through without changing semantics."""
+    from jobs import corpus_build
+
+    tdf = _matrix_input(spark, 6, seed=97)
+    held = spark.createDataFrame([("nothing here overlaps",)], "text string")
+    kwargs = dict(n_parts=2, n_waves=1, mode="cli", pack_budget=1024,
+                  semantic=(64, 3, 0.95))
+    a, b = str(tmp_path / "uncapped"), str(tmp_path / "capped")
+    corpus_build.run_corpus_build(spark, tdf, held, a, run_id="u", **kwargs)
+    corpus_build.run_corpus_build(
+        spark, tdf, held, b, run_id="c", semantic_max_cluster=10_000, **kwargs
+    )
+    assert _packed_rows(spark, a) == _packed_rows(spark, b)
