@@ -388,13 +388,18 @@ def stream_ingest_semantic(
         ea = similarity.embed_and_assign(
             batch_df, cent, text_col=text_col, id_col=id_col, dim=dim
         ).localCheckpoint()
+        losers = None
         try:
             verdicts = similarity.incremental_semantic_verdicts(
                 spark, sem_table, ea, threshold, dim, n_centroids, cent,
                 hot_cluster_cap=hot_cluster_cap,
                 allow_missing_table=True,  # first-batch bootstrap
             )
-            losers = verdicts.where(~F.col("kept")).select("vec_id")
+            # pin the (small) loser set: the survivors plan is evaluated by
+            # BOTH the clean-docs write and the index-append semi-join, and
+            # without the checkpoint each evaluation would re-run the whole
+            # verdicts cogroup
+            losers = verdicts.where(~F.col("kept")).select("vec_id").localCheckpoint()
             survivors = batch_df.join(
                 F.broadcast(losers),
                 similarity.md5_surrogate_id(F.col(id_col).cast("string"))
@@ -424,6 +429,8 @@ def stream_ingest_semantic(
             spark.catalog.refreshTable(sem_table)
         finally:
             _free_local_checkpoint(ea)
+            if losers is not None:
+                _free_local_checkpoint(losers)
 
     src = spark.readStream.schema(schema).format("parquet")
     if max_files_per_trigger is not None:
