@@ -954,3 +954,71 @@ def test_corpus_build_semantic_max_cluster_passthrough(spark, tmp_path):
         spark, tdf, held, b, run_id="c", semantic_max_cluster=10_000, **kwargs
     )
     assert _packed_rows(spark, a) == _packed_rows(spark, b)
+
+
+def test_corpus_ingest_semantic_continues_after_recluster(spark, tmp_path):
+    """Maintenance mid-stream: bootstrap day 1, recluster the kept-embedding
+    index with a different centroid count, then ingest day 2 — the job must
+    load the NEW codebook (restamped digest) and still drop a word-REVERSED
+    copy of a day-1 keeper against the re-clustered index."""
+    from docling_gfcr_spark.operators import similarity
+    from jobs import corpus_build
+
+    base = transcripts.make_transcripts(spark, 10, mean_turns=3, seed=99, parallelism=2)
+    plant = []
+    for t in range(3):
+        words = [f"rv{t}_{j}" for j in range(16)]
+        plant.append(("r-orig", t, "user", " ".join(words), "plain", None))
+        plant.append(("r-perm", t, "user", " ".join(reversed(words)), "plain", None))
+    plant_df = spark.createDataFrame(plant, transcripts.SCHEMA)
+    day1 = base.where(
+        F.col("conv_id").isin([f"conv-{i:08d}" for i in range(6)])
+    ).unionByName(plant_df.where(F.col("conv_id") == "r-orig"))
+    day2 = base.where(
+        F.col("conv_id").isin([f"conv-{i:08d}" for i in range(6, 10)])
+    ).unionByName(plant_df.where(F.col("conv_id") == "r-perm"))
+    held = spark.createDataFrame([("zz qq nothing overlaps",)], "text string")
+
+    bt, st = "t_rc_bands", "t_rc_sem"
+    for t in (bt, st):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    root = str(tmp_path / "rc")
+    kwargs = dict(n_parts=2, n_waves=1, mode="cli", pack_budget=1024,
+                  semantic=(64, 2, 0.95), sem_table=st, sem_path=f"{root}/semidx")
+    try:
+        corpus_build.run_corpus_ingest(
+            spark, day1, held, f"{root}/d1", bt, f"{root}/bands",
+            run_id="d1", bootstrap=True, **kwargs,
+        )
+        n_d1 = spark.read.parquet(
+            corpus_build.stage_dir(f"{root}/d1", "dedup_semantic")
+        ).count()
+
+        similarity.recluster_semantic_index(spark, st, f"{root}/semidx", n_centroids=3)
+
+        # day 2 runs with n_centroids matching the RE-CLUSTERED stamp
+        kw2 = dict(kwargs, semantic=(64, 3, 0.95))
+        corpus_build.run_corpus_ingest(
+            spark, day2, held, f"{root}/d2", bt, f"{root}/bands",
+            run_id="d2", **kw2,
+        )
+        surv = {
+            r.conv_id
+            for r in spark.read.parquet(
+                corpus_build.stage_dir(f"{root}/d2", "dedup_semantic")
+            ).select("conv_id").collect()
+        }
+        assert "r-perm" not in surv, "permuted copy must drop vs the re-clustered index"
+        n_d2 = len(surv)
+        assert spark.table(st).select("vec_id").distinct().count() == n_d1 + n_d2
+        # a later run still claiming the OLD centroid count refuses (stamp);
+        # fresh ids so the band-table disjointness guard doesn't fire first
+        day3 = day2.withColumn("conv_id", F.concat(F.lit("n3-"), F.col("conv_id")))
+        with pytest.raises(ValueError, match="incomparable"):
+            corpus_build.run_corpus_ingest(
+                spark, day3, held, f"{root}/d3x", bt, f"{root}/bands",
+                run_id="d3x", **kwargs,
+            )
+    finally:
+        for t in (bt, st):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
