@@ -1804,3 +1804,48 @@ def test_incremental_semantic_hot_cluster_cap_semantics(spark, tmp_path):
         assert capped == {"plo": False, "phi": True}  # the documented recall trade
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_embed_kernel_properties_fuzzed():
+    """Hypothesis soak of the embedding kernel's contract: every row is
+    unit-norm or exactly zero; token-order permutation never changes the
+    vector; and BATCH-SPLIT INVARIANCE — embedding a list in one call
+    equals embedding any partition of it (the property Arrow batching
+    depends on: worker batch boundaries must never leak into values)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    texts_st = st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)), max_size=60
+        ),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(texts_st, st.integers(min_value=1, max_value=7), st.randoms())
+    def check(texts, split_at, rnd):
+        m = similarity.embed_texts_kernel(texts, dim=16)
+        norms = np.linalg.norm(m, axis=1)
+        assert np.all((np.abs(norms - 1.0) < 1e-12) | (norms == 0.0))
+        # order invariance: shuffle each text's tokens
+        shuffled = []
+        for t in texts:
+            toks = t.split()
+            rnd.shuffle(toks)
+            shuffled.append(" ".join(toks))
+        m2 = similarity.embed_texts_kernel(shuffled, dim=16)
+        assert (m == m2).all()
+        # batch-split invariance
+        k = split_at % len(texts)
+        parts = np.vstack(
+            [
+                similarity.embed_texts_kernel(chunk, dim=16)
+                for chunk in (texts[:k], texts[k:])
+                if chunk
+            ]
+        )
+        assert (m == parts).all()
+
+    check()
