@@ -431,6 +431,21 @@ concurrent workers on DRAM bandwidth; the same change moved the clean
 2-core floor 50.2s -> 32.7s, so the low-core efficiency pair measures
 compute, not memory queueing). Job 2 above runs this family.
 
+Late-round-7 addition — the SEMANTIC dedup family (similarity.py). The
+bench entry `semantic_prune` (sf0.1 documents, 5,000 docs) sits at
+~2.4s on a quiet host: at this SF the ~8 fixed Spark jobs dominate
+(existence probe, surrogate-collision guard, trainer count + sample,
+assignment scan, cluster cogroup, loser checkpoint, anti-join), so the
+entry measures orchestration floor, not marginal cost. The marginal
+costs, hand-measured at 32 cores: the 64-dim hashing-trick embed scan
+runs 351k raw turns/s on the 648k-turn bench corpus (distinct-token md5
+LUT per Arrow batch; accumulation is exact ±1 integer arithmetic in
+float64, so values are batch-split invariant — fuzz-pinned), and the
+per-cluster greedy kernel is the published SemDeDup O(C^2 x dim) with
+n_centroids as the lever. The INCREMENTAL path's committed side reads
+only the batch's clusters (pushed cluster-IN over cluster-sorted bucket
+files, plan-pinned), so daily cost is O(batch), not O(index).
+
 ## Host noise: the co-tenant story, now machine-measurable
 
 One full bench.py run in round 6 landed in a contended window (load avg
