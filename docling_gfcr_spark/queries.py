@@ -2987,11 +2987,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # guard + crash-matrix hooks; lineage missing-input classification
     # narrowed; recap_band_index distincts; transcripts grew the
     # pdf_encrypted kind, which feeds extract_transcripts' error route;
-    # semantic_dedup is NEW in round 7 — SemDeDup-style k-means + greedy
-    # within-cluster cosine pruning, fixture-oracle value-checked) ---------
+    # the SEMANTIC DEDUP FAMILY is NEW in round 7 — the semantic_dedup
+    # operator, then late-r7 its composition into the build job
+    # (corpus_build_semantic: optional dedup_semantic stage over
+    # order-invariant hashing-trick embeddings, crash + resume across the
+    # new boundary) and the daily ingest (corpus_ingest_semantic: standing
+    # kept-embedding index + persisted codebook, incremental per-cluster
+    # verdicts, two-day replay with a committed-keeper word-permuted dup
+    # that MinHash provably misses) — all fixture-oracle value-checked ----
     "semantic_dedup": semantic_dedup,
-    # NEW late-r7: the build job with the optional SemDeDup stage mounted
-    # (crash + resume across the new stage's boundary, value-checked)
     "corpus_build_semantic": corpus_build_semantic,
     "corpus_ingest_semantic": corpus_ingest_semantic,
     "corpus_build_end_to_end": corpus_build_end_to_end,
