@@ -97,6 +97,72 @@ print(json.dumps({{"cores": cores, "job": job, "n_rows": n, "sec": round(sec, 2)
 spark.stop()
 """
 
+# The semantic job lives in its OWN child (and its own code fingerprint):
+# appending it to CHILD would re-key the extract/lsh sample pools for a
+# change that cannot affect their numbers.
+SEM_CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+import numpy as np
+from pyspark.sql import functions as F
+from docling_gfcr_spark.session import get_spark
+from docling_gfcr_spark.operators import similarity
+
+cores = int(sys.argv[1]); path = sys.argv[2]; cent_path = sys.argv[3]
+# identical protocol to CHILD: 1 MB splits, one full warmup pass,
+# steal-gated retries, min over clean passes (see CHILD's notes)
+spark = get_spark(app_name=f"scale_sem{{cores}}", cores=cores, shuffle_partitions=cores,
+                  extra_conf={{
+                      "spark.sql.files.maxPartitionBytes": str(1024 * 1024),
+                      "spark.sql.files.openCostInBytes": str(64 * 1024),
+                      "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+                      "spark.ui.showConsoleProgress": "false",
+                  }})
+tdf = spark.read.parquet(path)
+n = tdf.count()
+cent = np.load(cent_path)
+# the codebook is a FIXED-SIZE driver artifact at any corpus scale (trained
+# once on a hash-capped sample, persisted — the corpus job's bootstrap
+# discipline), so it is prepared OUTSIDE the timed region; the timed job is
+# the distributed part: embed scan -> assign (codebook in the UDF closure)
+# -> ONE cluster Exchange -> per-cluster greedy kernel -> noop sink.
+emb = tdf.select(
+    similarity.md5_surrogate_id(F.col("doc_id").cast("string")).alias("vec_id"),
+    similarity.make_hashing_embed_udf(64)(F.col("text")).alias("embedding"),
+)
+
+def one_pass():
+    t0 = time.time()
+    similarity.semantic_dedup(emb, threshold=0.95, centroids=cent).write.mode(
+        "overwrite").format("noop").save()
+    return time.time() - t0
+
+def steal():
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except Exception:
+        return None
+
+one_pass()  # full warmup
+clk = os.sysconf("SC_CLK_TCK")
+samples, steals = [], []
+for _ in range(8):
+    s0 = steal()
+    samples.append(round(one_pass(), 2))
+    s1 = steal()
+    steals.append(round((s1 - s0) / clk, 2) if s0 is not None and s1 is not None else None)
+    cap = max(1.0, 0.05 * min(samples) * cores)
+    clean = [s for s, st in zip(samples, steals) if st is None or st <= cap]
+    if len(clean) >= 3:
+        break
+sec = min(clean or samples)
+print(json.dumps({{"cores": cores, "job": "semantic", "n_rows": n, "sec": round(sec, 2),
+                   "rows_per_sec": round(n / sec, 1), "clean_passes": len(clean),
+                   "samples": samples, "steals": steals}}))
+spark.stop()
+"""
+
 
 def materialize() -> str:
     sys.path.insert(0, REPO)
@@ -148,6 +214,46 @@ def materialize_deduped(tpath: str) -> str:
     return path
 
 
+def materialize_sem_centroids(dpath: str) -> str:
+    """Train the semantic job's codebook ONCE on the deduped corpus (k-means
+    on a hash-capped sample — the corpus job's bootstrap discipline) and
+    persist it as .npy: a fixed-size driver artifact at any corpus scale,
+    prepared outside the timed region. Keyed on the corpus dir."""
+    path = dpath.replace("deduped_", "semcent_") + ".npy"
+    if not os.path.exists(path):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        sys.path.insert(0, REPO)
+        from docling_gfcr_spark.operators import similarity
+        from docling_gfcr_spark.session import get_spark
+
+        spark = get_spark(app_name="gen_semcent", cores=16)
+        emb = spark.read.parquet(dpath).select(
+            similarity.md5_surrogate_id(F.col("doc_id").cast("string")).alias("vec_id"),
+            similarity.make_hashing_embed_udf(64)(F.col("text")).alias("embedding"),
+        )
+        cent = similarity.train_ivf_centroids(emb, n_centroids=1024)
+        np.save(path, cent)
+        spark.stop()
+    return path
+
+
+def _sem_code_fingerprint() -> str:
+    """The semantic job's own store key — hashing its own child + the
+    modules IT executes keeps the extract/lsh pools stable across
+    semantic-only changes (and vice versa)."""
+    import hashlib
+
+    h = hashlib.sha256(SEM_CHILD.encode())
+    pkg = os.path.join(REPO, "docling_gfcr_spark")
+    for rel in ("session.py", os.path.join("operators", "similarity.py"),
+                os.path.join("operators", "util.py")):
+        with open(os.path.join(pkg, rel), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:16]
+
+
 def _code_fingerprint() -> str:
     """Hash of the timed code paths + the child harness: merged samples are
     only comparable while input AND code are identical, so the sample store
@@ -195,9 +301,14 @@ def _merged(rec: dict, cores: int) -> dict:
                 clean_passes=len(clean))
 
 
-def run_at(cores: int, path: str, job: str, fp: str) -> dict:
+def run_at(
+    cores: int, path: str, job: str, fp: str,
+    child: str = CHILD, extra_argv: tuple = (),
+) -> dict:
+    argv = [sys.executable, "-c", child.format(repo=REPO), str(cores), path]
+    argv += list(extra_argv) if extra_argv else [job]
     out = subprocess.run(
-        [sys.executable, "-c", CHILD.format(repo=REPO), str(cores), path, job],
+        argv,
         capture_output=True, text=True, check=True,
     )
     fresh = json.loads(out.stdout.strip().splitlines()[-1])
@@ -290,6 +401,19 @@ def main() -> None:
         print(json.dumps(lsh[c]))
     lsh_tables, lsh_evid = job_section(levels, lsh, "docs mined")
 
+    cent_path = materialize_sem_centroids(dpath)
+    sem_fp = _sem_code_fingerprint()
+    sem = {
+        c: (run_at(c, dpath, "semantic", sem_fp,
+                   child=SEM_CHILD, extra_argv=(cent_path,))
+            if only in (None, "semantic")
+            else stored_at(c, dpath, "semantic", sem_fp))
+        for c in levels
+    }
+    for c in levels:
+        print(json.dumps(sem[c]))
+    sem_tables, sem_evid = job_section(levels, sem, "docs pruned")
+
     n_turns = ex[levels[0]]["n_rows"]
     n_docs = lsh[levels[0]]["n_rows"]
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
@@ -309,11 +433,14 @@ sources + the content-addressed corpus dir), so a contended window can only
 ever add passes, never erase a clean one; steal strictly inflates wall
 time, so the accumulated min estimates the same number with less noise.
 
-Scaling is evidenced on TWO jobs, chosen to bracket the engine's execution
-shapes: the extraction pipeline (zero shuffles — pure map scaling) and
-MinHash-LSH near-dup candidate mining (two shuffles — the band-key Exchange
-and the pair distinct — plus an Arrow Python boundary, so shuffle and
-python-worker scaling are both on the hook).
+Scaling is evidenced on THREE jobs, chosen to bracket the engine's
+execution shapes: the extraction pipeline (zero shuffles — pure map
+scaling), MinHash-LSH near-dup candidate mining (two shuffles — the
+band-key Exchange and the pair distinct — plus an Arrow Python boundary,
+so shuffle and python-worker scaling are both on the hook), and SemDeDup
+semantic pruning (embed scan -> assignment -> ONE cluster Exchange into a
+grouped-pandas kernel — the most Python-worker-bound plan the engine
+runs, so grouped-UDF scaling is on the hook too).
 
 ## Job 1 — extraction (shuffle-free)
 
@@ -338,6 +465,19 @@ enumeration -> distinct -> noop sink.
 
 {lsh_tables}
 
+## Job 3 — SemDeDup semantic pruning (grouped-pandas-bound)
+
+Same {n_docs:,}-doc deduped corpus. Job: parquet scan -> one fused
+ArrowEvalPython (64-dim hashing-trick embed + nearest-centroid assign,
+codebook in the UDF closure) -> ONE cluster-id Exchange -> per-cluster
+greedy keep-first kernel (applyInPandas) -> noop sink. The 1024-centroid
+codebook is a fixed-size driver artifact (trained once on a hash-capped
+sample and persisted — the corpus job's bootstrap discipline), so it is
+prepared OUTSIDE the timed region; what scales with the corpus is exactly
+what is timed.
+
+{sem_tables}
+
 Per-pass evidence — wall sec (CPU-steal sec charged to this microVM during
 that pass; the headline uses the min over steal-clean passes, and a
 high-steal pass is proven co-tenant contention, not code). A level with 0
@@ -350,6 +490,9 @@ extraction:
 
 lsh mining:
 {lsh_evid}
+
+semantic pruning:
+{sem_evid}
 
 Reading the numbers on a 32-core box: the low-core pair measures true
 algorithmic scaling — extraction has zero shuffles (scan -> one
