@@ -116,6 +116,35 @@ def test_ngram_jaccard_exact_values(spark, planted_docs):
         assert (j, 100 + j) in got and 0.7 < got[(j, 100 + j)] < 1.0
 
 
+def test_ngram_prefix_path_matches_naive(spark):
+    """r8: the prefix-filtered path (threshold > 0) must produce the EXACT
+    row set (ids, n_common, jaccard floats) of the naive count-all-pairs
+    shape across thresholds, corpora and caps — prefix filtering is a
+    provably lossless candidate prune, not an approximation."""
+    import pandas as pd
+
+    from docling_gfcr_spark.operators.dedup import (
+        _prefix_filtered_ngram_pairs,
+        ensure_parallelism,
+    )
+
+    def naive(d, k, threshold, cap):
+        # the threshold<=0 algorithm with the filter applied after the fact
+        full = dedup.ngram_jaccard_pairs(d, k=k, threshold=0.0, hot_shingle_cap=cap)
+        return full.where(F.col("jaccard") >= threshold)
+
+    def canon(df):
+        pdf = df.toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        return list(map(tuple, pdf[["id_a", "id_b", "n_common", "jaccard"]].values))
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    for k, t, cap in ((3, 0.5, 100), (2, 0.2, 10**9), (5, 0.8, 50)):
+        fast = _prefix_filtered_ngram_pairs(
+            ensure_parallelism(d), "text", "doc_id", k, t, cap
+        )
+        assert canon(fast) == canon(naive(d, k, t, cap)), (k, t, cap)
+
+
 def test_ngram_jaccard_null_and_short_text_parity(spark):
     """The Arrow shingle kernel must match the old HOF semantics on the
     corners: NULL text explodes to nothing (F.split(NULL) -> no rows, so a

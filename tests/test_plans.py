@@ -149,15 +149,22 @@ def test_dedup_pair_stages_have_no_self_join(spark):
 
     d = spark.read.parquet(f"{SF}/documents.parquet")
 
-    # zero joins anywhere: ngram carries per-doc sizes as struct payload,
-    # minhash/simhash enumerate inside band/chunk buckets
+    # zero joins anywhere: minhash/simhash enumerate inside band/chunk
+    # buckets; the threshold<=0 ngram path carries per-doc sizes as payload
     for df in (
-        dedup.ngram_jaccard_pairs(d, k=3, threshold=0.5),
+        dedup.ngram_jaccard_pairs(d, k=3, threshold=0.0),
         dedup.minhash_lsh_pairs(d, n_hashes=8, bands=4, k=3),
         dedup.simhash_pairs(d, max_hamming=3),
     ):
         p = plan_of(df)
         assert "Join" not in p and "CartesianProduct" not in p
+    # the prefix-filtered path (threshold > 0) attaches the qualifying-
+    # shingle dictionary via ONE broadcast join — never a shuffle join or a
+    # blocking self-join, and no candidate-pair aggregation
+    p = plan_of(dedup.ngram_jaccard_pairs(d, k=3, threshold=0.5))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "CartesianProduct" not in p
 
 
 def test_topk_corpus_scan_has_no_join(spark):
