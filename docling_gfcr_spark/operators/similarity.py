@@ -352,6 +352,7 @@ def train_ivf_centroids(
     sample_limit: int = 20_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
 ) -> np.ndarray:
     """Spherical k-means on a DETERMINISTIC md5-thresholded hash sample
     (sampling.sample_predicate, salt 'ivf') — a pure scan-side predicate:
@@ -366,7 +367,10 @@ def train_ivf_centroids(
     the identical sample rule locally."""
     from docling_gfcr_spark.operators.sampling import sample_predicate
 
-    n = corpus.count()
+    # n_rows: callers that already counted the corpus (semantic_prune's
+    # surrogate-collision guard) pass it in — the fraction, and therefore the
+    # sample and the centroids, are identical either way
+    n = corpus.count() if n_rows is None else int(n_rows)
     fraction = min(1.0, 1.2 * sample_limit / max(n, 1))
     pdf = (
         corpus.where(sample_predicate(fraction, id_col=id_col, salt="ivf"))
@@ -1042,22 +1046,30 @@ def semantic_prune(
     convention as hash-ordered packing."""
     from docling_gfcr_spark.operators.dedup import _free_local_checkpoint
 
-    if not docs.take(1):
-        return docs
     emb = docs.select(
         md5_surrogate_id(F.col(id_col).cast("string")).alias("vec_id"),
         make_hashing_embed_udf(dim)(F.col(text_col).cast("string")).alias("embedding"),
     ).localCheckpoint()
     try:
+        # one aggregate serves three former jobs (r8): the empty-input check
+        # (previously docs.take(1)), the surrogate-collision guard, and the
+        # trainer's corpus count (passed through n_rows — identical sample
+        # fraction, identical centroids)
         n, nd = emb.agg(F.count("*"), F.count_distinct("vec_id")).first()
+        if n == 0:
+            return docs
         if n != nd:
             raise ValueError(
                 f"md5 surrogate-id collision: {n} docs -> {nd} distinct "
                 f"surrogates; semantic_prune would alias colliding docs"
             )
+        cent = train_ivf_centroids(
+            emb, n_centroids, seed, iters, id_col="vec_id", vec_col="embedding",
+            n_rows=n,
+        )
         dd = semantic_dedup(
             emb, n_centroids=n_centroids, threshold=threshold, seed=seed,
-            iters=iters, max_cluster=max_cluster,
+            iters=iters, max_cluster=max_cluster, centroids=cent,
         )
         # materialize the (small) loser set NOW, while the embedding blocks
         # are still alive — a local checkpoint truncates lineage, so a lazy

@@ -188,9 +188,10 @@ def test_topk_corpus_scan_has_no_join(spark):
 
 
 def test_decontamination_default_broadcasts_heldout(spark):
-    """Default/auto path: the heldout shingle set broadcasts (map-side probe,
-    zero corpus shuffle before the count agg); the explicit shuffle fallback
-    must NOT broadcast — it hash-partitions both sides."""
+    """Default/auto path: the heldout shingle set ships as a broadcast
+    variable into ONE fused probe kernel (r8 — map-side probe, zero corpus
+    shuffle before the tiny count agg, no join at all); the explicit
+    shuffle fallback must NOT broadcast — it hash-partitions both sides."""
     from pyspark.sql import functions as F
 
     from docling_gfcr_spark.operators.sampling import ngram_decontaminate
@@ -198,7 +199,7 @@ def test_decontamination_default_broadcasts_heldout(spark):
     d = spark.read.parquet(f"{SF}/documents.parquet")
     held = d.where(F.col("doc_id") % 50 == 0)
     p_b = plan_of(ngram_decontaminate(d, held, k=8, strategy="broadcast"))
-    assert "BroadcastHashJoin" in p_b
+    assert "MapInPandas" in p_b and "Join" not in p_b
     p_s = plan_of(ngram_decontaminate(d, held, k=8, strategy="shuffle"))
     assert "BroadcastHashJoin" not in p_s
     assert "ShuffledHashJoin" in p_s or "SortMergeJoin" in p_s

@@ -218,8 +218,10 @@ def materialize_sem_centroids(dpath: str) -> str:
     """Train the semantic job's codebook ONCE on the deduped corpus (k-means
     on a hash-capped sample — the corpus job's bootstrap discipline) and
     persist it as .npy: a fixed-size driver artifact at any corpus scale,
-    prepared outside the timed region. Keyed on the corpus dir."""
-    path = dpath.replace("deduped_", "semcent_") + ".npy"
+    prepared outside the timed region. Keyed on the corpus dir AND the
+    semantic code fingerprint (r7 ADVICE: a trainer/embed code change must
+    re-train, not silently reuse a codebook trained by old code)."""
+    path = dpath.replace("deduped_", "semcent_") + f"_{_sem_code_fingerprint()}.npy"
     if not os.path.exists(path):
         import numpy as np
         from pyspark.sql import functions as F
@@ -306,6 +308,13 @@ def run_at(
     child: str = CHILD, extra_argv: tuple = (),
 ) -> dict:
     argv = [sys.executable, "-c", child.format(repo=REPO), str(cores), path]
+    # r7 ADVICE: child/extra_argv pairing is EXCLUSIVE by contract — a custom
+    # child (SEM_CHILD) takes its own argv tail INSTEAD of the job selector
+    # (CHILD reads argv[3] as the job; SEM_CHILD reads argv[3] as cent_path).
+    # Passing extra_argv with the default CHILD would drop the job selector,
+    # so refuse loudly instead of misrouting.
+    if extra_argv and child is CHILD:
+        raise ValueError("extra_argv requires a custom child (it replaces the job argv)")
     argv += list(extra_argv) if extra_argv else [job]
     out = subprocess.run(
         argv,
@@ -412,7 +421,7 @@ def main() -> None:
     }
     for c in levels:
         print(json.dumps(sem[c]))
-    sem_tables, sem_evid = job_section(levels, sem, "docs pruned")
+    sem_tables, sem_evid = job_section(levels, sem, "docs processed")
 
     n_turns = ex[levels[0]]["n_rows"]
     n_docs = lsh[levels[0]]["n_rows"]
