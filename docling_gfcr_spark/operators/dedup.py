@@ -212,9 +212,13 @@ def ngram_jaccard_pairs(
     )
     # ONE shuffle clusters co-occurring ids per shingle; the hot-shingle cap
     # (stop-shingle skew guard) and the can't-pair filter apply to the
-    # aggregated lists, replacing the old frequency-agg + filter join
+    # aggregated lists, replacing the old frequency-agg + filter join.
+    # Key-repartition: AQE-coalescing guard for the pair-explode stage
+    # (guide §2.5; see _prefix_filtered_ngram_pairs).
+    n_parts = sh.sparkSession.sparkContext.defaultParallelism
     groups = (
-        sh.groupBy("shingle")
+        sh.repartition(n_parts, "shingle")
+        .groupBy("shingle")
         .agg(F.array_sort(F.collect_list("m")).alias("ms"))
         .where(F.size("ms").between(2, hot_shingle_cap))
     )
@@ -312,8 +316,14 @@ def _prefix_filtered_ngram_pairs(
             "psid"
         ),
     )
+    # key-repartition before the groupBy: the prefix shuffle is small in
+    # bytes, so AQE coalescing would otherwise squash the CPU-heavy verify
+    # kernel's input to one partition (guide §2.5; same guard as
+    # similarity._neardup_from_buckets — AQE-exempt, reused by the groupBy)
+    n_parts = pre.sparkSession.sparkContext.defaultParallelism
     grp = (
-        pre.groupBy("psid")
+        pre.repartition(n_parts, "psid")
+        .groupBy("psid")
         .agg(F.collect_list(F.struct("id", "sz", "sids")).alias("docs"))
         .where(F.size("docs") >= 2)
     )
@@ -631,9 +641,13 @@ def minhash_lsh_pairs(
     # worker-side via two streaming generates (explode_ordered_pairs) instead
     # of a banded self-join — no shuffled candidate rows, and bucket size is
     # unbounded here (an exact-dup cluster collides in EVERY band), so the
-    # O(B)-per-row streaming form is load-bearing, not a nicety
+    # O(B)-per-row streaming form is load-bearing, not a nicety.
+    # Key-repartition keeps AQE from coalescing the pair-enumeration stage
+    # to one partition on small-byte inputs (guide §2.5).
+    n_parts = banded.sparkSession.sparkContext.defaultParallelism
     groups = (
-        banded.groupBy("band", "band_hash")
+        banded.repartition(n_parts, "band", "band_hash")
+        .groupBy("band", "band_hash")
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
         .where(F.size("ids") >= 2)
     )
@@ -875,9 +889,13 @@ def incremental_minhash_pairs(
             "would silently dedup against nothing; pass allow_missing_table=True "
             "only for the first-batch bootstrap"
         )
-    # new-vs-new: dup pairs arriving inside the same batch
+    # new-vs-new: dup pairs arriving inside the same batch (key-repartition:
+    # the AQE-coalescing guard of minhash_lsh_pairs, batch side only — the
+    # committed side's exchange-free bucketed scan is untouched)
+    n_parts = new_banded.sparkSession.sparkContext.defaultParallelism
     groups = (
-        new_banded.groupBy("band", "band_hash")
+        new_banded.repartition(n_parts, "band", "band_hash")
+        .groupBy("band", "band_hash")
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
         .where(F.size("ids") >= 2)
     )

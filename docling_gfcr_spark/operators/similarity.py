@@ -331,8 +331,21 @@ def _neardup_from_buckets(tb: DataFrame, threshold: float) -> DataFrame:
     at sf0.1 that materializes ~150M candidate id-pairs; this emits only the
     qualifying pairs (thousands) out of each worker.
     """
-    pairs = tb.groupBy("table", "bucket").applyInPandas(
-        _bucket_pairs_kernel(threshold), schema="id_a long, id_b long, cos double"
+    # r8: pin the grouped stage's partition count (guide §2.5). The shuffle
+    # feeding the triangle kernels is only ~80 MB at sf1.0, so AQE's
+    # advisory coalescing collapsed it to ONE partition — serializing 512
+    # CPU-heavy numpy groups onto one core (measured: post-AQE partition
+    # count 1; warm pass 2.2s where ~0.7s is the actual kernel work). An
+    # explicit repartition by the SAME keys is exempt from AQE coalescing,
+    # satisfies the groupBy's required distribution (no second exchange,
+    # same shuffled bytes), and scales with the session's core count.
+    n_parts = tb.sparkSession.sparkContext.defaultParallelism
+    pairs = (
+        tb.repartition(n_parts, "table", "bucket")
+        .groupBy("table", "bucket")
+        .applyInPandas(
+            _bucket_pairs_kernel(threshold), schema="id_a long, id_b long, cos double"
+        )
     )
     # a pair colliding in k tables yields k IDENTICAL rows (same floats) —
     # distinct is over the small qualifying set, never the candidate set
@@ -932,8 +945,17 @@ def semantic_dedup(
             }
         )
 
+    # r8: same AQE-coalescing guard as _neardup_from_buckets — the cluster
+    # shuffle is small in bytes but each group is an O(C^2 * dim) kernel;
+    # coalescing to one partition serializes every cluster onto one core.
+    # Key-repartition to the session's parallelism (AQE-exempt, reused by
+    # the groupBy, same shuffled bytes; still the plan's ONE hash exchange).
+    n_parts = assigned.sparkSession.sparkContext.defaultParallelism
     return (
-        ensure_parallelism(assigned).groupBy(*group_cols).applyInPandas(dedup_cluster, schema)
+        ensure_parallelism(assigned)
+        .repartition(n_parts, *group_cols)
+        .groupBy(*group_cols)
+        .applyInPandas(dedup_cluster, schema)
     )
 
 
