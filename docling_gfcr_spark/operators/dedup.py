@@ -284,38 +284,132 @@ def _prefix_filtered_ngram_pairs(
     aggregation ever materializes."""
     from pyspark.sql import Window
 
+    import math
+
     t_eff = max(0.0, threshold - 1e-6)
     id_type = df.schema[id_col].dataType.simpleString()
-    # the Arrow shingle scan runs twice (frequency pass + dictionary-join
-    # pass) — measured CHEAPER at sf1.0 than collecting per-doc string
-    # lists once and re-exploding them (13.9s vs 10.5s end-to-end): the
-    # kernel is ~3s while the extra string-array collect shuffle is ~6s
-    sh_flat = exploded_shingles(df, text_col, id_col, k)
-    freq = sh_flat.groupBy("shingle").agg(F.count("*").alias("df_"))
+    sc = df.sparkSession.sparkContext
+
+    # ---- qualifying-shingle dictionary (doc-frequency in [2, cap]) -------
+    # frequency pass with KERNEL-SIDE partial counts: per flush the kernel
+    # emits one (shingle, n) row per DISTINCT shingle instead of one row per
+    # (doc, shingle) — on the shared-vocab bench corpus that is ~0.9M Arrow
+    # rows instead of 2.6M, and the groupBy sum input shrinks the same way
+    def _partial_counts(batches):
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        for pdf in batches:
+            for text in pdf[text_col]:
+                if text is None:
+                    continue
+                words = text.split(" ")
+                n = max(1, len(words) - (k - 1))
+                # .keys(): Counter.update on a MAPPING adds its values —
+                # the keys view counts each distinct shingle once per doc
+                cnt.update(
+                    dict.fromkeys(" ".join(words[i : i + k]) for i in range(n)).keys()
+                )
+            if len(cnt) >= 1 << 20:  # flush budget: bounded worker memory
+                yield pd.DataFrame(
+                    {"shingle": list(cnt.keys()),
+                     "n": pd.Series(list(cnt.values()), dtype=np.int64)}
+                )
+                cnt = Counter()
+        if cnt:
+            yield pd.DataFrame(
+                {"shingle": list(cnt.keys()),
+                 "n": pd.Series(list(cnt.values()), dtype=np.int64)}
+            )
+
+    freq = (
+        df.select(text_col)
+        .mapInPandas(_partial_counts, "shingle string, n long")
+        .groupBy("shingle")
+        .agg(F.sum("n").alias("df_"))
+    )
     qual = freq.where(F.col("df_").between(2, hot_shingle_cap))
-    # dense ids in (df_, shingle) order: ascending sid == canonical order
-    wq = Window.orderBy("df_", "shingle")
-    dict_df = qual.select("shingle", F.row_number().over(wq).alias("sid"))
-    rows = sh_flat.join(F.broadcast(dict_df), "shingle").select("id", "sz", "sid")
-    doc = (
-        rows.groupBy("id")
-        .agg(F.array_sort(F.collect_list("sid")).alias("sids"), F.first("sz").alias("sz"))
-        .withColumn(
-            "cmin",
-            F.greatest(
-                F.lit(1), F.ceil(F.lit(t_eff) * F.col("sz") - F.lit(1e-9)).cast("int")
-            ),
+
+    # dictionary strategy: the canonical order is (df_, shingle) ascending —
+    # rarest first. Small dictionaries (bounded like any broadcast side) are
+    # collected once and shipped as a broadcast variable into ONE kernel that
+    # emits each doc's sorted qualifying-sid array directly — no second
+    # shingle explode, no dictionary join, no per-doc collect shuffle
+    # (measured −3s at sf1.0). Oversized dictionaries fall back to the
+    # broadcast-join + collect_list shape (identical results).
+    _DICT_MAX = 5_000_000
+    # ONE construction job: TakeOrdered of at most max+1 rows — the +1 both
+    # detects an oversized dictionary AND bounds driver memory (a separate
+    # count() guard would run the frequency pipeline twice)
+    dict_rows = qual.orderBy("df_", "shingle").limit(_DICT_MAX + 1).collect()
+    if len(dict_rows) > _DICT_MAX:
+        dict_rows = None
+    if dict_rows is not None:
+        ranks = {r["shingle"]: i + 1 for i, r in enumerate(dict_rows)}
+        bc = sc.broadcast(ranks)
+
+        def _doc_sids(batches):
+            lut = bc.value
+            for pdf in batches:
+                ids: list = []
+                szs: list = []
+                sids: list = []
+                plens: list = []
+                for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                    if text is None:
+                        continue
+                    words = text.split(" ")
+                    n = max(1, len(words) - (k - 1))
+                    seen = dict.fromkeys(
+                        " ".join(words[i : i + k]) for i in range(n)
+                    )
+                    sz = len(seen)
+                    cmin = max(1, math.ceil(t_eff * sz - 1e-9))
+                    row = sorted(lut[s] for s in seen if s in lut)
+                    if len(row) < cmin:
+                        continue
+                    ids.append(doc_id)
+                    szs.append(sz)
+                    sids.append(row)
+                    plens.append(len(row) - cmin + 1)
+                yield pd.DataFrame(
+                    {"id": pd.Series(ids, dtype=object),
+                     "sz": pd.Series(szs, dtype=np.int32),
+                     "sids": pd.Series(sids, dtype=object),
+                     "plen": pd.Series(plens, dtype=np.int32)}
+                )
+
+        doc = df.select(id_col, text_col).mapInPandas(
+            _doc_sids, f"id {id_type}, sz int, sids array<int>, plen int"
         )
-        .where(F.size("sids") >= F.col("cmin"))
-    )
-    pre = doc.select(
-        "id",
-        "sz",
-        "sids",
-        F.explode(F.slice("sids", F.lit(1), F.size("sids") - F.col("cmin") + F.lit(1))).alias(
-            "psid"
-        ),
-    )
+        pre = doc.select(
+            "id", "sz", "sids",
+            F.explode(F.slice("sids", F.lit(1), F.col("plen"))).alias("psid"),
+        )
+    else:
+        sh_flat = exploded_shingles(df, text_col, id_col, k)
+        wq = Window.orderBy("df_", "shingle")
+        dict_df = qual.select("shingle", F.row_number().over(wq).alias("sid"))
+        rows = sh_flat.join(F.broadcast(dict_df), "shingle").select("id", "sz", "sid")
+        doc = (
+            rows.groupBy("id")
+            .agg(F.array_sort(F.collect_list("sid")).alias("sids"), F.first("sz").alias("sz"))
+            .withColumn(
+                "cmin",
+                F.greatest(
+                    F.lit(1), F.ceil(F.lit(t_eff) * F.col("sz") - F.lit(1e-9)).cast("int")
+                ),
+            )
+            .where(F.size("sids") >= F.col("cmin"))
+        )
+        pre = doc.select(
+            "id",
+            "sz",
+            "sids",
+            F.explode(
+                F.slice("sids", F.lit(1), F.size("sids") - F.col("cmin") + F.lit(1))
+            ).alias("psid"),
+        )
     # key-repartition before the groupBy: the prefix shuffle is small in
     # bytes, so AQE coalescing would otherwise squash the CPU-heavy verify
     # kernel's input to one partition (guide §2.5; same guard as

@@ -158,11 +158,13 @@ def test_dedup_pair_stages_have_no_self_join(spark):
     ):
         p = plan_of(df)
         assert "Join" not in p and "CartesianProduct" not in p
-    # the prefix-filtered path (threshold > 0) attaches the qualifying-
-    # shingle dictionary via ONE broadcast join — never a shuffle join or a
-    # blocking self-join, and no candidate-pair aggregation
+    # the prefix-filtered path (threshold > 0) ships the qualifying-shingle
+    # dictionary as a broadcast variable into the doc-sid kernel (small
+    # dictionaries — the default; oversized ones fall back to one broadcast
+    # join) — never a shuffle join or a blocking self-join, and no
+    # candidate-pair aggregation anywhere
     p = plan_of(dedup.ngram_jaccard_pairs(d, k=3, threshold=0.5))
-    assert "BroadcastHashJoin" in p
+    assert "MapInPandas" in p
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
     assert "CartesianProduct" not in p
 
