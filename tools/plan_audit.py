@@ -69,17 +69,23 @@ def main() -> None:
         ),
         (
             "n-gram Jaccard pairs (dedup family plan shape)",
-            "NO join operator of any kind: one shuffle clusters ids per "
-            "shingle, pairs are enumerated worker-side from the aggregated "
-            "lists (dedup.ordered_pairs), sizes ride as struct payload. "
+            "threshold>0 runs the r8 prefix-filtered exact path: frequency "
+            "kernel -> qualifying-shingle dictionary as a broadcast variable "
+            "-> doc-sid kernel -> prefix groupBy -> numpy verify kernel -> "
+            "distinct. No shuffle join, no candidate-pair aggregation. "
+            "threshold<=0 keeps the count-all-pairs shape (one shingle "
+            "shuffle, worker-side ordered-pair enumeration, zero joins). "
             "Pinned by test_plans::test_dedup_pair_stages_have_no_self_join.",
             dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5),
         ),
         (
             "MinHash LSH pairs",
-            "Signature computation is pure Catalyst (no Python boundary); "
-            "band buckets are one groupBy shuffle; pair enumeration is the "
-            "hybrid flatten/streaming-generate split — again no joins.",
+            "Signatures (r8): ONE Arrow shingle kernel feeding codegen'd "
+            "salted hashes + partially-aggregated min — the O(shingles x "
+            "n_hashes) hash work is whole-stage-codegen, never interpreted "
+            "HOFs, never a per-row UDF. Band buckets are one groupBy "
+            "shuffle; pair enumeration is the hybrid flatten/streaming-"
+            "generate split — no joins.",
             dedup.minhash_lsh_pairs(docs, n_hashes=8, bands=4, k=3),
         ),
         (
@@ -88,6 +94,24 @@ def main() -> None:
             "FlatMapGroupsInPandas; the threshold filter runs inside the "
             "kernel so only qualifying pairs reach the final distinct.",
             similarity.embedding_neardup_pairs(emb, threshold=0.4, n_planes=4, n_tables=4),
+        ),
+        (
+            "Exact cosine top-k (probe-kernel path, r8)",
+            "ONE narrow MapInPandas over the corpus (probe matrix in the "
+            "task closure, sequential-fold cosine bit-exact vs the DuckDB "
+            "oracle, per-batch top-k) + a window over the tiny survivor "
+            "set. No join, no |corpus|x|probes| row blowup. Pinned by "
+            "test_plans::test_topk_corpus_scan_has_no_join.",
+            similarity.cosine_topk(emb, emb.where(F.col("vec_id") % 100 == 0), k=5),
+        ),
+        (
+            "IVF top-k (fused assign+score kernel, r8)",
+            "Assignment, per-cluster probe scoring (einsum arithmetic "
+            "bit-identical to the fixture oracle) and per-batch top-k are "
+            "fused into ONE MapInPandas; the former cluster broadcast join "
+            "and second Python boundary are gone.",
+            similarity.ivf_topk(emb, emb.where(F.col("vec_id") % 100 == 0),
+                                k=5, n_centroids=16, n_probe=4),
         ),
         (
             "Semantic dedup (SemDeDup greedy pruning)",
@@ -135,10 +159,11 @@ def main() -> None:
         ),
         (
             "n-gram decontamination (default broadcast path)",
-            "Heldout shingles arrive via BroadcastHashJoin (map-side probe): "
-            "the corpus side is ONE scan with no shuffle before the count "
-            "agg. The shuffle-hash fallback for oversized heldout sets is "
-            "pinned (no broadcast) in test_plans::"
+            "Heldout shingles ship as a broadcast VARIABLE into one fused "
+            "probe kernel (r8): the corpus side is ONE MapInPandas scan with "
+            "no join and no shuffle before the tiny per-doc count agg. The "
+            "shuffle-hash fallback for oversized heldout sets is pinned (no "
+            "broadcast) in test_plans::"
             "test_decontamination_default_broadcasts_heldout.",
             __import__(
                 "docling_gfcr_spark.operators.sampling", fromlist=["ngram_decontaminate"]
