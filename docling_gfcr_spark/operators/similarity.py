@@ -1,10 +1,12 @@
 """Similarity search over embedding columns (array<float>).
 
 - ``cosine_topk``: brute-force exact top-k for a probe set — the correctness
-  baseline. All arithmetic is JVM-side (zip_with/aggregate in DOUBLE, so the
-  DuckDB oracle's list_cosine_similarity(::DOUBLE[]) is bit-identical).
-  Scale shape: probes broadcast, corpus scanned once, per-probe top-k via
-  window — linear in corpus size, no shuffle of the corpus.
+  baseline. r8 shape: ONE mapInPandas kernel over the corpus (probe matrix
+  in the task closure) computing the cosine as the SAME sequential
+  left-fold in DOUBLE the former zip_with/aggregate expression evaluated —
+  bit-identical to DuckDB's list_cosine_similarity(::DOUBLE[]) — plus
+  per-batch top-k, so the final window ranks ~batches x P x k survivors.
+  Linear in corpus size, no shuffle or join of the corpus.
 - ``lsh_topk``: the 100 TB path — random-hyperplane LSH bucketing (signs of
   h dot-products with seed-derived Gaussian hyperplanes), candidates from
   same-bucket equi-join (+ optional multi-probe), exact re-rank inside
