@@ -23,6 +23,7 @@ Output per document:
 
 from __future__ import annotations
 
+import html as _html
 import re
 from dataclasses import dataclass, field
 from html.parser import HTMLParser
@@ -279,14 +280,18 @@ class _FastBlocks:
         if self._drop_depth:
             return
         is_boiler = tag in _BOILERPLATE_TAGS
-        # pre-gate on a lowercased copy: attribute names are case-insensitive
-        # ('<DIV CLASS="sidebar">' must classify like '<div class="sidebar">')
-        tok_l = tok if tok.islower() else tok.lower()
-        if not is_boiler and ("class" in tok_l or "id=" in tok_l or "id =" in tok_l or "role" in tok_l):
-            hints = " ".join(g or "" for m in _ATTR_HINT_RE.finditer(tok) for g in m.groups())
-            is_boiler = any(
-                t in _BOILERPLATE_TOKENS for t in _TOKEN_SPLIT_RE.split(hints.lower()) if t
-            )
+        # len(tok) == len(tag)+2 is the attribute-less '<tag>' — nothing to
+        # scan (the regex admits no space before the name, so anything longer
+        # carries attrs, '/>', or stray chars and goes through the check)
+        if not is_boiler and len(tok) > len(tag) + 2:
+            # pre-gate on a lowercased copy: attribute names are case-
+            # insensitive ('<DIV CLASS="x">' must classify like class="x")
+            tok_l = tok if tok.islower() else tok.lower()
+            if "class" in tok_l or "id=" in tok_l or "id =" in tok_l or "role" in tok_l:
+                hints = " ".join(g or "" for m in _ATTR_HINT_RE.finditer(tok) for g in m.groups())
+                is_boiler = any(
+                    t in _BOILERPLATE_TOKENS for t in _TOKEN_SPLIT_RE.split(hints.lower()) if t
+                )
         if tag in _BLOCK_TAGS:
             self._flush()
         if is_boiler:
@@ -315,12 +320,19 @@ class _FastBlocks:
         if tag in _BLOCK_TAGS:
             self._flush()
         ob = self._open_boiler
-        for i in range(len(ob) - 1, -1, -1):
-            if ob[i][0] == tag:
-                if ob[i][1]:
-                    self._boiler_depth = max(0, self._boiler_depth - 1)
-                del ob[i]
-                break
+        if ob and ob[-1][0] == tag:
+            # well-formed close of the innermost element — the reverse scan
+            # below would find i == len-1; skip its range setup
+            if ob[-1][1]:
+                self._boiler_depth = max(0, self._boiler_depth - 1)
+            ob.pop()
+        else:
+            for i in range(len(ob) - 1, -1, -1):
+                if ob[i][0] == tag:
+                    if ob[i][1]:
+                        self._boiler_depth = max(0, self._boiler_depth - 1)
+                    del ob[i]
+                    break
         if tag == "a":
             self._link_depth = max(0, self._link_depth - 1)
         elif tag in _HEADING_TAGS:
@@ -334,8 +346,13 @@ class _FastBlocks:
 
     def run(self) -> list[_Block]:
         raw = self.raw
-        import html as _html
-
+        # bound locals: the loop runs once per token and attribute/global
+        # lookups are a measurable share of it
+        start = self._start
+        end = self._end
+        ensure = self._ensure
+        tag_name_match = _TAG_NAME_RE.match
+        unescape = _html.unescape
         skip_until: re.Pattern | None = None
         for m in _FAST_TOKEN_RE.finditer(raw):
             gi = m.lastindex
@@ -343,10 +360,10 @@ class _FastBlocks:
                 if gi is None or skip_until is not None or self._drop_depth:
                     continue
                 tok = m.group(gi)
-                if not tok.strip():
+                if tok.isspace():  # tok is non-empty by the regex
                     continue
-                data = _html.unescape(tok) if "&" in tok else tok
-                blk = self._ensure()
+                data = unescape(tok) if "&" in tok else tok
+                blk = ensure()
                 blk.parts.append(data)
                 blk.spans.append((m.start(), m.end()))
                 if self._link_depth:
@@ -358,21 +375,21 @@ class _FastBlocks:
             if skip_until is not None:
                 if c1 == "/" and skip_until.match(tok):
                     skip_until = None
-                    tagm = _TAG_NAME_RE.match(tok)
+                    tagm = tag_name_match(tok)
                     if tagm:
-                        self._end(tagm.group(1).lower())
+                        end(tagm.group(1).lower())
                 continue
             if c1 == "!" or c1 == "?":
                 continue
             if c1 == "/":
-                tagm = _TAG_NAME_RE.match(tok)
+                tagm = tag_name_match(tok)
                 if tagm:
-                    self._end(tagm.group(1).lower())
+                    end(tagm.group(1).lower())
                 continue
-            tagm = _TAG_NAME_RE.match(tok)
+            tagm = tag_name_match(tok)
             if tagm:
                 tag = tagm.group(1).lower()
-                self._start(tag, tok)
+                start(tag, tok)
                 # rawtext elements: skip content until the real close tag
                 if tag in _RAWTEXT_CLOSE and not tok.endswith("/>"):
                     skip_until = _RAWTEXT_CLOSE[tag]
@@ -401,8 +418,12 @@ def _classify(blocks: list[_Block]) -> list[bool]:
         if b.depth_boiler > 0:
             continue
         txt = b.text()
-        words = len(txt.split())
-        link_density = (b.n_link_chars / max(1, len(txt.replace(" ", ""))))
+        # text() is single-space-normalized and non-empty, so spaces+1 ==
+        # len(txt.split()) and len-minus-spaces == len(txt.replace(" ", ""))
+        # — same values without the list/string allocations
+        n_spaces = txt.count(" ")
+        words = n_spaces + 1
+        link_density = (b.n_link_chars / max(1, len(txt) - n_spaces))
         if b.kind == "heading":
             continue  # second pass
         if b.kind in ("code", "table_cell", "list_item"):
@@ -414,7 +435,7 @@ def _classify(blocks: list[_Block]) -> list[bool]:
         if kept[i] or b.depth_boiler > 0 or b.kind == "heading":
             continue
         txt = b.text()
-        link_density = (b.n_link_chars / max(1, len(txt.replace(" ", ""))))
+        link_density = (b.n_link_chars / max(1, len(txt) - txt.count(" ")))
         prev_kept = any(kept[j] for j in range(max(0, i - 1), i))
         next_kept = any(kept[j] for j in range(i + 1, min(n, i + 2)))
         if prev_kept and next_kept and link_density <= _MAX_LINK_DENSITY:

@@ -69,6 +69,30 @@ def _read_part(blob: bytes, name: str) -> bytes:
         raise ValueError(f"not an OOXML container ({name}): {type(e).__name__}") from e
 
 
+class _Container:
+    """One ``ZipFile`` over the blob for multi-part documents: a k-part read
+    through ``_read_part`` pays k central-directory scans. Error envelope is
+    identical — any failure (open or member read) raises the same
+    ``ValueError`` naming the part being read, exactly as the per-part open
+    did (an unreadable container fails on its FIRST requested part)."""
+
+    __slots__ = ("_blob", "_zf")
+
+    def __init__(self, blob: bytes) -> None:
+        self._blob = blob
+        self._zf: zipfile.ZipFile | None = None
+
+    def read(self, name: str) -> bytes:
+        try:
+            if self._zf is None:
+                self._zf = zipfile.ZipFile(io.BytesIO(self._blob))
+            return self._zf.read(name)
+        except (zipfile.BadZipFile, KeyError, OSError, NotImplementedError,
+                RuntimeError, EOFError, zlib.error, struct.error,
+                zipfile.LargeZipFile) as e:
+            raise ValueError(f"not an OOXML container ({name}): {type(e).__name__}") from e
+
+
 def _parse_xml(data: bytes, what: str) -> ET.Element:
     try:
         return ET.fromstring(data)
@@ -227,13 +251,14 @@ def xlsx_bytes_to_markdown(blob: bytes) -> str:
     """Real XLSX bytes -> the sidecar assembler's markdown (one ``## sheet``
     section + pipe table per sheet, workbook order). Raises ``ValueError``
     on malformed containers."""
-    wb = _parse_xml(_read_part(blob, "xl/workbook.xml"), "workbook.xml")
+    zf = _Container(blob)
+    wb = _parse_xml(zf.read("xl/workbook.xml"), "workbook.xml")
     rels_root = _parse_xml(
-        _read_part(blob, "xl/_rels/workbook.xml.rels"), "workbook rels"
+        zf.read("xl/_rels/workbook.xml.rels"), "workbook rels"
     )
     rel_map = {r.get("Id"): r.get("Target") for r in rels_root.iter(f"{_PR}Relationship")}
     try:
-        sst_root = _parse_xml(_read_part(blob, "xl/sharedStrings.xml"), "sharedStrings")
+        sst_root = _parse_xml(zf.read("xl/sharedStrings.xml"), "sharedStrings")
         shared = ["".join(n.text or "" for n in si.iter(f"{_S}t")) for si in sst_root.iter(f"{_S}si")]
     except ValueError:
         shared = []  # workbooks without string cells omit the part
@@ -244,7 +269,7 @@ def xlsx_bytes_to_markdown(blob: bytes) -> str:
         if not target:
             raise ValueError(f"sheet {name!r} has no worksheet relationship")
         part = _resolve_rel_target(target, "xl")
-        ws = _parse_xml(_read_part(blob, part), part)
+        ws = _parse_xml(zf.read(part), part)
         rows: list[list[str]] = []
         for row in ws.iter(f"{_S}row"):
             cells: list[str] = []
@@ -346,9 +371,10 @@ def pptx_bytes_to_markdown(blob: bytes) -> str:
     """Real PPTX bytes -> the sidecar assembler's markdown (``# title`` +
     ``- bullet`` per slide, presentation order; untitled slides fall back to
     ``Slide N``). Raises ``ValueError`` on malformed containers."""
-    pres = _parse_xml(_read_part(blob, "ppt/presentation.xml"), "presentation.xml")
+    zf = _Container(blob)
+    pres = _parse_xml(zf.read("ppt/presentation.xml"), "presentation.xml")
     rels_root = _parse_xml(
-        _read_part(blob, "ppt/_rels/presentation.xml.rels"), "presentation rels"
+        zf.read("ppt/_rels/presentation.xml.rels"), "presentation rels"
     )
     rel_map = {r.get("Id"): r.get("Target") for r in rels_root.iter(f"{_PR}Relationship")}
     blocks: list[str] = []
@@ -359,7 +385,7 @@ def pptx_bytes_to_markdown(blob: bytes) -> str:
         if not target:
             raise ValueError(f"slide {slide_no} has no relationship target")
         part = _resolve_rel_target(target, "ppt")
-        sld = _parse_xml(_read_part(blob, part), part)
+        sld = _parse_xml(zf.read(part), part)
         title = ""
         bullets: list[str] = []
         for sp in sld.iter(f"{_P}sp"):
